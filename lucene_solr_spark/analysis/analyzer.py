@@ -1,0 +1,83 @@
+"""StandardAnalyzer-equivalent pipeline: tokenize → lowercase → stop filter.
+
+Mirrors `analysis/standard/StandardAnalyzer.java:81-90`:
+  StandardTokenizer → LowerCaseFilter → StopFilter(stopwords)
+with these reference defaults:
+  - StandardAnalyzer's default stop set is EMPTY (`StandardAnalyzer.java:51-53`)
+  - the canonical English set (33 words, `en/EnglishAnalyzer.java:43-54`)
+    is what the benchmark/index pipeline uses, opt-in, as in EnglishAnalyzer
+  - maxTokenLength = 255, over-long tokens skipped with position advance
+  - StopFilter preserves position gaps (`FilteringTokenFilter.java:47-57`)
+
+The Spark entrypoint is a vectorized pandas function (used from
+`pandas_udf` / `mapInPandas`) — no per-row Python at the DataFrame layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from .lowercase import simple_lowercase
+from .tokenizer import DEFAULT_MAX_TOKEN_LENGTH, tokenize_raw
+
+# en/EnglishAnalyzer.java:43-54 — frozen canonical list
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+@dataclass(frozen=True)
+class StandardAnalyzer:
+    """tokenize → simple-lowercase → stop filter, with position gaps."""
+
+    stop_words: frozenset = field(default_factory=frozenset)
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+
+    def tokens(self, text: str) -> list[str]:
+        """Post-analysis token stream (the norm length is len() of this)."""
+        return self.tokens_positions(text)[0]
+
+    def tokens_positions(self, text: str) -> tuple[list[str], list[int]]:
+        """(tokens, positions) — positions count skipped/stopped slots."""
+        if not text:
+            return [], []
+        toks, pos = [], []
+        p = 0
+        for t in tokenize_raw(text):
+            if len(t) <= self.max_token_length:
+                low = simple_lowercase(t)
+                if low not in self.stop_words:
+                    toks.append(low)
+                    pos.append(p)
+            p += 1
+        return toks, pos
+
+    def term_freqs(self, text: str) -> dict[str, int]:
+        """Per-document term → freq map (the IndexingChain per-doc hash)."""
+        tf: dict[str, int] = {}
+        for t in self.tokens(text):
+            tf[t] = tf.get(t, 0) + 1
+        return tf
+
+    def term_positions(self, text: str) -> dict[str, list[int]]:
+        tp: dict[str, list[int]] = {}
+        toks, pos = self.tokens_positions(text)
+        for t, p in zip(toks, pos):
+            tp.setdefault(t, []).append(p)
+        return tp
+
+
+ENGLISH_ANALYZER = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+
+
+def analyze_series(texts: pd.Series, analyzer: StandardAnalyzer) -> pd.Series:
+    """Vectorized entry for pandas_udf: Series[str] → Series[list[str]]."""
+    return texts.fillna("").map(analyzer.tokens)
+
+
+def term_freqs_series(texts: pd.Series, analyzer: StandardAnalyzer) -> pd.Series:
+    """Series[str] → Series[dict[str,int]] for MapType pandas_udf."""
+    return texts.fillna("").map(analyzer.term_freqs)
