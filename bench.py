@@ -1,0 +1,92 @@
+"""Headline benchmark: index build + BM25 top-k query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "index_build_sec": ..., "docs_per_sec": ..., "p95_query_sec": ...}
+
+Query set mirrors the reference's benchmark harness shape
+(EnwikiQueryMaker.java:45-71: bare terms, multi-term OR/AND, quoted
+phrases; ReadTask.java:228 default k=10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER
+from lucene_solr_spark.index import IndexBuilder
+from lucene_solr_spark.search import Searcher, parse_query
+from lucene_solr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# reference-shaped query set (terms / OR / AND / phrase / nested bool)
+QUERY_SET = [
+    ("q_term", "merge"),
+    ("q_term2", "spark"),
+    ("q_or2", "spark merge"),
+    ("q_or3", "spark merge fast"),
+    ("q_and2", "spark AND table"),
+    ("q_and3", "sort AND hash AND join"),
+    ("q_phrase", '"key agg"'),
+    ("q_nested", "(spark OR merge) AND fast"),
+    ("q_not", "spark NOT dup"),
+    ("q_wide_or", "batch part line column order small sort"),
+]
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    t_all = time.perf_counter()
+
+    # --- index build (cache() materializes postings + terms) ---
+    t0 = time.perf_counter()
+    builder = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+                           salt_target=512, with_positions=True)
+    idx = builder.build(spark, docs).cache()
+    idx.norms.count()
+    build_sec = time.perf_counter() - t0
+
+    searcher = Searcher(spark, idx, k1=1.2, b=0.75)
+
+    # --- query latency (top-10, block-max pruned, float32 path) ---
+    per_query: dict[str, float] = {}
+    for name, qstr in QUERY_SET:
+        q = parse_query(qstr, ENGLISH_ANALYZER)
+        t0 = time.perf_counter()
+        searcher.top_k(q, k=10, mode="f32", prune=True)
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    lat = sorted(per_query.values())
+    p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+    total = time.perf_counter() - t_all
+
+    print(json.dumps({
+        "metric": "index_build_plus_topk_bm25",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "index_build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "p95_query_sec": round(p95, 4),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()
