@@ -22,12 +22,19 @@ from pyspark.sql.window import Window
 from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER, ENGLISH_STOP_WORDS
 from lucene_solr_spark.functions.smallfloat import LENGTH_TABLE
 from lucene_solr_spark.index import IndexBuilder
+from lucene_solr_spark.pipeline import dedup as dd
+from lucene_solr_spark.pipeline import multimodal as mm
+from lucene_solr_spark.pipeline import similarity as sim
+from lucene_solr_spark.pipeline import textstats as tstat
+from lucene_solr_spark.pipeline.hashing import P31, md5h60_sql, perm_sql
+from lucene_solr_spark.pipeline.textstats import DE_STOP_WORDS, FP_BASE
 from lucene_solr_spark.search import Searcher, parse_query
 from lucene_solr_spark.search.ast import (BooleanQuery, Clause, Occur,
                                           PhraseQuery, TermQuery)
 from lucene_solr_spark.search import multiterm as mt
 
 _CACHE: dict = {}
+_RAW_CACHE: dict = {}
 
 K1, B = 1.2, 0.75
 
@@ -224,6 +231,147 @@ def q_match_all_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / textstats / multimodal)
+# ---------------------------------------------------------------------------
+
+def _raw_docs(spark, sf_dir) -> DataFrame:
+    key = ("docs", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        _RAW_CACHE[key] = spark.read.parquet(
+            f"{key[1]}/documents.parquet").select("doc_id", "text").cache()
+    return _RAW_CACHE[key]
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    key = ("emb", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        _RAW_CACHE[key] = spark.read.parquet(
+            f"{key[1]}/embeddings.parquet").cache()
+    return _RAW_CACHE[key]
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _raw_docs(spark, sf_dir)
+    planted = (docs.filter(F.col("doc_id") < 20)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    ed = dd.exact_dedup(docs.unionByName(planted))
+    return (ed.filter("is_duplicate")
+            .select(F.col("doc_id").cast("long"),
+                    F.col("canonical_id").cast("long"))
+            .orderBy("doc_id"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    res = dd.minhash_dedup(_raw_docs(spark, sf_dir), threshold=0.8)
+    return (res.select(F.col("doc_a").cast("long"),
+                       F.col("doc_b").cast("long"),
+                       F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    sigs = dd.minhash_signatures(dd.shingles(_raw_docs(spark, sf_dir)), 16)
+    return (sigs.filter(F.col("doc_id") < 30)
+            .select(F.col("doc_id").cast("long"),
+                    *[F.col(f"mh{j}").cast("long") for j in range(4)])
+            .orderBy("doc_id"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    res = dd.simhash_dedup(_raw_docs(spark, sf_dir), max_hamming=1)
+    return (res.select(F.col("doc_a").cast("long"),
+                       F.col("doc_b").cast("long"),
+                       F.col("hamming").cast("long"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_simhash_sigs(spark, sf_dir):
+    sigs = dd.simhash_signatures(_raw_docs(spark, sf_dir))
+    return (sigs.filter(F.col("doc_id") < 30)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("simhash").cast("long"))
+            .orderBy("doc_id"))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    res = dd.ngram_jaccard_pairs(_raw_docs(spark, sf_dir), threshold=0.8)
+    return (res.select(F.col("doc_a").cast("long"),
+                       F.col("doc_b").cast("long"),
+                       F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _qvec(spark, sf_dir):
+    return _emb(spark, sf_dir).filter("vec_id = 0").select(
+        "embedding").collect()[0][0]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    top = sim.cosine_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), 10)
+    return top.select(F.col("vec_id").cast("long"),
+                      F.round("cos", 4).alias("cos"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cent = sim.seed_centroids(emb, 8)
+    top = sim.ivf_topk(emb, cent, _qvec(spark, sf_dir), n_probe=2, k=10)
+    return top.select(F.col("vec_id").cast("long"),
+                      F.round("cos", 4).alias("cos"))
+
+
+def q_embed_neardup(spark, sf_dir):
+    res = sim.neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return (res.select(F.col("vec_a").cast("long"),
+                       F.col("vec_b").cast("long"),
+                       F.round("cos", 4).alias("cos"))
+            .orderBy("vec_a", "vec_b"))
+
+
+def q_lang_id(spark, sf_dir):
+    res = tstat.lang_id(_raw_docs(spark, sf_dir))
+    return (res.filter(F.col("doc_id") < 100)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("n_tokens").cast("long"),
+                    F.col("en_hits").cast("long"),
+                    F.col("de_hits").cast("long"), "pred_lang")
+            .orderBy("doc_id"))
+
+
+def q_quality_score(spark, sf_dir):
+    res = tstat.quality_score(_raw_docs(spark, sf_dir))
+    return (res.filter(F.col("doc_id") < 100)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("n_chars").cast("long"),
+                    F.col("n_tokens").cast("long"),
+                    F.round("stop_ratio", 4).alias("stop_ratio"),
+                    F.round("mean_token_len", 4).alias("mean_token_len"),
+                    F.round("quality", 4).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def q_token_counts(spark, sf_dir):
+    res = tstat.token_counts(_raw_docs(spark, sf_dir))
+    return (res.filter(F.col("doc_id") < 100)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("ws_tokens").cast("long"),
+                    F.col("re_tokens").cast("long"))
+            .orderBy("doc_id"))
+
+
+def q_fingerprint(spark, sf_dir):
+    res = tstat.fingerprint(_raw_docs(spark, sf_dir))
+    return (res.filter(F.col("doc_id") < 100)
+            .select(F.col("doc_id").cast("long"), F.col("fp").cast("long"))
+            .orderBy("doc_id"))
+
+
+def q_image_meta(spark, sf_dir):
+    res = mm.extract_binary_meta(mm.attach_binary(_raw_docs(spark, sf_dir)))
+    return res.filter(F.col("doc_id") < 100).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
 
@@ -385,6 +533,244 @@ FROM tf JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"""
     sql["q_match_all_count"] = _PRELUDE + """
 SELECT count(*)::BIGINT AS n FROM dl"""
 
+    sql.update(_pipeline_oracle_sql())
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# pipeline oracle SQL (md5-derived hashing — identical bits in both engines)
+# ---------------------------------------------------------------------------
+
+# shingle prelude: tokens → distinct 3-gram shingles → 31-bit shingle hash
+_P2 = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i)
+), shh AS (
+  SELECT doc_id, {md5h60_sql('s')} % {P31} AS h31 FROM sh
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id
+)
+"""
+
+_MH_COLS = ",\n  ".join(f"min({perm_sql('h31', j)}) AS mh{j}"
+                        for j in range(16))
+_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('_', mh{4*b}, mh{4*b+1}, "
+    f"mh{4*b+2}, mh{4*b+3}) AS sig FROM mh" for b in range(4))
+
+_MINHASH_CTES = f""", mh AS (
+  SELECT doc_id, {_MH_COLS} FROM shh GROUP BY doc_id
+), bands AS (
+  {_BANDS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+), jac AS (
+  SELECT i.doc_a, i.doc_b, i.inter / (sa.n + sb.n - i.inter) AS j
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+)"""
+
+_V_COLS = ",\n  ".join(
+    f"sum(freq * (((h >> {k}) & 1) * 2 - 1)) AS v{k}" for k in range(32))
+_SIG_SUM = " + ".join(
+    f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32))
+
+_SIMHASH_CTES = f""", tf2 AS (
+  SELECT doc_id, term, count(*)::BIGINT AS freq
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tok) GROUP BY doc_id, term
+), th AS (
+  SELECT doc_id, freq, {md5h60_sql('term')} AS h FROM tf2
+), votes AS (
+  SELECT doc_id, {_V_COLS} FROM th GROUP BY doc_id
+), ssig AS (
+  SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM votes
+)"""
+
+_COS_E = ("list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+          "(sqrt(list_dot_product(e.embedding::DOUBLE[], "
+          "e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _pipeline_oracle_sql() -> dict[str, str]:
+    sql = {}
+
+    sql["q_dedup_exact"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+), fp AS (
+  SELECT doc_id, md5(text) AS f FROM all_docs
+), canon AS (
+  SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f
+)
+SELECT fp.doc_id, canon.canonical_id
+FROM fp JOIN canon ON fp.f = canon.f
+WHERE fp.doc_id <> canon.canonical_id ORDER BY fp.doc_id"""
+
+    sql["q_dedup_minhash"] = _P2 + _MINHASH_CTES + """
+SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard
+FROM jac WHERE j >= 0.8 ORDER BY doc_a, doc_b"""
+
+    sql["q_minhash_sigs"] = _P2 + f""", mh AS (
+  SELECT doc_id, {_MH_COLS} FROM shh GROUP BY doc_id
+)
+SELECT doc_id, mh0, mh1, mh2, mh3 FROM mh WHERE doc_id < 30
+ORDER BY doc_id"""
+
+    sql["q_dedup_simhash"] = _P2 + _SIMHASH_CTES + """
+, sbands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+  FROM ssig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+), scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM sbands a JOIN sbands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM scand WHERE bit_count(xor(sig_a, sig_b)) <= 1 ORDER BY doc_a, doc_b"""
+
+    sql["q_simhash_sigs"] = _P2 + _SIMHASH_CTES + """
+SELECT doc_id, simhash FROM ssig WHERE doc_id < 30 ORDER BY doc_id"""
+
+    sql["q_dedup_ngram"] = _P2 + """, inter2 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter2 JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.8 ORDER BY doc_a, doc_b"""
+
+    sql["q_ann_cosine_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND({_COS_E}, 4) AS cos
+FROM embeddings e CROSS JOIN q
+ORDER BY {_COS_E} DESC, e.vec_id LIMIT 10"""
+
+    sql["q_ann_ivf_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, c.cell,
+    list_dot_product(e.embedding::DOUBLE[], c.cvec) /
+      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+  FROM embeddings e CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY ccos DESC, cell) AS rn
+    FROM scored) WHERE rn = 1
+), probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, row_number() OVER (
+      ORDER BY list_dot_product(c.cvec, q.qv) /
+        (sqrt(list_dot_product(c.cvec, c.cvec)) *
+         sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cell) AS rn
+    FROM cent c CROSS JOIN q) WHERE rn <= 2
+)
+SELECT e.vec_id, ROUND({_COS_E}, 4) AS cos
+FROM embeddings e CROSS JOIN q
+JOIN asg ON asg.vec_id = e.vec_id JOIN probe ON probe.cell = asg.cell
+ORDER BY {_COS_E} DESC, e.vec_id LIMIT 10"""
+
+    sql["q_embed_neardup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) *
+     sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+  (sqrt(list_dot_product(a.v, a.v)) *
+   sqrt(list_dot_product(b.v, b.v))) >= 0.45
+ORDER BY vec_a, vec_b"""
+
+    en, de = _sql_list(ENGLISH_STOP_WORDS), _sql_list(DE_STOP_WORDS)
+    sql["q_lang_id"] = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents
+), hits AS (
+  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+    len(list_filter(ts, t -> list_contains({en}, t)))::BIGINT AS en_hits,
+    len(list_filter(ts, t -> list_contains({de}, t)))::BIGINT AS de_hits
+  FROM tok
+)
+SELECT doc_id, n_tokens, en_hits, de_hits,
+  CASE WHEN en_hits > de_hits THEN 'en'
+       WHEN de_hits > en_hits THEN 'de' ELSE 'und' END AS pred_lang
+FROM hits WHERE doc_id < 100 ORDER BY doc_id"""
+
+    sql["q_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '[a-z0-9]+') AS ts
+  FROM documents
+), s AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars, len(ts)::BIGINT AS n_tokens,
+    len(list_filter(ts, x -> list_contains({en}, x))) /
+      greatest(len(ts), 1) AS stop_ratio,
+    coalesce(list_sum(list_transform(ts, x -> length(x))), 0) /
+      greatest(len(ts), 1) AS mean_token_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+  ROUND(stop_ratio, 4) AS stop_ratio,
+  ROUND(mean_token_len, 4) AS mean_token_len,
+  ROUND(((n_tokens >= 20)::INT +
+         (stop_ratio >= 0.05 AND stop_ratio <= 0.6)::INT +
+         (mean_token_len >= 3.0 AND mean_token_len <= 10.0)::INT) / 3.0,
+        4) AS quality
+FROM s WHERE doc_id < 100 ORDER BY doc_id"""
+
+    sql["q_token_counts"] = r"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]+'))::BIGINT AS re_tokens
+FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+
+    sql["q_fingerprint"] = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents
+)
+SELECT doc_id, list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, t -> {md5h60_sql('t')} % {P31})),
+  (acc, x) -> (acc * {FP_BASE} + x) % {P31}) AS fp
+FROM tok WHERE doc_id < 100 ORDER BY doc_id"""
+
+    sql["q_image_meta"] = f"""
+WITH h AS (
+  SELECT doc_id, text,
+    {md5h60_sql('text')} AS hv
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+  substr(hex(encode(text)), 1, 16) AS prefix_hex,
+  (16 + hv % 1024)::BIGINT AS fake_width,
+  (16 + (hv // 1024) % 1024)::BIGINT AS fake_height,
+  (1 + hv % 3)::BIGINT AS fake_channels
+FROM h ORDER BY doc_id"""
+
     return sql
 
 
@@ -411,6 +797,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dismax_topk": q_dismax_topk,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_match_all_count": q_match_all_count,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_minhash_sigs": q_minhash_sigs,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_simhash_sigs": q_simhash_sigs,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_embed_neardup": q_embed_neardup,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_token_counts": q_token_counts,
+        "q_fingerprint": q_fingerprint,
+        "q_image_meta": q_image_meta,
     }
 
 

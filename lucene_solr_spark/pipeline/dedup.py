@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as declarative DataFrame plans (no Python in
+the hot path — tokenize/shingle/hash/band run JVM-side inside whole-stage
+codegen; the only shuffles are the groupBys/joins Catalyst plans):
+
+- exact:        md5 content hash → groupBy → canonical id
+- MinHash+LSH:  shingle → minhash sigs → banded buckets → candidate join
+                → exact-Jaccard verify (the classic near-dup pipeline)
+- SimHash:      weighted bit-vote signature → banded buckets → Hamming
+- n-gram Jaccard: exact all-pairs-sharing-a-shingle intersection counts
+                (with a df cutoff = prefix-filter analog for scale)
+- embedding cosine near-dup lives in pipeline/similarity.py
+
+Scale notes (100 TB posture):
+- Shingle hashing is stateless (md5) — NO global dictionary shuffle.
+- The LSH band join shuffles on (band, signature); bucket sizes are
+  bounded by near-dup cluster sizes, not corpus size. Hot buckets (boiler-
+  plate text) are the skew risk → ``max_bucket`` caps them, the same
+  guard production near-dup pipelines use.
+- Exact-Jaccard verification joins only candidate pairs, semi-joined down
+  before touching shingle sets.
+- ``df_cutoff`` in ngram_jaccard_pairs drops ubiquitous shingles before
+  the pair join (bounds fanout exactly like prefix filtering).
+
+Analog in the reference: none — Lucene has no dedup; this is the
+training-pipeline extension the target engine needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import P31, md5h60, perm_col
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(text_col) -> "F.Column":
+    return F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint, canonical_id, is_duplicate) — canonical is the
+    min doc_id per identical content; one shuffle on the content hash."""
+    fp = docs.select(F.col(id_col).alias("doc_id"),
+                     F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"))
+    return (fp.join(canon, "fingerprint")
+            .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id")))
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle). JVM-side."""
+    parts = ", ".join(f"ts[i+{d}]" for d in range(k))
+    expr = (f"CASE WHEN size(ts) >= {k} THEN "
+            f"transform(sequence(0, size(ts) - {k}), i -> concat_ws(' ', {parts})) "
+            f"ELSE array() END")
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        tokens(F.col(text_col)).alias("ts"))
+            .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(sh: DataFrame, num_perms: int = 16) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — one aggregation, map-side combined."""
+    h31 = (md5h60(F.col("shingle")) % P31).alias("h31")
+    base = sh.select("doc_id", h31)
+    aggs = [F.min(perm_col(F.col("h31"), j)).alias(f"mh{j}")
+            for j in range(num_perms)]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = 4, rows: int = 4,
+                   max_bucket: int | None = 1000) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing any band signature."""
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_frames.append(sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("sig")))
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+        banded = (banded.join(sizes, ["band", "sig"])
+                  .filter(F.col("bn") <= max_bucket).drop("bn"))
+    a = banded.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    return (a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (doc_a, doc_b, inter, na, nb,
+    jaccard). Shingle sets are semi-joined to candidate docs first."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    docs_a = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_a = (sh.join(docs_a, "doc_id")
+            .select(F.col("doc_id").alias("doc_a"), "shingle"))
+    sh_b = (sh.join(docs_b, "doc_id")
+            .select(F.col("doc_id").alias("doc_b"), "shingle"))
+    inter = (pairs.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    return (pairs.join(inter, ["doc_a", "doc_b"], "left")
+            .na.fill({"inter": 0})
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "nb"), "doc_b")
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("na") + F.col("nb") - F.col("inter"))))
+
+
+def minhash_dedup(docs: DataFrame, k: int = 3, num_perms: int = 16,
+                  bands: int = 4, rows: int = 4,
+                  threshold: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: (doc_a, doc_b, jaccard) with j >= threshold
+    among LSH candidates."""
+    sh = shingles(docs, k=k)
+    sigs = minhash_signatures(sh, num_perms=num_perms)
+    cand = lsh_candidates(sigs, bands=bands, rows=rows)
+    ver = jaccard_verify(sh, cand)
+    return (ver.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, bits: int = 32,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit weighted bit-vote over term frequencies.
+
+    Bit k of a term's md5h60 votes +freq / -freq; signature bit k is 1
+    iff the vote sum is positive. One shuffle (groupBy doc_id), partial
+    aggregation map-side.
+    """
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("freq"))
+          .withColumn("h", md5h60(F.col("term"))))
+    votes = tf.groupBy("doc_id").agg(*[
+        F.sum(F.col("freq") * (F.shiftright("h", k).bitwiseAND(F.lit(1))
+                               * 2 - 1)).alias(f"v{k}")
+        for k in range(bits)])
+    sig = None
+    for k in range(bits):
+        term = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
+                  bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within max_hamming, candidates via
+    exact-match on any of `bands` 8-bit bands (standard pigeonhole: any
+    pair with hamming < bands must agree on >= 1 band)."""
+    width = 32 // bands
+    mask = (1 << width) - 1
+    frames = []
+    for b in range(bands):
+        frames.append(sigs.select(
+            "doc_id", "simhash", F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+            .alias("key")))
+    banded = frames[0]
+    for f in frames[1:]:
+        banded = banded.unionByName(f)
+    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sig_a"))
+    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sig_b"))
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    return (cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming"))
+
+
+def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    return simhash_pairs(simhash_signatures(docs), max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (no LSH)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        threshold: float = 0.8,
+                        df_cutoff: int | None = None) -> DataFrame:
+    """All pairs with token-k-gram Jaccard >= threshold, via the shared-
+    shingle inverted join. df_cutoff drops shingles present in more than
+    that many docs before pairing (prefix-filter; bounds join fanout)."""
+    sh = shingles(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    joinable = sh
+    if df_cutoff is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        joinable = (sh.join(dfreq.filter(F.col("sdf") <= df_cutoff)
+                            .select("shingle"), "shingle"))
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "nb"), "doc_b")
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

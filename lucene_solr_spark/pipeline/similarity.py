@@ -1,0 +1,147 @@
+"""Embedding similarity search: brute-force cosine top-k, IVF probing,
+hyperplane-LSH bucketing, and cosine near-dup pairs.
+
+Embeddings are ``array<float>`` columns; dot products run JVM-side via
+``zip_with`` + ``aggregate`` (sequential left fold in double precision —
+deterministic, matches the SQL oracle's list_dot_product). No Python in
+the hot path.
+
+Scale notes (100 TB posture):
+- Brute force is the correctness baseline: one broadcast of the query
+  vector, a narrow map, then TakeOrderedAndProject (per-partition top-k,
+  tiny driver merge) — already the right plan at any scale.
+- IVF: centroid assignment is a broadcast cross-join over n_centroids
+  rows (narrow); the probe touches only matching cells → the scan is
+  cut by ~n_probe/n_centroids. Cells map to partition pruning once the
+  assignment is persisted partitioned-by-cell.
+- Hyperplane LSH gives O(1) bucket lookup for near-dup blocking; the
+  bucket join shuffles on an 8-bit key (bounded skew via band split).
+
+The reference has no vector search (Lucene HNSW landed post-snapshot);
+this is the training-pipeline extension, built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot(a, b) -> "F.Column":
+    """Deterministic double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> "F.Column":
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> "F.Column":
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(vec) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k by cosine: (vec_id, cos). Ties → lower vec_id."""
+    q = _lit_vec(query_vec)
+    scored = emb.select(F.col(id_col).alias("vec_id"),
+                        cosine(F.col(vec_col), q).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its max-cosine centroid: (vec_id, cell).
+
+    centroids: (cell:int, cvec:array<float>), broadcast (small).
+    Ties → lower cell id (deterministic).
+    """
+    j = emb.crossJoin(F.broadcast(centroids))
+    scored = j.select(F.col(id_col).alias("vec_id"), "cell",
+                      cosine(F.col(vec_col), F.col("cvec")).alias("ccos"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", "cell"))
+
+
+def seed_centroids(emb: DataFrame, n: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid seeding: the n lowest vec_ids (k-means init
+    stand-in; any deterministic seeding keeps the oracle reproducible)."""
+    return (emb.orderBy(id_col).limit(n)
+            .select(F.col(id_col).cast("int").alias("seed_id"),
+                    F.col(vec_col).alias("cvec"))
+            .withColumn("cell", F.row_number().over(
+                Window.orderBy("seed_id")) - 1)
+            .select("cell", "cvec"))
+
+
+def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec,
+             n_probe: int = 2, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan the top
+    n_probe cells only, exact cosine within: (vec_id, cos)."""
+    q = _lit_vec(query_vec)
+    probe = (centroids.select("cell", cosine(F.col("cvec"), q).alias("ccos"))
+             .orderBy(F.desc("ccos"), F.asc("cell")).limit(n_probe)
+             .select("cell"))
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    cand = assign.join(F.broadcast(probe), "cell").select("vec_id")
+    scored = (emb.join(cand, emb[id_col] == cand["vec_id"])
+              .select(cand["vec_id"], cosine(F.col(vec_col), q).alias("cos")))
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.45,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine near-dup: (vec_a, vec_b, cos >= threshold).
+
+    O(n^2) — the small-side correctness baseline; the scale path blocks
+    with hyperplane_lsh_buckets first (see lsh_neardup_pairs)."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos", cosine(F.col("va"), F.col("vb"))))
+    return (pairs.filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))
+
+
+def hyperplane_buckets(emb: DataFrame, planes: DataFrame,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit bucket per vector: (vec_id, bucket). planes: (pid, pvec),
+    bucket bit i = 1 iff dot(v, plane_i) > 0."""
+    j = emb.crossJoin(F.broadcast(planes))
+    bits = j.select(
+        F.col(id_col).alias("vec_id"), "pid",
+        F.when(dot(F.col(vec_col), F.col("pvec")) > 0, 1).otherwise(0)
+        .alias("bit"))
+    return bits.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pid")).cast("long"))
+        .cast("long").alias("bucket"))
+
+
+def lsh_neardup_pairs(emb: DataFrame, planes: DataFrame,
+                      threshold: float = 0.45, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Blocked near-dup: exact cosine only within an LSH bucket.
+    Precision 1.0 vs neardup_pairs (subset); recall depends on plane
+    count — verified differentially in tests."""
+    bk = hyperplane_buckets(emb, planes, id_col, vec_col)
+    withb = emb.join(bk, emb[id_col] == bk["vec_id"]).select(
+        bk["vec_id"], F.col(vec_col).alias("v"), "bucket")
+    a = withb.select(F.col("vec_id").alias("vec_a"),
+                     F.col("v").alias("va"), "bucket")
+    b = withb.select(F.col("vec_id").alias("vec_b"),
+                     F.col("v").alias("vb"), "bucket")
+    return (a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos").distinct())

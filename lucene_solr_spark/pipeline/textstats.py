@@ -1,0 +1,102 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All single-pass JVM-side expressions (regexp /
+array functions / aggregate folds inside whole-stage codegen) — narrow,
+no shuffle, trivially scalable.
+
+Analog in the reference: none (Lucene analyzes text but does not score
+it); these are the training-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import P31, md5h60
+from ..analysis.analyzer import ENGLISH_STOP_WORDS
+
+TOKEN_RE = "[a-z0-9]+"
+# words OR runs of non-word non-space — a BPE-ish pre-tokenization split
+BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]+"
+
+# tiny built-in stopword profiles for the n-gram/stopword language-ID
+# heuristic (deterministic; a real system would ship fastText — out of
+# sandbox, and the heuristic is the point here)
+DE_STOP_WORDS = ("der die das und ist nicht ein eine mit von zu im den "
+                 "des dem auf für als auch es an werden aus er hat dass "
+                 "sie nach wird bei einer um am sind noch wie").split()
+FP_BASE = 131071  # rolling-hash base; acc < P31 so acc*BASE + x < 2^48
+
+
+def _tok(text_col) -> "F.Column":
+    return F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)
+
+
+def _hits(ts, words) -> "F.Column":
+    arr = F.array(*[F.lit(w) for w in sorted(words)])
+    return F.size(F.filter(ts, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, en_hits, de_hits, pred_lang) — stopword-profile
+    scoring; pred = argmax hits, tie/none → 'und' (undetermined)."""
+    ts = _tok(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
+    en, de = _hits(F.col("ts"), ENGLISH_STOP_WORDS), _hits(F.col("ts"), DE_STOP_WORDS)
+    return base.select(
+        "doc_id", F.size("ts").alias("n_tokens"),
+        en.alias("en_hits"), de.alias("de_hits")).withColumn(
+        "pred_lang",
+        F.when(F.col("en_hits") > F.col("de_hits"), F.lit("en"))
+         .when(F.col("de_hits") > F.col("en_hits"), F.lit("de"))
+         .otherwise(F.lit("und")))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, stop_ratio, mean_token_len, quality).
+
+    quality = mean of three [0,1] signals: length sweet spot (>= 20
+    tokens), stopword ratio in [0.05, 0.6], mean token length in [3, 10]
+    — the standard cheap web-text quality heuristics."""
+    ts = _tok(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.length(text_col).cast("long").alias("n_chars"),
+                       ts.alias("ts"))
+    n = F.size("ts")
+    stop = _hits(F.col("ts"), ENGLISH_STOP_WORDS)
+    tok_chars = F.aggregate(F.col("ts"), F.lit(0),
+                            lambda acc, t: acc + F.length(t))
+    out = base.select(
+        "doc_id", "n_chars", n.alias("n_tokens"),
+        (stop / F.greatest(n, F.lit(1))).alias("stop_ratio"),
+        (tok_chars / F.greatest(n, F.lit(1))).alias("mean_token_len"))
+    ok_len = (F.col("n_tokens") >= 20).cast("int")
+    ok_stop = ((F.col("stop_ratio") >= 0.05) &
+               (F.col("stop_ratio") <= 0.6)).cast("int")
+    ok_tok = ((F.col("mean_token_len") >= 3.0) &
+              (F.col("mean_token_len") <= 10.0)).cast("int")
+    return out.withColumn("quality", (ok_len + ok_stop + ok_tok) / F.lit(3.0))
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, re_tokens) — whitespace split count and the
+    BPE-ish pre-tokenization count (words + punctuation runs)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+        .alias("re_tokens"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — order-sensitive rolling polynomial hash over the
+    token sequence: fp = fold(acc * FP_BASE + md5h60(tok) % P31) % P31.
+    Deterministic, JVM-side, and reproducible in ANSI SQL."""
+    ts = _tok(F.col(text_col))
+    hs = F.transform(ts, lambda t: md5h60(t) % P31)
+    fp = F.aggregate(hs, F.lit(0).cast("long"),
+                     lambda acc, x: (acc * FP_BASE + x) % P31)
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))

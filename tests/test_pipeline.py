@@ -1,0 +1,167 @@
+"""Training-data pipeline operator tests (dedup / similarity / textstats /
+multimodal) at sf0.001, differential where it matters:
+
+- MinHash+LSH recall vs exact n-gram Jaccard (same threshold)
+- LSH-blocked embedding near-dup ⊆ exact near-dup (precision 1.0)
+- order sensitivity of the rolling fingerprint
+- multimodal plumbing schema + stub gating
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+from lucene_solr_spark.pipeline import dedup, multimodal, similarity, textstats
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").cache())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_planted(spark, docs):
+    planted = (docs.filter(F.col("doc_id") < 5)
+               .withColumn("doc_id", F.col("doc_id") + 10_000))
+    ed = dedup.exact_dedup(docs.unionByName(planted))
+    dups = ed.filter("is_duplicate").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in dups] == [10_000 + i for i in range(5)]
+    assert [r["canonical_id"] for r in dups] == list(range(5))
+    assert ed.filter(~F.col("is_duplicate")).count() == docs.count()
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """Every exact-Jaccard>=0.8 pair must be recovered through LSH
+    banding (16 perms, 4x4 bands: P(miss) = (1-j^4)^4 < 1e-4 at j=0.8)."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    mh = {(r["doc_a"], r["doc_b"]) for r in
+          dedup.minhash_dedup(docs, threshold=0.8).collect()}
+    assert mh == exact        # verify step makes precision exact; recall LSH
+    assert len(exact) > 0     # corpus plants near-dup pairs
+
+
+def test_minhash_signature_properties(spark, docs):
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_perms=8)
+    row = sigs.filter("doc_id = 0").collect()[0]
+    from lucene_solr_spark.pipeline.hashing import P31
+    for j in range(8):
+        assert 0 <= row[f"mh{j}"] < P31
+    # permutation of doc order must not change signatures (set semantics)
+    sigs2 = dedup.minhash_signatures(sh.orderBy(F.desc("shingle")), 8)
+    assert sigs2.filter("doc_id = 0").collect()[0].asDict() == row.asDict()
+
+
+def test_simhash_near_zero_for_self_similar(spark, docs):
+    sigs = dedup.simhash_signatures(docs)
+    assert sigs.count() == docs.filter(F.length("text") > 0).count()
+    pairs = dedup.simhash_pairs(sigs, max_hamming=31)
+    # hamming is symmetric-free (a<b) and bounded
+    bad = pairs.filter((F.col("hamming") < 0) | (F.col("hamming") > 32))
+    assert bad.count() == 0
+
+
+def test_ngram_jaccard_df_cutoff_only_drops(spark, docs):
+    full = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    cut = dedup.ngram_jaccard_pairs(docs, threshold=0.5, df_cutoff=2)
+    f = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    c = {(r["doc_a"], r["doc_b"]) for r in cut.collect()}
+    # cutoff reduces intersections only -> pairs can only drop out
+    assert c <= f or len(c - f) == 0
+
+
+def test_cosine_topk_self_first(spark, emb):
+    qv = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+    top = similarity.cosine_topk(emb, qv, 5).collect()
+    assert top[0]["vec_id"] == 3
+    assert abs(top[0]["cos"] - 1.0) < 1e-9
+    cs = [r["cos"] for r in top]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_ivf_probe_subset_of_bruteforce(spark, emb):
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    cent = similarity.seed_centroids(emb, 4)
+    ivf = similarity.ivf_topk(emb, cent, qv, n_probe=4, k=10).collect()
+    bf = similarity.cosine_topk(emb, qv, 10).collect()
+    # probing ALL cells == brute force
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in bf]
+
+
+def test_lsh_neardup_precision(spark, emb):
+    planes = (emb.orderBy("vec_id").limit(6)
+              .select(F.col("vec_id").cast("int").alias("pid"),
+                      F.col("embedding").alias("pvec")))
+    planes = planes.withColumn(
+        "pid", F.row_number().over(Window.orderBy("pid")) - 1)
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.neardup_pairs(emb, 0.3).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in
+           similarity.lsh_neardup_pairs(emb, planes, 0.3).collect()}
+    assert lsh <= exact       # blocking never invents pairs
+
+
+def test_lang_id_mostly_en(spark, docs):
+    res = textstats.lang_id(docs)
+    en = res.filter("pred_lang = 'en'").count()
+    assert en >= res.count() * 0.5
+
+
+def test_quality_bounds(spark, docs):
+    res = textstats.quality_score(docs)
+    bad = res.filter((F.col("quality") < 0) | (F.col("quality") > 1) |
+                     (F.col("stop_ratio") < 0) | (F.col("stop_ratio") > 1))
+    assert bad.count() == 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = spark.createDataFrame([(0, "alpha beta gamma")], "doc_id long, text string")
+    b = spark.createDataFrame([(0, "gamma beta alpha")], "doc_id long, text string")
+    fa = textstats.fingerprint(a).collect()[0]["fp"]
+    fb = textstats.fingerprint(b).collect()[0]["fp"]
+    assert fa != fb
+    # deterministic across invocations
+    assert textstats.fingerprint(a).collect()[0]["fp"] == fa
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "Hello, world! x9")],
+                               "doc_id long, text string")
+    r = textstats.token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 3
+    # [hello][,][world][!][x9] -> lowercase-only token regex: 'ello'... the
+    # regex is ascii-lowercase; uppercase letters fall into the punct class
+    assert r["re_tokens"] >= 4
+
+
+def test_multimodal_meta_schema_and_determinism(spark, docs):
+    bm = multimodal.extract_binary_meta(multimodal.attach_binary(docs))
+    assert [f.name for f in bm.schema.fields] == [
+        "doc_id", "n_bytes", "prefix_hex", "fake_width", "fake_height",
+        "fake_channels"]
+    r = bm.filter("doc_id = 0").collect()[0]
+    txt = docs.filter("doc_id = 0").collect()[0]["text"]
+    w, h, c = multimodal.fake_decode(txt.encode())
+    assert (r["fake_width"], r["fake_height"], r["fake_channels"]) == (w, h, c)
+    assert r["n_bytes"] == len(txt.encode())
+
+
+def test_decode_image_stub_gated(spark, docs):
+    bdf = multimodal.attach_binary(docs.limit(1))
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(bdf)
