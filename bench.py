@@ -54,7 +54,10 @@ def main() -> None:
 
     # --- index build (cache() materializes postings + terms) ---
     t0 = time.perf_counter()
-    builder = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+    # grid sized so bucket-parallelism ~= 4-20x cores at this corpus size
+    # (production default 1<<17 assumes ~10^9+ docs per index generation)
+    grid = max(128, n_docs // (CPUS * 4))
+    builder = IndexBuilder(ENGLISH_ANALYZER, grid=grid, head_df=512,
                            salt_target=512, with_positions=True)
     idx = builder.build(spark, docs).cache()
     idx.norms.count()

@@ -4,25 +4,29 @@ Pipeline (Spark restatement of the reference's indexing chain,
 `index/IndexingChain.java:464,506,887` → `FreqProxTermsWriter.java:79` →
 `codecs/lucene84/Lucene84PostingsWriter.java:218-375`):
 
-  stage 1 (narrow, no shuffle)   docs --mapInPandas--> (doc_id, term, freq, norm[, positions])
+  stage 1 (narrow, no shuffle)   docs --mapInPandas--> (doc_id, term, freq, norm[, pos_blob])
                                  — the per-doc term hash (TermsHashPerField.add)
   stage 2 (shuffle #1, partial agg) groupBy(term) → df/ttf + singleton pulsing
                                  — the term dictionary (BlockTreeTermsWriter)
-  stage 3 (shuffle #2, salted)   repartition(term, salt) → applyInPandas pack
-                                 — flush+merge (FreqProxTermsWriter/SegmentMerger):
-                                 128-posting Δ+FOR/PFOR blocks, VByte tails,
-                                 inline norm bytes, competitive-impact skylines
-  stage 4 (shuffle #3, small)    repartitionByRange(term) sorted write
-                                 — parquet row-group pruning replaces the FST
-                                 term index (BlockTreeTermsReader seek)
+  stage 3 (shuffle #2)           repartitionByRange(bucket) → JVM sort
+                                 (bucket, term, doc_id) → narrow mapInPandas
+                                 pack — flush+merge (FreqProxTermsWriter/
+                                 SegmentMerger): 128-posting Δ+FOR/PFOR
+                                 blocks, VByte tails, inline norm bytes,
+                                 competitive-impact skylines — emitted
+                                 DIRECTLY in the final doc-sharded layout
+                                 (whole grid cells per partition; parquet
+                                 row-group pruning on the term sort order
+                                 replaces the FST term index)
 
-Skew (north rule): head terms (df > head_df) are split across
-``n_salts = ceil(df / salt_target)`` salt groups. Salt is derived from the
-doc-grid cell ``(doc_id // grid) % n_salts`` so every grid cell packs
-independently — the resulting block layout is INDEPENDENT of both the
-salt count and the cluster parallelism, and no block ever spans a grid
-boundary. That grid alignment is what lets the query side shard WAND
-scoring by exact doc range with zero cross-partition leakage.
+Skew (north rule): head-term posting lists are split EXPLICITLY at
+grid-cell boundaries — the shuffle key is the doc-range cell, never the
+term, so the heaviest term contributes at most `grid` postings per task
+(the salted-split scheme with salt == doc range, which also preserves
+docID order). The block layout is INDEPENDENT of cluster parallelism,
+and no block ever spans a grid boundary. That grid alignment is what
+lets the query side shard WAND scoring by exact doc range with zero
+cross-partition leakage.
 
 docIDs are globally dense and deterministic: the caller supplies them
 (documents.parquet ships doc_id; the synthetic pages corpus derives them
@@ -43,7 +47,26 @@ from ..functions import codec
 from ..functions.impacts import skyline
 from ..functions.smallfloat import int_to_byte4
 
-RAW_SCHEMA = "doc_id long, term string, freq int, norm int, positions array<int>"
+RAW_SCHEMA = "doc_id long, term string, freq int, norm int, pos_blob binary"
+
+# norm byte for doc lengths < 2^16 without per-doc numpy round-trips
+_NORM_LUT = int_to_byte4(np.arange(1 << 16)).astype(np.uint8)
+
+
+def _vbyte_positions(pos) -> bytes:
+    """Delta + VByte of an ascending position list (codec.vbyte format:
+    7 data bits LSB-first, high bit = continuation). Pure-Python fast path
+    for the tiny per-(doc,term) lists the inverter emits."""
+    out = bytearray()
+    prev = 0
+    for p in pos:
+        d = p - prev
+        prev = p
+        while d > 0x7F:
+            out.append((d & 0x7F) | 0x80)
+            d >>= 7
+        out.append(d)
+    return bytes(out)
 
 POSTINGS_SCHEMA = (
     "term string, bucket long, block_id long, doc_count int, last_doc long, "
@@ -62,6 +85,18 @@ class InvertedIndex:
     stats: dict                      # doc_count, sum_ttf, sum_df, max_doc, grid
     analyzer: StandardAnalyzer = field(default_factory=lambda: ENGLISH_ANALYZER)
     with_positions: bool = False
+    raw: DataFrame | None = None     # persisted intermediate; release()-able
+    timings: dict = field(default_factory=dict)   # per-stage build seconds
+
+    def release(self) -> None:
+        """Unpersist every DataFrame this index pinned (builder's raw
+        postings + any cached tables) — for multi-build sessions."""
+        for df in (self.raw, self.postings, self.terms, self.norms):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
     def cache(self) -> "InvertedIndex":
         self.postings = self.postings.cache()
@@ -77,11 +112,12 @@ class IndexBuilder:
     def __init__(self, analyzer: StandardAnalyzer = ENGLISH_ANALYZER,
                  grid: int = 1 << 17, head_df: int = 4096,
                  salt_target: int = 4096, with_positions: bool = False):
-        """grid: doc-range cell size blocks never cross (query shard unit).
-        head_df: df above which a term is 'head' and gets salted.
-        salt_target: target postings per salt group for head terms.
-        Defaults are sized for the sandbox; at cluster scale use
-        grid=1<<20, head_df~1e6, salt_target~1e6 (same code path)."""
+        """grid: doc-range cell size blocks never cross — the query shard
+        unit AND the skew bound (no term contributes more than `grid`
+        postings to any pack task). head_df / salt_target are retained
+        for manifest compatibility; the grid-cell shuffle subsumes them.
+        Sandbox default sizes; at cluster scale use grid=1<<17+ (same
+        code path)."""
         self.analyzer = analyzer
         self.grid = grid
         self.head_df = head_df
@@ -96,27 +132,34 @@ class IndexBuilder:
         with_pos = self.with_positions
 
         def invert_batches(batches):
+            lut = _NORM_LUT
             for pdf in batches:
                 rows_doc, rows_term, rows_freq, rows_norm, rows_pos = [], [], [], [], []
                 for did, text in zip(pdf[doc_id_col].to_numpy(),
                                      pdf[text_col].to_numpy()):
                     tp = analyzer.term_positions(text or "")
-                    dl = sum(len(v) for v in tp.values())
-                    if dl == 0:
+                    if not tp:
                         continue
-                    nb = int(int_to_byte4(np.array([dl]))[0])
+                    dl = 0
+                    for v in tp.values():
+                        dl += len(v)
+                    nb = (int(lut[dl]) if dl < len(lut)
+                          else int(int_to_byte4(np.array([dl]))[0]))
                     for term, pos in tp.items():
                         rows_doc.append(did)
                         rows_term.append(term)
                         rows_freq.append(len(pos))
                         rows_norm.append(nb)
-                        rows_pos.append(pos if with_pos else None)
+                        if with_pos:
+                            rows_pos.append(_vbyte_positions(pos))
+                        else:
+                            rows_pos.append(None)
                 yield pd.DataFrame({
                     "doc_id": pd.Series(rows_doc, dtype="int64"),
                     "term": pd.Series(rows_term, dtype="object"),
                     "freq": pd.Series(rows_freq, dtype="int32"),
                     "norm": pd.Series(rows_norm, dtype="int32"),
-                    "positions": pd.Series(rows_pos, dtype="object"),
+                    "pos_blob": pd.Series(rows_pos, dtype="object"),
                 })
 
         return docs.select(doc_id_col, text_col).mapInPandas(
@@ -127,11 +170,24 @@ class IndexBuilder:
     # ------------------------------------------------------------------
     def build(self, spark: SparkSession, docs: DataFrame,
               doc_id_col="doc_id", text_col="text") -> InvertedIndex:
-        raw = self.invert(docs, doc_id_col, text_col)
+        # Decouple invert parallelism from the input's file layout: a 1 GB
+        # corpus in ~30 MB files coalesces to <10 scan partitions under
+        # maxPartitionBytes, which would serialize the (Python-bound)
+        # analyzer stage. Round-robin repartition = the DWPT work-queue
+        # analog; index content is order-independent, so this is safe.
+        import time as _time
+        timings: dict = {}
+        t0 = _time.perf_counter()
+        n_inv = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    spark.sparkContext.defaultParallelism * 2, 8)
+        raw = self.invert(docs.repartition(n_inv), doc_id_col, text_col)
         # One logical pass feeds three aggregations; cache the (much smaller
         # than the corpus) raw postings to avoid re-running the analyzer.
         # At cluster scale this is a checkpoint table instead (catalog.py).
         raw = raw.persist()
+        raw.count()
+        timings["invert_sec"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
 
         # --- term dictionary + singleton pulsing (shuffle w/ partial agg)
         terms = (raw.groupBy("term")
@@ -165,60 +221,92 @@ class IndexBuilder:
                  "sum_df": int(sum_df),
                  "max_doc": int(srow["max_doc"]),
                  "grid": self.grid}
+        timings["dict_norms_stats_sec"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
 
-        # --- salted pack (the merge shuffle)
-        head = (terms.filter(F.col("df") > self.head_df)
-                .select("term", F.ceil(F.col("df") / self.salt_target)
-                        .cast("int").alias("n_salts")))
+        # --- pack: ONE shuffle, directly into the final doc-sharded layout.
+        # Range-partition by grid cell (whole cells per partition — the
+        # Solr shard model, QueryComponent.java:810 mergeIds), JVM-sort by
+        # (bucket, term, doc_id), then a narrow mapInPandas walks the
+        # sorted runs and emits 128-posting blocks. Head-term skew is
+        # handled STRUCTURALLY: a term's postings are split at grid-cell
+        # boundaries, so no per-term list ever exceeds `grid` docs — this
+        # is the salted split (salt == doc range) taken to its limit, and
+        # it preserves docID order by construction. Query-time kernels
+        # need NO shuffle: filter(term) is narrow and every cell's blocks
+        # are contiguous; Parquet row-group stats on the (bucket, term)
+        # sort order still prune term lookups on disk.
         grid = self.grid
-        salted = (raw.join(F.broadcast(head), "term", "left")
-                  .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
-                  .withColumn("salt", ((F.col("doc_id") / grid).cast("long")
-                                       % F.col("n_salts")).cast("int")))
-        n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+        n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     spark.sparkContext.defaultParallelism * 2, 8)
         with_pos = self.with_positions
 
-        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pack_group(pdf, grid, with_pos)
+        def pack(batches):
+            yield from pack_partition(batches, grid, with_pos)
 
-        packed = (salted.repartition(n_part, "term", "salt")
-                  .groupBy("term", "salt")
-                  .applyInPandas(pack, schema=POSTINGS_SCHEMA))
+        postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
+                    .repartitionByRange(n_part, "bucket")
+                    .sortWithinPartitions("bucket", "term", "doc_id")
+                    .mapInPandas(pack, schema=POSTINGS_SCHEMA))
 
-        # --- final layout: term-sorted parquet-friendly ordering
-        postings = (packed.repartitionByRange(
-            max(4, spark.sparkContext.defaultParallelism), "term", "block_id")
-            .sortWithinPartitions("term", "block_id"))
-
+        timings["pack_plan_sec"] = round(_time.perf_counter() - t0, 3)
+        # pack/layout stage is lazy; callers time its materialization
         idx = InvertedIndex(postings=postings, terms=terms, norms=norms,
                             stats=stats, analyzer=self.analyzer,
-                            with_positions=self.with_positions)
+                            with_positions=self.with_positions, raw=raw,
+                            timings=timings)
         return idx
 
 
-def pack_group(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
-    """Pack one (term, salt) group into block rows.
+def pack_partition(batches, grid: int, with_pos: bool):
+    """Pack a bucket-range partition of sorted raw postings into block rows.
 
-    Rows arrive unsorted; sort by doc_id, split at grid boundaries, then
-    into 128-posting blocks (Lucene84PostingsWriter.startDoc semantics:
-    Δ-from-previous-doc, FOR full blocks, VByte tail). Per block: inline
-    norm bytes, competitive-impact skyline, optional packed positions.
+    Input arrives sorted by (bucket, term, doc_id); every (bucket, term)
+    run becomes 128-posting blocks (Lucene84PostingsWriter.startDoc
+    semantics: Δ-from-previous-doc, FOR full blocks, VByte tail) with
+    inline norm bytes, competitive-impact skylines, optional packed
+    positions. The trailing run of each Arrow batch is buffered — it may
+    continue in the next batch.
     """
-    term = pdf["term"].iloc[0]
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    docs = pdf["doc_id"].to_numpy()[order]
-    freqs = pdf["freq"].to_numpy().astype(np.int64)[order]
-    norms = pdf["norm"].to_numpy().astype(np.int64)[order]
-    poss = pdf["positions"].to_numpy()[order] if with_pos else None
+    buf = None
+    for pdf in batches:
+        if buf is not None:
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        if len(pdf) == 0:
+            continue
+        b = pdf["bucket"].to_numpy()
+        t = pdf["term"].to_numpy()
+        same_last = (b == b[-1]) & (t == t[-1])
+        nz = np.flatnonzero(~same_last)
+        start_last = int(nz[-1]) + 1 if len(nz) else 0
+        buf = pdf.iloc[start_last:]
+        head = pdf.iloc[:start_last]
+        if len(head):
+            yield _pack_frame(head, grid, with_pos)
+    if buf is not None and len(buf):
+        yield _pack_frame(buf, grid, with_pos)
 
-    out = {k: [] for k in ("bucket", "block_id", "doc_count", "last_doc",
-                           "doc_blob", "freq_blob", "norm_blob",
+
+def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
+    docs = pdf["doc_id"].to_numpy()
+    terms_arr = pdf["term"].to_numpy()
+    buckets = pdf["bucket"].to_numpy()
+    freqs = pdf["freq"].to_numpy().astype(np.int64)
+    norms = pdf["norm"].to_numpy().astype(np.int64)
+    poss = pdf["pos_blob"].to_numpy() if with_pos else None
+
+    out = {k: [] for k in ("term", "bucket", "block_id", "doc_count",
+                           "last_doc", "doc_blob", "freq_blob", "norm_blob",
                            "imp_freqs", "imp_norms", "pos_blob")}
-    cells = docs // grid
-    cell_starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
-    cell_bounds = np.r_[cell_starts, len(docs)]
-    for ci in range(len(cell_starts)):
-        lo, hi = cell_bounds[ci], cell_bounds[ci + 1]
+    change = np.r_[True, (buckets[1:] != buckets[:-1])
+                   | (terms_arr[1:] != terms_arr[:-1])]
+    starts = np.flatnonzero(change)
+    bounds = np.r_[starts, len(docs)]
+    for gi in range(len(starts)):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        term = terms_arr[lo]
+        bucket = int(buckets[lo])
         for s in range(lo, hi, codec.BLOCK_SIZE):
             e = min(s + codec.BLOCK_SIZE, hi)
             bd, bf, bn = docs[s:e], freqs[s:e], norms[s:e]
@@ -227,13 +315,10 @@ def pack_group(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
             sf, sn = skyline(bf, bn)
             pos_blob = None
             if with_pos:
-                parts = []
-                for p in poss[s:e]:
-                    arr = np.asarray(p, dtype=np.int64)
-                    d = np.diff(arr, prepend=0)
-                    parts.append(codec.vbyte_encode(d))
-                pos_blob = b"".join(parts)
-            out["bucket"].append(first // grid)
+                # per-(doc,term) streams arrive pre-VByte'd from invert
+                pos_blob = b"".join(bytes(p) for p in poss[s:e])
+            out["term"].append(term)
+            out["bucket"].append(bucket)
             out["block_id"].append(first)
             out["doc_count"].append(e - s)
             out["last_doc"].append(int(bd[-1]))
@@ -243,8 +328,7 @@ def pack_group(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
             out["imp_freqs"].append(sf.astype(np.int32).tolist())
             out["imp_norms"].append(sn.astype(np.int32).tolist())
             out["pos_blob"].append(pos_blob)
-    n = len(out["block_id"])
-    res = pd.DataFrame({"term": [term] * n, **out})
+    res = pd.DataFrame(out)
     res["bucket"] = res["bucket"].astype("int64")
     res["block_id"] = res["block_id"].astype("int64")
     res["doc_count"] = res["doc_count"].astype("int32")

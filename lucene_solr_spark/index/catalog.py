@@ -1,0 +1,166 @@
+"""Index persistence, lineage, and stage-resumable checkpoints.
+
+The reference's durability model (`index/SegmentInfos.java:119` — a
+commit point enumerating immutable segment files; two-phase commit in
+`index/IndexWriter.java:1226-1260`) maps to: every index table
+(postings / terms / norms) is written as sorted Parquet under one
+generation directory, and a JSON *manifest* — the SegmentInfos analog —
+is written LAST, atomically (tmp + rename). A generation is visible iff
+its manifest exists, so a killed job can never expose a torn index; the
+next run sees only complete generations (Iceberg-snapshot semantics
+without requiring an Iceberg catalog in the sandbox).
+
+Lineage + metrics per the north rule: the manifest records the input
+fingerprint (path + row count), build parameters, per-stage row counts,
+per-partition postings row counts, wall-clock per stage, and docs/sec.
+
+Resume: ``build_or_resume`` keys the generation directory by a content
+hash of (input fingerprint, build params); if a complete manifest with
+the same key exists, the build is skipped and the tables are reloaded —
+stage-level resumability for the expensive stages (invert/pack/merge are
+all upstream of the persisted tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import StandardAnalyzer
+from .builder import IndexBuilder, InvertedIndex
+
+MANIFEST = "MANIFEST.json"
+
+
+def _input_fingerprint(docs: DataFrame) -> dict:
+    files = sorted(f.split("/")[-1] for f in docs.inputFiles())
+    return {"n_rows": docs.count(), "n_files": len(files),
+            "files_head": files[:8]}
+
+
+def _params(builder: IndexBuilder) -> dict:
+    return {"grid": builder.grid, "head_df": builder.head_df,
+            "salt_target": builder.salt_target,
+            "with_positions": builder.with_positions,
+            "stop_words": sorted(builder.analyzer.stop_words),
+            "max_token_length": builder.analyzer.max_token_length}
+
+
+def generation_key(docs: DataFrame, builder: IndexBuilder) -> str:
+    import hashlib
+    blob = json.dumps([_input_fingerprint(docs), _params(builder)],
+                      sort_keys=True).encode()
+    return hashlib.md5(blob).hexdigest()[:16]
+
+
+def save(idx: InvertedIndex, path: str, builder: IndexBuilder,
+         docs: DataFrame, timings: dict | None = None) -> dict:
+    """Write one index generation; returns the manifest dict."""
+    t0 = time.perf_counter()
+    spark = idx.postings.sparkSession
+    stage_rows = {}
+    for name, df in (("postings", idx.postings), ("terms", idx.terms),
+                     ("norms", idx.norms)):
+        t = time.perf_counter()
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+        stage_rows[name] = {
+            # count from footers of what was actually committed
+            "rows": spark.read.parquet(f"{path}/{name}").count(),
+            "write_sec": round(time.perf_counter() - t, 3)}
+    # per-partition lineage: rows per bucket-range partition of postings
+    per_part = (spark.read.parquet(f"{path}/postings")
+                .groupBy(F.spark_partition_id().alias("part"))
+                .agg(F.count("*").alias("rows"),
+                     F.min("bucket").alias("min_bucket"),
+                     F.max("bucket").alias("max_bucket"))
+                .orderBy("part").collect())
+    manifest = {
+        "format_version": 1,
+        "generation": str(uuid.uuid4()),
+        "created_unix": int(time.time()),
+        "input": _input_fingerprint(docs),
+        "params": _params(builder),
+        "key": generation_key(docs, builder),
+        "stats": idx.stats,
+        "stages": stage_rows,
+        "partitions": [r.asDict() for r in per_part],
+        "timings": timings or {},
+        "save_sec": round(time.perf_counter() - t0, 3),
+    }
+    tmp = f"{path}/{MANIFEST}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, f"{path}/{MANIFEST}")       # atomic commit point
+    return manifest
+
+
+def load(spark: SparkSession, path: str,
+         analyzer: StandardAnalyzer | None = None) -> InvertedIndex:
+    with open(f"{path}/{MANIFEST}") as f:
+        manifest = json.load(f)
+    kwargs = {}
+    if analyzer is not None:
+        kwargs["analyzer"] = analyzer
+    # Re-establish the kernel's layout invariant (whole buckets per
+    # partition, bucket/term/block sorted): Spark may split large Parquet
+    # files at row-group boundaries or coalesce small ones, either of
+    # which could tear a bucket across partitions. One shuffle at load
+    # time, amortized over every query against this generation.
+    postings = (spark.read.parquet(f"{path}/postings")
+                .repartitionByRange(
+                    max(4, spark.sparkContext.defaultParallelism), "bucket")
+                .sortWithinPartitions("bucket", "term", "block_id"))
+    return InvertedIndex(
+        postings=postings,
+        terms=spark.read.parquet(f"{path}/terms"),
+        norms=spark.read.parquet(f"{path}/norms"),
+        stats=dict(manifest["stats"]),
+        with_positions=manifest["params"]["with_positions"],
+        **kwargs)
+
+
+def latest_generation(path: str) -> str | None:
+    """Key of the committed generation the LATEST pointer names, if any."""
+    lpath = f"{path}/LATEST"
+    if not os.path.exists(lpath):
+        return None
+    with open(lpath) as f:
+        return f.read().strip()
+
+
+def build_or_resume(spark: SparkSession, docs: DataFrame,
+                    builder: IndexBuilder, path: str) -> tuple[InvertedIndex, dict]:
+    """Resume from a complete checkpoint when input+params match, else
+    build and commit a new generation. Returns (index, manifest).
+
+    Each generation lives in its own directory (`gen-<key>/`) and becomes
+    visible only when its manifest lands; the LATEST pointer is replaced
+    atomically afterwards — the SegmentInfos generation-bump analog
+    (`index/SegmentInfos.java:119`). Existing readers of an older
+    generation keep working: its files are never overwritten."""
+    key = generation_key(docs, builder)
+    gen_dir = f"{path}/gen-{key}"
+    mpath = f"{gen_dir}/{MANIFEST}"
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest.get("key") == key:
+            return load(spark, gen_dir, analyzer=builder.analyzer), manifest
+    t0 = time.perf_counter()
+    idx = builder.build(spark, docs)
+    build_sec = time.perf_counter() - t0
+    n_docs = idx.stats["doc_count"]
+    manifest = save(idx, gen_dir, builder, docs, timings={
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 1)})
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(key)
+    os.replace(tmp, f"{path}/LATEST")
+    return load(spark, gen_dir, analyzer=builder.analyzer), manifest

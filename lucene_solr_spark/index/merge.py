@@ -1,0 +1,91 @@
+"""Incremental index append — the IndexWriter.addDocuments → commit →
+merge lifecycle (`index/IndexWriter.java:1400`, `index/SegmentMerger.java:
+100-168`, `index/DocIDMerger.java:32`) restated for Spark.
+
+A delta generation is built from the new documents only (they carry
+doc_ids ABOVE the current max — insertion order, exactly Lucene's
+per-segment docID base remapping), then the index tables are merged:
+
+- postings: union of block rows, re-range-partitioned by bucket. Blocks
+  from different generations never overlap in doc range except inside
+  the single boundary grid cell, and the query kernel already handles
+  multiple blocks per (term, cell) — so no block rewrite is needed
+  (Lucene's merge rewrites files because its postings are
+  byte-concatenated; ours are relational rows).
+- terms: full-outer merge summing df/ttf, singleton pulsing recomputed.
+- norms: disjoint union (doc ranges don't overlap).
+- stats: additive.
+
+Query results over append(build(A), B) are identical to build(A+B) —
+pinned by tests/test_incremental.py differentially. Block boundaries may
+differ at the generation seam (128-alignment restarts), which is the
+same freedom Lucene segments have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import IndexBuilder, InvertedIndex
+
+
+def _merge_terms(a: DataFrame, b: DataFrame) -> DataFrame:
+    cols = ["term", "df", "ttf", "singleton_doc", "singleton_freq",
+            "singleton_norm"]
+    a, b = a.select(cols), b.select(cols)
+    j = (a.alias("a").join(b.alias("b"), "term", "full_outer"))
+    df = F.coalesce(F.col("a.df"), F.lit(0)) + F.coalesce(F.col("b.df"), F.lit(0))
+    ttf = (F.coalesce(F.col("a.ttf"), F.lit(0)) +
+           F.coalesce(F.col("b.ttf"), F.lit(0)))
+    merged = j.select(
+        "term", df.alias("df"), ttf.alias("ttf"),
+        F.coalesce("a.singleton_doc", "b.singleton_doc").alias("s_doc"),
+        F.coalesce("a.singleton_freq", "b.singleton_freq").alias("s_freq"),
+        F.coalesce("a.singleton_norm", "b.singleton_norm").alias("s_norm"))
+    one = F.col("df") == 1
+    return merged.select(
+        "term", "df", "ttf",
+        F.when(one, F.col("s_doc")).alias("singleton_doc"),
+        F.when(one, F.col("s_freq")).alias("singleton_freq"),
+        F.when(one, F.col("s_norm")).alias("singleton_norm"))
+
+
+def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
+           builder: IndexBuilder, doc_id_col: str = "doc_id",
+           text_col: str = "text") -> InvertedIndex:
+    """Merge a delta built from new_docs into idx (new generation).
+
+    Requires min(new doc_id) > idx.stats['max_doc'] (insertion-order
+    docIDs; violation raises, matching the dense-docID contract)."""
+    lo = new_docs.agg(F.min(doc_id_col)).collect()[0][0]
+    if lo is not None and lo <= idx.stats["max_doc"]:
+        raise ValueError(
+            f"append requires doc_ids above {idx.stats['max_doc']}, "
+            f"got {lo} — docIDs are insertion-ordered (DocIDMerger bases)")
+    if builder.grid != idx.stats["grid"]:
+        raise ValueError("append must use the same doc-grid as the base index")
+    if builder.with_positions != idx.with_positions:
+        raise ValueError("append must match the base index's positions mode")
+    delta = builder.build(spark, new_docs, doc_id_col, text_col)
+
+    n_part = max(4, spark.sparkContext.defaultParallelism)
+    postings = (idx.postings.unionByName(delta.postings)
+                .repartitionByRange(n_part, "bucket")
+                .sortWithinPartitions("bucket", "term", "block_id"))
+    terms = (_merge_terms(idx.terms, delta.terms)
+             .repartitionByRange(max(4, n_part // 2), "term")
+             .sortWithinPartitions("term"))
+    norms = (idx.norms.unionByName(delta.norms)
+             .repartitionByRange(max(4, n_part // 2), "doc_id")
+             .sortWithinPartitions("doc_id"))
+    stats = {
+        "doc_count": idx.stats["doc_count"] + delta.stats["doc_count"],
+        "sum_ttf": idx.stats["sum_ttf"] + delta.stats["sum_ttf"],
+        "sum_df": idx.stats["sum_df"] + delta.stats["sum_df"],
+        "max_doc": max(idx.stats["max_doc"], delta.stats["max_doc"]),
+        "grid": idx.stats["grid"],
+    }
+    return InvertedIndex(postings=postings, terms=terms, norms=norms,
+                         stats=stats, analyzer=builder.analyzer,
+                         with_positions=idx.with_positions)

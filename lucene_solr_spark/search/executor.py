@@ -5,9 +5,12 @@ Plan shape (the Spark restatement of `IndexSearcher.search`,
 
   driver   rewrite(query) → collect term stats (tiny broadcast) → weights
   scan     postings.filter(term ∈ query) — Catalyst pushes the predicate
-           into the Parquet scan; the term-sorted layout makes this the
-           FST/BlockTree seek analog (row-group pruning)
-  shuffle  repartition by doc-grid bucket (only the query's blocks move)
+           into the Parquet scan; the (bucket, term) sort order makes this
+           the FST/BlockTree seek analog (row-group pruning). The index
+           layout is doc-sharded (bucket-major, whole grid cells per
+           partition — Solr's shard model, QueryComponent.java:810), so
+           the query plan is SHUFFLE-FREE: filter is narrow and every
+           bucket's blocks are already contiguous.
   kernel   per partition, buckets in sequence: decode → vectorized
            TAAT scatter-add with block-max pruning (the WANDScorer /
            BlockMaxConjunctionScorer / BooleanScorer roles in one numpy
@@ -168,7 +171,6 @@ class Searcher:
         blocks = self.index.postings.filter(F.col("term").isin(live))
         if not self.index.with_positions:
             blocks = blocks.drop("pos_blob")
-        n_part = max(4, self.spark.sparkContext.defaultParallelism)
         spec = dict(
             must=[list(g) for g in must], should=list(should),
             must_not=list(must_not), msm=msm,
@@ -183,9 +185,10 @@ class Searcher:
         def kernel(batches):
             yield from _bucket_kernel(batches, spec)
 
-        return (blocks.repartition(n_part, "bucket")
-                .sortWithinPartitions("bucket", "term", "block_id")
-                .mapInPandas(kernel, schema=KERNEL_SCHEMA))
+        # No shuffle: the index layout is bucket-major (whole grid cells per
+        # partition, sorted by bucket/term/block), so the narrow filter keeps
+        # every bucket's blocks contiguous within its partition.
+        return blocks.mapInPandas(kernel, schema=KERNEL_SCHEMA)
 
     # ------------------------------------------------------------------
     # public API

@@ -28,12 +28,13 @@ def get_spark(app="lucene_solr_spark", cores: int | None = None,
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     if "SPARK_GRAFT_MASTER" in os.environ:
-        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
+        builder = (builder.master(os.environ["SPARK_GRAFT_MASTER"])
+                   .config("spark.driver.memory", mem))
     elif SparkSession.getActiveSession() is None:
         builder = (builder.master(f"local[{cores}]")
-                   .config("spark.driver.memory",
-                           os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")))
+                   .config("spark.driver.memory", mem))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark

@@ -1,0 +1,176 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N parallelism).
+
+The sandbox has one machine, so the two-cluster-size criterion is
+evidenced by running the IDENTICAL index-build + query job at local[8]
+and local[32] on the same generated corpus and comparing throughput:
+
+    efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+Each run is a fresh JVM (subprocess) so parallelism is set at session
+creation, exactly like submitting to two differently-sized clusters.
+Determinism cross-check: the term dictionary must be bit-identical
+(count, sum(df), xor of term-row hashes) at both parallelism levels —
+the docID/layout contract says the index is independent of parallelism.
+
+Usage:
+    python scripts/scaling.py [--docs 100000] [--out BENCH_SCALING.json]
+Child mode (internal): python scripts/scaling.py --run-cores C --input P
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS_SEED = 42
+QUERIES = ["merge", "spark merge fast", "spark AND table",
+           '"key agg"', "(spark OR merge) AND fast",
+           "batch part line column order small sort"]
+
+
+def child(cores: int, input_path: str) -> None:
+    os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER
+    from lucene_solr_spark.index import IndexBuilder
+    from lucene_solr_spark.search import Searcher, parse_query
+    from lucene_solr_spark.session import get_spark
+
+    # identical shuffle sizing at both parallelism levels (partitions are
+    # sized by data volume; only the executor count differs — exactly the
+    # N vs 4N cluster comparison the north rule describes)
+    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=96)
+    docs = spark.read.parquet(input_path)
+    n_docs = docs.count()
+
+    # bucket count ~= 128 at either parallelism level (identical layout at
+    # N and 4N — the determinism fingerprint below depends on it)
+    grid = max(512, n_docs // 128)
+    builder = IndexBuilder(ENGLISH_ANALYZER, grid=grid, head_df=4096,
+                           salt_target=4096, with_positions=True)
+
+    # warm-up: one full-size build (untimed) to reach steady state — JIT,
+    # Python worker pool, shuffle/codegen paths all warm. Then 3 timed
+    # iterations; we report the MIN (the standard estimator on shared/
+    # virtualized hosts where a noisy neighbor inflates arbitrary runs —
+    # this sandbox shows hypervisor steal time).
+    warm = builder.build(spark, docs)
+    warm.postings.count()
+    warm.release()
+
+    iters = []
+    idx = None
+    for _ in range(3):
+        if idx is not None:
+            idx.release()
+        t0 = time.perf_counter()
+        idx = builder.build(spark, docs)
+        idx.postings = idx.postings.persist()
+        idx.postings.count()
+        idx.norms.count()
+        sec = time.perf_counter() - t0
+        stages = dict(idx.timings)
+        stages["pack_materialize_sec"] = round(
+            sec - sum(idx.timings.values()), 3)
+        iters.append({"build_sec": round(sec, 3), "stages": stages})
+    build_sec = min(i["build_sec"] for i in iters)
+
+    # determinism fingerprint of the term dictionary
+    fp_row = (idx.terms
+              .select(F.crc32(F.concat_ws("|", "term", "df", "ttf"))
+                      .alias("c"))
+              .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+              .collect()[0])
+
+    searcher = Searcher(spark, idx, k1=1.2, b=0.75)
+    t0 = time.perf_counter()
+    for qs in QUERIES:
+        searcher.top_k(parse_query(qs, ENGLISH_ANALYZER), k=10,
+                       mode="f32", prune=True)
+    query_sec = time.perf_counter() - t0
+
+    print("CHILD_RESULT " + json.dumps({
+        "cores": cores, "n_docs": n_docs,
+        "build_sec": round(build_sec, 3),
+        "build_iters": iters,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "query_batch_sec": round(query_sec, 3),
+        "terms_fingerprint": [int(fp_row["n"]), int(fp_row["s"])],
+    }))
+    spark.stop()
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = f"/tmp/spark_graft_scale/pages_{n_docs}.parquet"
+    if os.path.exists(path):
+        return path
+    from lucene_solr_spark.corpus import generate_pages
+    from lucene_solr_spark.session import get_spark
+    spark = get_spark("gen", cores=32)
+    generate_pages(spark, n_docs, seed=CORPUS_SEED).select(
+        "doc_id", "url", "text").write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--out", default="BENCH_SCALING.json")
+    ap.add_argument("--run-cores", type=int)
+    ap.add_argument("--input")
+    args = ap.parse_args()
+
+    if args.run_cores:
+        child(args.run_cores, args.input)
+        return
+
+    path = ensure_corpus(args.docs)
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_MASTER", None)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--run-cores", str(cores), "--input", path]
+        # pin the child to exactly `cores` CPUs: local[8] on an idle
+        # 32-CPU host would otherwise borrow the other 24 for GC, shuffle
+        # IO and Python workers, understating the true 8-core time
+        import shutil as _shutil
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=3600)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("CHILD_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            raise SystemExit(f"child local[{cores}] failed")
+        results[cores] = json.loads(line[0][len("CHILD_RESULT "):])
+        print(f"local[{cores}]: {results[cores]}")
+
+    r8, r32 = results[8], results[32]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
+    q_speedup = r8["query_batch_sec"] / r32["query_batch_sec"]
+    summary = {
+        "n_docs": r8["n_docs"],
+        "local8": r8, "local32": r32,
+        "build_scaling_efficiency_8_to_32": round(eff, 3),
+        "query_batch_speedup_8_to_32": round(q_speedup, 3),
+        "terms_identical_across_parallelism":
+            r8["terms_fingerprint"] == r32["terms_fingerprint"],
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
