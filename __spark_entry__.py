@@ -372,6 +372,60 @@ def q_image_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# extra query operators (synonym / paging / boost / constant / sort-by-field)
+# ---------------------------------------------------------------------------
+
+def q_synonym_topk(spark, sf_dir):
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    raw = extras.synonym_score_all(s, ["spark", "merge"])
+    return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_search_after(spark, sf_dir):
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    q = _should("spark", "merge", "fast")
+    page1 = (s.score_all(q, mode="f64")
+             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect())
+    after = page1[-1]
+    nxt = extras.search_after(s, q, float(after["score"]),
+                              int(after["doc_id"]), k=10)
+    return nxt.select(F.col("doc_id").cast("long"),
+                      F.round("score", 4).alias("score"))
+
+
+def q_boosted_or_topk(spark, sf_dir):
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    raw = extras.boosted_sum_score_all(s, {"spark": 2.0, "merge": 1.0})
+    return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_constant_score_docs(spark, sf_dir):
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    res = extras.constant_score(s, _should("fast", "dup"), 1.0)
+    return (res.select(F.col("doc_id").cast("long"),
+                       F.col("score").cast("double").alias("score"))
+            .orderBy("doc_id"))
+
+
+def q_sort_by_nchars(spark, sf_dir):
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    res = extras.sort_by_field(s, TermQuery("table"), docs, "n_chars",
+                               ascending=False, k=10)
+    return res.select(F.col("doc_id").cast("long"),
+                      F.col("n_chars").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
 
@@ -532,6 +586,45 @@ FROM tf JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"""
 
     sql["q_match_all_count"] = _PRELUDE + """
 SELECT count(*)::BIGINT AS n FROM dl"""
+
+    # --- extra query operators ---
+    sql["q_synonym_topk"] = _PRELUDE + f"""
+, syn AS (
+  SELECT tf.doc_id, SUM(tf.freq) AS f, dlq.dlq
+  FROM tf JOIN dlq USING (doc_id) WHERE tf.term IN ('spark', 'merge')
+  GROUP BY tf.doc_id, dlq.dlq
+), sstats AS (
+  SELECT max(df) AS dfx FROM dfreq WHERE term IN ('spark', 'merge')
+)
+SELECT doc_id, ROUND(ln(1 + (stats.n - sstats.dfx + 0.5) / (sstats.dfx + 0.5))
+  * f / (f + {K1} * (1 - {B} + {B} * dlq / stats.avgdl)), 4) AS score
+FROM syn CROSS JOIN stats CROSS JOIN sstats
+ORDER BY ln(1 + (stats.n - sstats.dfx + 0.5) / (sstats.dfx + 0.5))
+  * f / (f + {K1} * (1 - {B} + {B} * dlq / stats.avgdl)) DESC, doc_id
+LIMIT 10"""
+
+    sql["q_search_after"] = _PRELUDE + """
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc WHERE term IN ('spark', 'merge', 'fast')
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10 OFFSET 10"""
+
+    sql["q_boosted_or_topk"] = _PRELUDE + """
+SELECT doc_id, ROUND(SUM(CASE WHEN term = 'spark' THEN 2.0 * s ELSE s END), 4)
+  AS score
+FROM sc WHERE term IN ('spark', 'merge')
+GROUP BY doc_id
+ORDER BY SUM(CASE WHEN term = 'spark' THEN 2.0 * s ELSE s END) DESC, doc_id
+LIMIT 10"""
+
+    sql["q_constant_score_docs"] = _PRELUDE + """
+SELECT DISTINCT doc_id, 1.0::DOUBLE AS score
+FROM tf WHERE term IN ('fast', 'dup') ORDER BY doc_id"""
+
+    sql["q_sort_by_nchars"] = _PRELUDE + """
+SELECT h.doc_id, d.n_chars
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') h
+JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, h.doc_id LIMIT 10"""
 
     sql.update(_pipeline_oracle_sql())
     return sql
@@ -811,6 +904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
         "q_image_meta": q_image_meta,
+        "q_synonym_topk": q_synonym_topk,
+        "q_search_after": q_search_after,
+        "q_boosted_or_topk": q_boosted_or_topk,
+        "q_constant_score_docs": q_constant_score_docs,
+        "q_sort_by_nchars": q_sort_by_nchars,
     }
 
 
