@@ -6,8 +6,9 @@ English stopwords at natural head frequencies, mixed-case tokens, digits,
 over-255-char tokens and a sprinkle of unicode, exercising every analyzer
 path (FIXTURES.md §1). Generation is distributed: each Spark task derives
 its rows from (seed, doc_id) alone, so output is independent of
-parallelism — the docID assignment is by construction (url sort order ==
-doc_id order) rather than by a global window.
+parallelism — the docID is embedded in the url (a pure function of the
+row, never a partition position), which is what makes builds resumable
+and parallelism-independent.
 
 The per-row invariant `extract_text(html) == text` (byte-identical) is
 guaranteed by wrapping text in a fixed HTML template and extracting with
@@ -84,9 +85,10 @@ def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                    partitions: int | None = None) -> DataFrame:
     """Distributed deterministic generator → pages DataFrame with doc_id.
 
-    doc_id is the generation index: urls embed a zero-padded doc number so
-    lexicographic url order == doc_id order (the canonical Lucene-style
-    "insertion order" assignment, reproducible at any parallelism).
+    doc_id is the generation index, embedded zero-padded in the url and
+    parsed back out — the Lucene-style "insertion order" assignment made
+    reproducible at any parallelism (a pure function of the row, never
+    monotonically_increasing_id).
     """
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
     vocab = _vocab(seed)

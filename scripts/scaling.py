@@ -124,6 +124,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--out", default="BENCH_SCALING.json")
+    ap.add_argument("--levels", default="2,8,32",
+                    help="comma-separated core counts; each consecutive "
+                         "pair yields a scaling-efficiency entry")
     ap.add_argument("--run-cores", type=int)
     ap.add_argument("--input")
     args = ap.parse_args()
@@ -132,9 +135,10 @@ def main() -> None:
         child(args.run_cores, args.input)
         return
 
+    levels = [int(x) for x in args.levels.split(",")]
     path = ensure_corpus(args.docs)
     results = {}
-    for cores in (8, 32):
+    for cores in levels:
         env = dict(os.environ)
         env.pop("SPARK_GRAFT_MASTER", None)
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -156,17 +160,22 @@ def main() -> None:
         results[cores] = json.loads(line[0][len("CHILD_RESULT "):])
         print(f"local[{cores}]: {results[cores]}")
 
-    r8, r32 = results[8], results[32]
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
-    q_speedup = r8["query_batch_sec"] / r32["query_batch_sec"]
+    fps = [results[c]["terms_fingerprint"] for c in levels]
     summary = {
-        "n_docs": r8["n_docs"],
-        "local8": r8, "local32": r32,
-        "build_scaling_efficiency_8_to_32": round(eff, 3),
-        "query_batch_speedup_8_to_32": round(q_speedup, 3),
-        "terms_identical_across_parallelism":
-            r8["terms_fingerprint"] == r32["terms_fingerprint"],
+        "n_docs": results[levels[0]]["n_docs"],
+        "levels": {f"local{c}": results[c] for c in levels},
+        "scaling_efficiency": {},
+        "query_batch_speedup": {},
+        "terms_identical_across_parallelism": all(f == fps[0] for f in fps),
     }
+    for lo, hi in zip(levels, levels[1:]):
+        ratio = hi / lo
+        eff = (results[hi]["docs_per_sec"] /
+               results[lo]["docs_per_sec"]) / ratio
+        qs = (results[lo]["query_batch_sec"] /
+              results[hi]["query_batch_sec"])
+        summary["scaling_efficiency"][f"{lo}_to_{hi}"] = round(eff, 3)
+        summary["query_batch_speedup"][f"{lo}_to_{hi}"] = round(qs, 3)
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

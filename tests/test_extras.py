@@ -1,0 +1,87 @@
+"""Extras operators: synonym stats semantics, searchAfter page algebra,
+boost linearity, constant-score, sort-by-field, postings reader."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER
+from lucene_solr_spark.index import IndexBuilder
+from lucene_solr_spark.search import Searcher, parse_query
+from lucene_solr_spark.search import extras
+from lucene_solr_spark.search.ast import TermQuery
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").cache())
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, docs):
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=128,
+                       with_positions=True).build(spark, docs).cache()
+    return Searcher(spark, idx)
+
+
+def test_postings_rows_match_score_all(searcher):
+    rows = extras.postings_rows(searcher, ["spark"]).orderBy("doc_id")
+    scored = searcher.score_all(TermQuery("spark")).orderBy("doc_id")
+    assert [r["doc_id"] for r in rows.collect()] == \
+        [r["doc_id"] for r in scored.collect()]
+    # freqs positive, norms are valid bytes
+    bad = rows.filter((F.col("freq") <= 0) | (F.col("norm") < 0) |
+                      (F.col("norm") > 255))
+    assert bad.count() == 0
+
+
+def test_synonym_reduces_to_term_for_singleton(searcher):
+    syn = extras.synonym_score_all(searcher, ["spark"]).orderBy("doc_id")
+    term = searcher.score_all(TermQuery("spark"), mode="f64").orderBy("doc_id")
+    a = [(r["doc_id"], round(r["score"], 9)) for r in syn.collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in term.collect()]
+    assert a == b
+
+
+def test_synonym_matches_union_of_docs(searcher):
+    syn = extras.synonym_score_all(searcher, ["spark", "merge"])
+    union = (searcher.match_docs(TermQuery("spark"))
+             .union(searcher.match_docs(TermQuery("merge"))).distinct())
+    assert syn.count() == union.count()
+
+
+def test_search_after_is_next_page(searcher):
+    q = parse_query("spark OR merge OR fast", ENGLISH_ANALYZER)
+    full = (searcher.score_all(q, mode="f64")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20).collect())
+    after = full[9]
+    page2 = extras.search_after(searcher, q, float(after["score"]),
+                                int(after["doc_id"]), k=10).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in full[10:20]]
+
+
+def test_boost_linearity(searcher):
+    b1 = extras.boosted_sum_score_all(searcher, {"spark": 1.0})
+    b3 = extras.boosted_sum_score_all(searcher, {"spark": 3.0})
+    j = (b1.alias("a").join(b3.alias("b"), "doc_id")
+         .select((F.col("b.score") - 3.0 * F.col("a.score")).alias("d")))
+    mx = j.agg(F.max(F.abs("d"))).collect()[0][0]
+    assert mx < 1e-9
+
+
+def test_constant_score(searcher):
+    cs = extras.constant_score(searcher, TermQuery("spark"), 1.0)
+    assert cs.filter(F.col("score") != 1.0).count() == 0
+    assert cs.count() == searcher.match_docs(TermQuery("spark")).distinct().count()
+
+
+def test_sort_by_field(searcher, docs, spark):
+    d = docs.withColumn("n_chars", F.length("text").cast("long"))
+    res = extras.sort_by_field(searcher, TermQuery("table"), d,
+                               "n_chars", ascending=False, k=10).collect()
+    vals = [r["n_chars"] for r in res]
+    assert vals == sorted(vals, reverse=True)
