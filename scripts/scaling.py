@@ -29,9 +29,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORPUS_SEED = 42
-QUERIES = ["merge", "spark merge fast", "spark AND table",
-           '"key agg"', "(spark OR merge) AND fast",
-           "batch part line column order small sort"]
+
+
+def query_set(idx) -> list[str]:
+    """Reference-shaped query batch over the index's OWN vocabulary
+    (top-df terms), so hits are non-empty on any corpus."""
+    from pyspark.sql import functions as F
+    t = [r["term"] for r in
+         idx.terms.orderBy(F.desc("df"), F.asc("term")).limit(12).collect()]
+    return [t[0], f"{t[1]} {t[4]} {t[7]}", f"{t[2]} AND {t[3]}",
+            f"({t[5]} OR {t[6]}) AND {t[8]}", f"{t[9]} NOT {t[10]}",
+            f'"{t[1]} {t[2]}"']
 
 
 def child(cores: int, input_path: str) -> None:
@@ -90,8 +98,9 @@ def child(cores: int, input_path: str) -> None:
               .collect()[0])
 
     searcher = Searcher(spark, idx, k1=1.2, b=0.75)
+    queries = query_set(idx)
     t0 = time.perf_counter()
-    for qs in QUERIES:
+    for qs in queries:
         searcher.top_k(parse_query(qs, ENGLISH_ANALYZER), k=10,
                        mode="f32", prune=True)
     query_sec = time.perf_counter() - t0

@@ -28,8 +28,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--index", required=True)
-    ap.add_argument("--queries", nargs="*",
-                    default=["merge", "spark merge fast", "spark AND table"])
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="default: derived from the index's top-df terms")
     ap.add_argument("--grid", type=int, default=1 << 17)
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
@@ -52,8 +52,16 @@ def main() -> None:
                       "timings": manifest.get("timings", {}),
                       "stats": idx.stats}))
 
+    queries = args.queries
+    if not queries:
+        from pyspark.sql import functions as F
+        t = [r["term"] for r in idx.terms.orderBy(
+            F.desc("df"), F.asc("term")).limit(6).collect()]
+        queries = [t[0], f"{t[1]} {t[2]} {t[3]}", f"{t[2]} AND {t[3]}",
+                   f"({t[4]} OR {t[5]}) AND {t[1]}"]
+
     searcher = Searcher(spark, idx)
-    for qs in args.queries:
+    for qs in queries:
         t0 = time.perf_counter()
         top = searcher.top_k(parse_query(qs, ENGLISH_ANALYZER), k=args.k)
         print(json.dumps({
