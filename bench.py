@@ -75,6 +75,19 @@ def main() -> None:
 
     lat = sorted(per_query.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+
+    # training-pipeline operators (dedup / ANN) on the same sf tables
+    from lucene_solr_spark.pipeline import dedup as dd
+    from lucene_solr_spark.pipeline import similarity as sim
+    t0 = time.perf_counter()
+    n_pairs = dd.minhash_dedup(docs, threshold=0.8).count()
+    per_query["op_dedup_minhash"] = round(time.perf_counter() - t0, 4)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    t0 = time.perf_counter()
+    sim.cosine_topk(emb, qv, 10).collect()
+    per_query["op_ann_cosine"] = round(time.perf_counter() - t0, 4)
+
     total = time.perf_counter() - t_all
 
     print(json.dumps({
