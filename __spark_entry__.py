@@ -415,6 +415,15 @@ def q_constant_score_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_proximity_topk(spark, sf_dir):
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    raw = extras.proximity_score_all(s, "key", "agg", window=3)
+    return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
 def q_sort_by_nchars(spark, sf_dir):
     from lucene_solr_spark.search import extras
     s = _searcher(spark, sf_dir)
@@ -619,6 +628,27 @@ LIMIT 10"""
     sql["q_constant_score_docs"] = _PRELUDE + """
 SELECT DISTINCT doc_id, 1.0::DOUBLE AS score
 FROM tf WHERE term IN ('fast', 'dup') ORDER BY doc_id"""
+
+    sql["q_proximity_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND abs(a.p - b.p) <= 3
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
     sql["q_sort_by_nchars"] = _PRELUDE + """
 SELECT h.doc_id, d.n_chars
@@ -908,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_after": q_search_after,
         "q_boosted_or_topk": q_boosted_or_topk,
         "q_constant_score_docs": q_constant_score_docs,
+        "q_proximity_topk": q_proximity_topk,
         "q_sort_by_nchars": q_sort_by_nchars,
     }
 

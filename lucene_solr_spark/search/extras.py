@@ -19,23 +19,30 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.smallfloat import LENGTH_TABLE
-from ..index.builder import decode_postings_block
+from ..index.builder import decode_positions_blob, decode_postings_block
 
 POSTINGS_ROWS_SCHEMA = "term string, doc_id long, freq long, norm int"
+POSTINGS_POS_SCHEMA = POSTINGS_ROWS_SCHEMA + ", positions array<int>"
 
 
-def postings_rows(searcher, terms: list[str]) -> DataFrame:
-    """Decoded postings for a term set: (term, doc_id, freq, norm).
-
-    A narrow mapInPandas over the term-filtered block scan — the public
-    'postings reader' API (PostingsEnum analog), shuffle-free."""
+def postings_rows(searcher, terms: list[str],
+                  with_positions: bool = False) -> DataFrame:
+    """Decoded postings for a term set: (term, doc_id, freq, norm
+    [, positions]) — the public 'postings reader' API (PostingsEnum /
+    ImpactsEnum analog). A narrow mapInPandas over the term-filtered
+    block scan, shuffle-free."""
+    cols = ["term", "block_id", "doc_count",
+            "doc_blob", "freq_blob", "norm_blob"]
+    if with_positions:
+        if not searcher.index.with_positions:
+            raise ValueError("index built without positions")
+        cols.append("pos_blob")
     blocks = (searcher.index.postings.filter(F.col("term").isin(list(terms)))
-              .select("term", "block_id", "doc_count",
-                      "doc_blob", "freq_blob", "norm_blob"))
+              .select(*cols))
 
     def dec(batches):
         for pdf in batches:
-            ts, ds, fs, ns = [], [], [], []
+            ts, ds, fs, ns, ps = [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 r = row._asdict()
                 d, f, n = decode_postings_block(r)
@@ -43,16 +50,23 @@ def postings_rows(searcher, terms: list[str]) -> DataFrame:
                 ds.append(d)
                 fs.append(f)
                 ns.append(n)
+                if with_positions:
+                    ps.extend([p.astype("int32").tolist() for p in
+                               decode_positions_blob(r["pos_blob"], f)])
             if not ds:
                 continue
-            yield pd.DataFrame({
+            out = {
                 "term": pd.Series(ts, dtype="object"),
                 "doc_id": np.concatenate(ds).astype("int64"),
                 "freq": np.concatenate(fs).astype("int64"),
                 "norm": np.concatenate(ns).astype("int32"),
-            })
+            }
+            if with_positions:
+                out["positions"] = pd.Series(ps, dtype="object")
+            yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(dec, schema=POSTINGS_ROWS_SCHEMA)
+    schema = POSTINGS_POS_SCHEMA if with_positions else POSTINGS_ROWS_SCHEMA
+    return blocks.mapInPandas(dec, schema=schema)
 
 
 def _bm25_f64_col(freq_col, norm_col, df_val: int, searcher):
@@ -111,6 +125,44 @@ def boosted_sum_score_all(searcher, boosts: dict[str, float]) -> DataFrame:
     for p in parts[1:]:
         u = u.unionByName(p)
     return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+
+def proximity_score_all(searcher, term_a: str, term_b: str,
+                        window: int) -> DataFrame:
+    """Proximity query: docs where term_a and term_b co-occur within
+    `window` positions (unordered). pf = number of (pa, pb) position
+    pairs with |pa - pb| <= window; scored like a phrase — one BM25
+    evaluation with weight idf(a) + idf(b) on pf (float64).
+
+    The pair counting runs JVM-side (`aggregate`/`filter` over position
+    arrays) after an inner join on doc_id — the SloppyPhraseMatcher role
+    (`search/SloppyPhraseMatcher.java:56`) with simplified, exactly-
+    specified pf semantics. → (doc_id, score)."""
+    st = searcher.term_stats([term_a, term_b])
+    if term_a not in st or term_b not in st:
+        return searcher.spark.createDataFrame([], "doc_id long, score double")
+    n_docs = searcher.stats["doc_count"]
+    idf = (math.log(1.0 + (n_docs - st[term_a][0] + 0.5) / (st[term_a][0] + 0.5))
+           + math.log(1.0 + (n_docs - st[term_b][0] + 0.5) / (st[term_b][0] + 0.5)))
+    a = (postings_rows(searcher, [term_a], with_positions=True)
+         .select("doc_id", F.col("positions").alias("pos_a"), "norm"))
+    b = (postings_rows(searcher, [term_b], with_positions=True)
+         .select("doc_id", F.col("positions").alias("pos_b")))
+    j = a.join(b, "doc_id")
+    pf = F.aggregate(
+        "pos_a", F.lit(0),
+        lambda acc, pa: acc + F.size(F.filter(
+            "pos_b", lambda pb: F.abs(pb - pa) <= F.lit(window))))
+    scored = j.select("doc_id", pf.alias("pf"), "norm").filter(F.col("pf") > 0)
+    st_all = searcher.stats
+    avgdl = st_all["sum_ttf"] / float(st_all["doc_count"])
+    lt = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
+    dl = F.element_at(lt, F.col("norm") + 1).cast("double")
+    f = F.col("pf").cast("double")
+    k1, bb = searcher.k1, searcher.b
+    score = (F.lit(idf) * f /
+             (f + F.lit(k1) * (F.lit(1.0 - bb) + F.lit(bb) * dl / F.lit(avgdl))))
+    return scored.select("doc_id", score.alias("score"))
 
 
 def constant_score(searcher, query, score: float = 1.0) -> DataFrame:

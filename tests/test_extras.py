@@ -79,6 +79,23 @@ def test_constant_score(searcher):
     assert cs.count() == searcher.match_docs(TermQuery("spark")).distinct().count()
 
 
+def test_proximity_window_algebra(searcher):
+    both = (searcher.match_docs(TermQuery("key"))
+            .intersect(searcher.match_docs(TermQuery("agg"))).count())
+    wide = extras.proximity_score_all(searcher, "key", "agg", window=10_000)
+    assert wide.count() == both          # window >= doclen == plain AND
+    w1 = {r["doc_id"] for r in
+          extras.proximity_score_all(searcher, "key", "agg", 1).collect()}
+    w3 = {r["doc_id"] for r in
+          extras.proximity_score_all(searcher, "key", "agg", 3).collect()}
+    assert w1 <= w3                      # tightening the window only drops docs
+    # adjacency ("key agg" phrase) is contained in window-1 proximity
+    from lucene_solr_spark.search.ast import PhraseQuery
+    ph = {r["doc_id"] for r in
+          searcher.score_all(PhraseQuery(("key", "agg"))).collect()}
+    assert ph <= w1
+
+
 def test_sort_by_field(searcher, docs, spark):
     d = docs.withColumn("n_chars", F.length("text").cast("long"))
     res = extras.sort_by_field(searcher, TermQuery("table"), d,
