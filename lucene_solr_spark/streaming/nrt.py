@@ -1,0 +1,145 @@
+"""Near-real-time ingestion: Structured Streaming → per-batch segments.
+
+Lucene's NRT story (`index/ControlledRealTimeReopenThread.java`,
+`search/SearcherManager.java`: keep adding documents, periodically
+reopen a reader over the growing set of immutable segments) maps to:
+
+- a Structured Streaming query (`readStream` on the input table/path)
+  whose ``foreachBatch`` builds ONE index segment per micro-batch and
+  commits it to the segment list (SEGMENTS.json, atomic tmp+rename —
+  the SegmentInfos commit point);
+- readers call :func:`load_segments` to open a point-in-time view over
+  all committed segments: postings are the union re-sharded to the
+  bucket-major layout, term dictionaries merge with df/ttf sums and
+  singleton re-pulsing (SegmentMerger semantics), stats are additive.
+
+Micro-batch docs must carry globally-unique doc_ids (the corpus embeds
+them in the url — never positional). Segment doc-ranges are recorded in
+the manifest; overlapping ranges are rejected at commit (the DocIDMerger
+base-offset contract).
+
+Streaming checkpointing (offsets) is Spark-managed via the usual
+``checkpointLocation``; segment commits are idempotent per batch id, so
+a restarted query that replays a batch overwrites the same segment
+rather than duplicating it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import StandardAnalyzer
+from ..index.builder import IndexBuilder, InvertedIndex
+from ..index.merge import _merge_terms
+
+SEGMENTS = "SEGMENTS.json"
+
+
+def _read_segments(path: str) -> dict:
+    p = f"{path}/{SEGMENTS}"
+    if not os.path.exists(p):
+        return {"format_version": 1, "segments": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_segments(path: str, seglist: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/{SEGMENTS}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(seglist, f, indent=2)
+    os.replace(tmp, f"{path}/{SEGMENTS}")
+
+
+def commit_segment(spark: SparkSession, docs: DataFrame,
+                   builder: IndexBuilder, path: str,
+                   batch_id: int) -> dict | None:
+    """Build one segment from a micro-batch and commit it. Idempotent on
+    batch_id (replays overwrite, never duplicate). Returns the segment
+    entry, or None for an empty batch."""
+    if docs.isEmpty():
+        return None
+    rng = docs.agg(F.min("doc_id"), F.max("doc_id"), F.count("*")).collect()[0]
+    lo, hi, n = int(rng[0]), int(rng[1]), int(rng[2])
+    seglist = _read_segments(path)
+    for s in seglist["segments"]:
+        if s["batch_id"] != batch_id and not (hi < s["min_doc"]
+                                              or lo > s["max_doc"]):
+            raise ValueError(
+                f"segment doc range [{lo},{hi}] overlaps committed segment "
+                f"{s['name']} [{s['min_doc']},{s['max_doc']}]")
+    name = f"seg-{batch_id:06d}"
+    seg_dir = f"{path}/{name}"
+    t0 = time.perf_counter()
+    idx = builder.build(spark, docs)
+    for tbl, df in (("postings", idx.postings), ("terms", idx.terms),
+                    ("norms", idx.norms)):
+        df.write.mode("overwrite").parquet(f"{seg_dir}/{tbl}")
+    idx.release()
+    entry = {"name": name, "batch_id": batch_id, "min_doc": lo,
+             "max_doc": hi, "n_docs": n, "stats": idx.stats,
+             "build_sec": round(time.perf_counter() - t0, 3)}
+    seglist["segments"] = ([s for s in seglist["segments"]
+                            if s["batch_id"] != batch_id] + [entry])
+    seglist["segments"].sort(key=lambda s: s["batch_id"])
+    _write_segments(path, seglist)
+    return entry
+
+
+def load_segments(spark: SparkSession, path: str,
+                  analyzer: StandardAnalyzer,
+                  with_positions: bool = True) -> InvertedIndex:
+    """Point-in-time reader over all committed segments (DirectoryReader
+    .open analog). Postings re-shard once to the bucket-major layout;
+    term dictionaries fold with SegmentMerger semantics."""
+    seglist = _read_segments(path)
+    segs = seglist["segments"]
+    if not segs:
+        raise FileNotFoundError(f"no committed segments under {path}")
+    post = terms = norms = None
+    stats = {"doc_count": 0, "sum_ttf": 0, "sum_df": 0, "max_doc": 0,
+             "grid": segs[0]["stats"]["grid"]}
+    for s in segs:
+        d = f"{path}/{s['name']}"
+        p = spark.read.parquet(f"{d}/postings")
+        t = spark.read.parquet(f"{d}/terms")
+        n = spark.read.parquet(f"{d}/norms")
+        post = p if post is None else post.unionByName(p)
+        terms = t if terms is None else _merge_terms(terms, t)
+        norms = n if norms is None else norms.unionByName(n)
+        for k in ("doc_count", "sum_ttf", "sum_df"):
+            stats[k] += s["stats"][k]
+        stats["max_doc"] = max(stats["max_doc"], s["stats"]["max_doc"])
+        if s["stats"]["grid"] != stats["grid"]:
+            raise ValueError("segments disagree on doc-grid size")
+    n_part = max(4, spark.sparkContext.defaultParallelism)
+    return InvertedIndex(
+        postings=(post.repartitionByRange(n_part, "bucket")
+                  .sortWithinPartitions("bucket", "term", "block_id")),
+        terms=terms, norms=norms, stats=stats, analyzer=analyzer,
+        with_positions=with_positions)
+
+
+def stream_index(spark: SparkSession, input_path: str, index_path: str,
+                 builder: IndexBuilder, checkpoint: str,
+                 schema: str = "doc_id long, text string",
+                 available_now: bool = True):
+    """Start the indexing stream: parquet file source → one segment per
+    micro-batch. Returns the StreamingQuery (await/stop it yourself)."""
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(input_path)
+           .select("doc_id", "text"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_segment(spark, batch_df, builder, index_path, batch_id)
+
+    writer = (src.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
