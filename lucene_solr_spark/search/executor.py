@@ -190,9 +190,90 @@ class Searcher:
         # every bucket's blocks contiguous within its partition.
         return blocks.mapInPandas(kernel, schema=KERNEL_SCHEMA)
 
+    def _spec_for_plan(self, plan, mode, k, prune, collect_all=False):
+        must, should, must_not, phrases, msm = plan
+        must_flat = [t for g in must for t in g]
+        terms_needed = list(dict.fromkeys(
+            must_flat + should + must_not + [t for _, p in phrases for t in p]))
+        scoring_terms = list(dict.fromkeys(must_flat + should))
+        w = self._weights(terms_needed, scoring_terms, phrases, mode)
+        dead = (all(w["dfs"].get(t, 0) == 0 for t in must_flat + should)
+                and not any(not p["dead"] for p in w["phrases"]))
+        dead = dead or any(all(w["dfs"].get(t, 0) == 0 for t in g)
+                           for g in must)
+        dead = dead or any(
+            p["dead"] and p["occur"] not in ("MUST_NOT", "SHOULD")
+            for p in w["phrases"])
+        spec = dict(
+            must=[list(g) for g in must], should=list(should),
+            must_not=list(must_not), msm=msm,
+            phrases=w["phrases"], terms=w["terms"],
+            scoring_order=scoring_terms,
+            cache32=w["cache32"], idf64=w["idf64"], avgdl64=w["avgdl64"],
+            k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
+            collect_all=collect_all, prune=prune and not collect_all,
+            with_positions=self.index.with_positions,
+        )
+        live = [t for t in terms_needed if w["dfs"].get(t, 0) > 0]
+        return spec, live, dead
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def top_k_many(self, queries: list, k: int = 10, mode: str = "f32",
+                   prune: bool = True) -> list:
+        """Batch top-k: ALL queries in ONE Spark job — one term-filtered
+        scan over the union of query terms, one pass over each bucket
+        scoring every query from the same Arrow batches, per-query heaps
+        and thresholds. → list of pandas DataFrames (rank, doc_id,
+        score), parallel to `queries`. The throughput mode for query
+        logs (the benchmark harness shape, ReadTask.java:54)."""
+        empty = pd.DataFrame({"rank": [], "doc_id": [], "score": []})
+        results: dict[int, pd.DataFrame] = {}
+        specs, live_union, qids = [], [], []
+        for qi, query in enumerate(queries):
+            plan = self._plan(query)
+            if plan is None:
+                results[qi] = empty
+                continue
+            if plan == "ALL":
+                results[qi] = self.top_k(query, k=k, mode=mode, prune=prune)
+                continue
+            spec, live, dead = self._spec_for_plan(plan, mode, k, prune)
+            if dead:
+                results[qi] = empty
+                continue
+            specs.append(spec)
+            live_union.extend(live)
+            qids.append(qi)
+        if specs:
+            live_union = list(dict.fromkeys(live_union))
+            blocks = self.index.postings.filter(
+                F.col("term").isin(live_union))
+            if not self.index.with_positions:
+                blocks = blocks.drop("pos_blob")
+
+            def kernel(batches):
+                yield from _bucket_kernel_multi(batches, specs)
+
+            pdf = blocks.mapInPandas(
+                kernel, schema="query_id int, doc_id long, score double"
+            ).toPandas()
+            for local_qi, qi in enumerate(qids):
+                sub = pdf[pdf["query_id"] == local_qi]
+                if len(sub) == 0:
+                    results[qi] = empty
+                    continue
+                sub = (sub.sort_values(["score", "doc_id"],
+                                       ascending=[False, True],
+                                       kind="mergesort")
+                       .head(k).reset_index(drop=True))
+                sub["rank"] = np.arange(1, len(sub) + 1)
+                if mode == "f32":
+                    sub["score"] = sub["score"].astype(np.float32)
+                results[qi] = sub[["rank", "doc_id", "score"]]
+        return [results[qi] for qi in range(len(queries))]
+
     def top_k(self, query, k: int = 10, mode: str = "f32", prune: bool = True):
         """→ pandas DataFrame (rank, doc_id, score) — TopDocs.merge analog."""
         plan = self._plan(query)
@@ -276,6 +357,41 @@ def _bucket_kernel(batches, spec):
         out, threshold = _score_bucket(buf, spec, threshold, heap)
         if out is not None:
             yield out
+
+
+def _bucket_kernel_multi(batches, specs):
+    """Multi-query variant of _bucket_kernel: one pass over the bucket-
+    sorted rows scores every spec, with independent heaps/thresholds."""
+    buf = None
+    states = [{"threshold": -np.inf, "heap": []} for _ in specs]
+
+    def run_bucket(grp):
+        outs = []
+        for qi, spec in enumerate(specs):
+            st = states[qi]
+            out, st["threshold"] = _score_bucket(
+                grp, spec, st["threshold"], st["heap"])
+            if out is not None and len(out):
+                out = out.copy()
+                out.insert(0, "query_id", np.int32(qi))
+                outs.append(out)
+        return outs
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if buf is not None:
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        bucket_vals = pdf["bucket"].to_numpy()
+        tail_mask = bucket_vals == bucket_vals[-1]
+        buf = pdf[tail_mask]
+        head = pdf[~tail_mask]
+        if len(head):
+            for _, grp in head.groupby("bucket", sort=True):
+                yield from run_bucket(grp)
+    if buf is not None and len(buf):
+        yield from run_bucket(buf)
 
 
 def _push_heap(heap, k, scores, docs, threshold):
