@@ -55,15 +55,25 @@ class Searcher:
         self.index = index
         self.k1, self.b = k1, b
         self.stats = index.stats
+        # driver-side term-stats cache: the index is immutable, queries
+        # repeat terms, and each miss costs a (tiny but job-scheduling-
+        # bound) filtered collect — the TermStates caching analog
+        self._term_stats_cache: dict[str, tuple[int, int]] = {}
 
     # -- driver-side stats (collectionStatistics/termStatistics analog) ----
     def term_stats(self, terms: list[str]) -> dict:
         if not terms:
             return {}
-        rows = (self.index.terms
-                .filter(F.col("term").isin(list(terms)))
-                .select("term", "df", "ttf").collect())
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+        cache = self._term_stats_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = (self.index.terms
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df", "ttf").collect())
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                cache[t] = found.get(t, (0, 0))
+        return {t: cache[t] for t in terms if cache[t][0] > 0}
 
     def _plan(self, query):
         """Normalize the AST into flat kernel spec lists."""
