@@ -39,12 +39,18 @@ _RAW_CACHE: dict = {}
 K1, B = 1.2, 0.75
 
 
+TITLE_EXPR = "concat_ws(' ', slice(regexp_extract_all(text, '[a-z0-9]+', 0), 1, 5))"
+
+
 def _index(spark: SparkSession, sf_dir: str):
     key = sf_dir.rstrip("/")
     if key not in _CACHE:
         docs = spark.read.parquet(f"{key}/documents.parquet")
+        # title = first 5 regex tokens of text (deterministic, SQL-replicable)
+        docs = docs.withColumn("title", F.expr(TITLE_EXPR))
         builder = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
-                               salt_target=512, with_positions=True)
+                               salt_target=512, with_positions=True,
+                               fields=("text", "title"))
         idx = builder.build(spark, docs).cache()
         _CACHE[key] = (docs, idx, Searcher(spark, idx, k1=K1, b=B))
     return _CACHE[key]
@@ -123,7 +129,8 @@ def q_prefix_docs(spark, sf_dir):
 def q_wildcard_terms(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     terms = mt.wildcard_terms(s.index.terms, "s*m")  # stream
-    return (s.index.terms.filter(F.col("term").isin(terms))
+    return (s.index.terms.filter((F.col("field") == "text")
+                                 & F.col("term").isin(terms))
             .select("term", F.col("df").cast("long").alias("df"),
                     F.col("ttf").cast("long").alias("ttf")).orderBy("term"))
 
@@ -131,14 +138,16 @@ def q_wildcard_terms(spark, sf_dir):
 def q_fuzzy_terms(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     terms = mt.fuzzy_terms(s.index.terms, "spank", max_edits=1)
-    return (s.index.terms.filter(F.col("term").isin(terms))
+    return (s.index.terms.filter((F.col("field") == "text")
+                                 & F.col("term").isin(terms))
             .select("term", F.col("df").cast("long").alias("df")).orderBy("term"))
 
 
 def q_range_terms(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     terms = mt.range_terms(s.index.terms, "a", "g")
-    return (s.index.terms.filter(F.col("term").isin(terms))
+    return (s.index.terms.filter((F.col("field") == "text")
+                                 & F.col("term").isin(terms))
             .select("term", F.col("df").cast("long").alias("df"),
                     F.col("ttf").cast("long").alias("ttf")).orderBy("term"))
 
@@ -151,7 +160,7 @@ def q_term_in_set_docs(spark, sf_dir):
 
 def q_doc_freq(spark, sf_dir):
     s = _searcher(spark, sf_dir)
-    return (s.index.terms
+    return (s.index.terms.filter(F.col("field") == "text")
             .select("term", F.col("df").cast("long").alias("df"),
                     F.col("ttf").cast("long").alias("ttf"))
             .orderBy(F.desc("df"), F.asc("term")).limit(20))
@@ -159,7 +168,7 @@ def q_doc_freq(spark, sf_dir):
 
 def q_collection_stats(spark, sf_dir):
     s = _searcher(spark, sf_dir)
-    st = s.stats
+    st = s.field_stats("text")
     avgdl = round(st["sum_ttf"] / float(st["doc_count"]), 4)
     return spark.createDataFrame(
         [(st["doc_count"], st["sum_ttf"], avgdl)],
@@ -169,7 +178,8 @@ def q_collection_stats(spark, sf_dir):
 def q_norms(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     lt = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
-    return (s.index.norms.filter(F.col("doc_id") < 100)
+    return (s.index.norms.filter((F.col("field") == "text")
+                                 & (F.col("doc_id") < 100))
             .select(F.col("doc_id").cast("long"),
                     F.col("dl").cast("long").alias("dl"),
                     F.element_at(lt, F.col("norm") + 1).cast("long").alias("dlq"))
@@ -214,8 +224,8 @@ def q_dismax_topk(spark, sf_dir):
 
 def q_tokens_per_lang(spark, sf_dir):
     docs, idx, s = _index(spark, sf_dir)
-    b = IndexBuilder(ENGLISH_ANALYZER)
-    raw = b.invert(docs)
+    # idx.raw is the persisted invert output — no re-analysis (VERDICT #4)
+    raw = idx.raw.filter(F.col("field") == "text")
     j = raw.join(docs.select("doc_id", "lang"), "doc_id")
     return (j.groupBy("lang")
             .agg(F.sum("freq").cast("long").alias("n_tokens"),

@@ -75,6 +75,40 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def vbyte_encode_batch(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized VByte of MANY values at once (the build hot path).
+
+    Returns (buf, offsets): ``buf[offsets[i]:offsets[i+1]]`` is the
+    encoding of ``values[i]`` — byte-identical to :func:`vbyte_encode`
+    value-by-value (7 LSB-first data bits per byte, high bit =
+    continuation). Callers slice contiguous runs out of ``buf`` to get
+    per-run streams without any per-value Python.
+    """
+    v = np.asarray(values, dtype=np.int64)
+    if len(v) == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    nb = np.ones(len(v), dtype=np.int64)
+    thresh = np.int64(1 << 7)
+    while True:
+        over = v >= thresh
+        if not over.any():
+            break
+        nb[over] += 1
+        if thresh > (np.int64(1) << 55):
+            break
+        thresh <<= 7
+    offsets = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    buf = np.zeros(offsets[-1], dtype=np.uint8)
+    for j in range(int(nb.max())):
+        sel = nb > j
+        idx = offsets[:-1][sel] + j
+        chunk = (v[sel] >> (7 * j)) & 0x7F
+        cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
+        buf[idx] = chunk.astype(np.uint8) | cont
+    return buf, offsets
+
+
 def vbyte_decode(buf: bytes, count: int) -> np.ndarray:
     """Vectorized VByte decode (no per-value Python loop)."""
     if count == 0:

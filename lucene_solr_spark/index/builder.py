@@ -4,20 +4,25 @@ Pipeline (Spark restatement of the reference's indexing chain,
 `index/IndexingChain.java:464,506,887` → `FreqProxTermsWriter.java:79` →
 `codecs/lucene84/Lucene84PostingsWriter.java:218-375`):
 
-  stage 1 (narrow, no shuffle)   docs --mapInPandas--> (doc_id, term, freq, norm[, pos_blob])
-                                 — the per-doc term hash (TermsHashPerField.add)
-  stage 2 (shuffle #1, partial agg) groupBy(term) → df/ttf + singleton pulsing
-                                 — the term dictionary (BlockTreeTermsWriter)
+  stage 1 (narrow, no shuffle)   docs --mapInPandas--> (doc_id, field,
+                                 term, freq, norm[, pos_blob])
+                                 — the per-doc term hash (TermsHashPerField
+                                 .add), VECTORIZED: pandas/numpy batch
+                                 tokenize→lower→stop→group, no per-token
+                                 Python (north-rule "no per-row Python")
+  stage 2 (shuffle #1, partial agg) groupBy(field, term) → df/ttf +
+                                 singleton pulsing — the per-field term
+                                 dictionary (BlockTreeTermsWriter; Terms
+                                 are (field, text) pairs, `index/Term.
+                                 java:69`, FieldInfos.java:40)
   stage 3 (shuffle #2)           repartitionByRange(bucket) → JVM sort
-                                 (bucket, term, doc_id) → narrow mapInPandas
-                                 pack — flush+merge (FreqProxTermsWriter/
-                                 SegmentMerger): 128-posting Δ+FOR/PFOR
-                                 blocks, VByte tails, inline norm bytes,
-                                 competitive-impact skylines — emitted
-                                 DIRECTLY in the final doc-sharded layout
-                                 (whole grid cells per partition; parquet
-                                 row-group pruning on the term sort order
-                                 replaces the FST term index)
+                                 (bucket, field, term, doc_id) → narrow
+                                 mapInPandas pack — flush+merge
+                                 (FreqProxTermsWriter/SegmentMerger):
+                                 128-posting Δ+FOR/PFOR blocks, VByte
+                                 tails, inline norm bytes, competitive-
+                                 impact skylines — emitted DIRECTLY in
+                                 the final doc-sharded layout
 
 Skew (north rule): head-term posting lists are split EXPLICITLY at
 grid-cell boundaries — the shuffle key is the doc-range cell, never the
@@ -31,11 +36,17 @@ cross-partition leakage.
 docIDs are globally dense and deterministic: the caller supplies them
 (documents.parquet ships doc_id; the synthetic pages corpus derives them
 from the url sort order) — never monotonically_increasing_id.
+
+Fields: every text column is a field; a Term is (field, text) exactly as
+in the reference (`index/Term.java:69`). Norms, dictionary stats and
+BM25 collection statistics (docCount, sumTotalTermFreq) are per-field
+(`search/IndexSearcher.java:914-933`).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from itertools import chain
 
 import numpy as np
 import pandas as pd
@@ -43,20 +54,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import ENGLISH_ANALYZER, StandardAnalyzer
+from ..analysis.lowercase import _multi_char_exceptions, simple_lowercase
+from ..analysis.tokenizer import _HAS_IDEO_RE, _TOKEN_RE, tokenize_raw
 from ..functions import codec
 from ..functions.impacts import skyline
 from ..functions.smallfloat import int_to_byte4
 
-RAW_SCHEMA = "doc_id long, term string, freq int, norm int, pos_blob binary"
+RAW_SCHEMA = ("doc_id long, field string, term string, freq int, norm int, "
+              "pos_blob binary")
+
+DEFAULT_FIELD = "text"
 
 # norm byte for doc lengths < 2^16 without per-doc numpy round-trips
 _NORM_LUT = int_to_byte4(np.arange(1 << 16)).astype(np.uint8)
 
+POSTINGS_SCHEMA = (
+    "field string, term string, bucket long, block_id long, doc_count int, "
+    "last_doc long, doc_blob binary, freq_blob binary, norm_blob binary, "
+    "imp_freqs array<int>, imp_norms array<int>, pos_blob binary"
+)
+
+_FALLBACK_RE = None  # built lazily (scans the unicode table once/process)
+
+
+def _fallback_re():
+    """Rows matching this take the exact per-doc analyzer path: mixed
+    CJK scripts (tokenizer split rules) or codepoints whose Java simple
+    lowercase differs from Python full lowercase."""
+    global _FALLBACK_RE
+    if _FALLBACK_RE is None:
+        import re
+        exc = "".join(re.escape(c) for c in _multi_char_exceptions())
+        _FALLBACK_RE = re.compile("[一-鿿㐀-䶿぀-ヿ" + exc + "]")
+    return _FALLBACK_RE
+
 
 def _vbyte_positions(pos) -> bytes:
-    """Delta + VByte of an ascending position list (codec.vbyte format:
-    7 data bits LSB-first, high bit = continuation). Pure-Python fast path
-    for the tiny per-(doc,term) lists the inverter emits."""
+    """Delta + VByte of an ascending position list (codec.vbyte format).
+    Retained for the per-doc fallback path and tests; the vectorized
+    inverter uses codec.vbyte_encode_batch."""
     out = bytearray()
     prev = 0
     for p in pos:
@@ -68,11 +104,77 @@ def _vbyte_positions(pos) -> bytes:
         out.append(d)
     return bytes(out)
 
-POSTINGS_SCHEMA = (
-    "term string, bucket long, block_id long, doc_count int, last_doc long, "
-    "doc_blob binary, freq_blob binary, norm_blob binary, "
-    "imp_freqs array<int>, imp_norms array<int>, pos_blob binary"
-)
+
+def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
+                        analyzer: StandardAnalyzer, with_pos: bool):
+    """Vectorized single-field inversion of one Arrow batch.
+
+    → None, or dict of parallel arrays (doc_id, term, freq, norm
+    [, pos_blob]) — one entry per (doc, term) pair, byte-identical to
+    running ``analyzer.term_positions`` per doc (differential-tested in
+    tests/test_analyzer.py). Tokenize/lower/stop/group all run as
+    pandas/numpy batch ops; only exotic-script rows fall back to the
+    per-doc reference path.
+    """
+    texts = texts.fillna("")
+    fallback = texts.str.contains(_fallback_re(), regex=True, na=False).to_numpy()
+    lists = texts.str.findall(_TOKEN_RE)
+    if fallback.any():
+        lists = lists.copy()
+        for i in np.flatnonzero(fallback):
+            lists.iat[i] = tokenize_raw(texts.iat[i])
+    counts = np.fromiter(map(len, lists), dtype=np.int64, count=len(lists))
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    flat = pd.Series(list(chain.from_iterable(lists)), dtype="object")
+    local = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    cum0 = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum0[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
+
+    lens = flat.str.len().to_numpy()
+    low = flat.str.lower()
+    if fallback.any():
+        tok_fb = fallback[local]
+        if tok_fb.any():
+            low = low.copy()
+            low[tok_fb] = flat[tok_fb].map(simple_lowercase)
+    keep = lens <= analyzer.max_token_length
+    if analyzer.stop_words:
+        keep &= ~low.isin(analyzer.stop_words).to_numpy()
+    if not keep.any():
+        return None
+    did_k = local[keep]
+    term_k = low.to_numpy()[keep]
+    pos_k = pos[keep]
+
+    dl = np.bincount(did_k, minlength=len(texts))
+    nb = _NORM_LUT[np.minimum(dl, len(_NORM_LUT) - 1)].astype(np.int64)
+    big = dl >= len(_NORM_LUT)
+    if big.any():
+        nb[big] = int_to_byte4(dl[big])
+
+    codes, uniq = pd.factorize(term_k)
+    order = np.lexsort((codes, did_k))   # stable: positions stay ascending
+    d_s, c_s, p_s = did_k[order], codes[order], pos_k[order]
+    change = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    run_starts = np.flatnonzero(change)
+    run_ends = np.r_[run_starts[1:], len(d_s)]
+    out = {
+        "doc_id": doc_ids[d_s[run_starts]],
+        "term": np.asarray(uniq, dtype=object)[c_s[run_starts]],
+        "freq": (run_ends - run_starts).astype(np.int32),
+        "norm": nb[d_s[run_starts]].astype(np.int32),
+    }
+    if with_pos:
+        delta = p_s.copy()
+        delta[1:] = p_s[1:] - p_s[:-1]
+        delta[run_starts] = p_s[run_starts]
+        buf, off = codec.vbyte_encode_batch(delta)
+        out["pos_blob"] = [buf[off[s]:off[e]].tobytes()
+                           for s, e in zip(run_starts, run_ends)]
+    return out
 
 
 @dataclass
@@ -82,11 +184,26 @@ class InvertedIndex:
     postings: DataFrame
     terms: DataFrame
     norms: DataFrame
-    stats: dict                      # doc_count, sum_ttf, sum_df, max_doc, grid
+    stats: dict            # doc_count, sum_ttf, sum_df, max_doc, grid, fields
     analyzer: StandardAnalyzer = field(default_factory=lambda: ENGLISH_ANALYZER)
     with_positions: bool = False
     raw: DataFrame | None = None     # persisted intermediate; release()-able
     timings: dict = field(default_factory=dict)   # per-stage build seconds
+
+    @property
+    def fields(self) -> list[str]:
+        return sorted(self.stats.get("fields", {DEFAULT_FIELD: None}).keys())
+
+    def field_stats(self, fld: str) -> dict:
+        """Per-field collection statistics (docCount, sumTotalTermFreq) —
+        `search/IndexSearcher.java:914-933`. Legacy single-field stats
+        dicts fall back to the global numbers."""
+        fs = self.stats.get("fields")
+        if fs and fld in fs:
+            return fs[fld]
+        return {"doc_count": self.stats["doc_count"],
+                "sum_ttf": self.stats["sum_ttf"],
+                "sum_df": self.stats.get("sum_df", 0)}
 
     def release(self) -> None:
         """Unpersist every DataFrame this index pinned (builder's raw
@@ -108,14 +225,26 @@ class InvertedIndex:
         return self
 
 
+def _shuffle_n(spark: SparkSession) -> int:
+    """Shuffle width, robust to non-numeric conf values (AQE 'auto')."""
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        n = spark.sparkContext.defaultParallelism
+    return max(n, spark.sparkContext.defaultParallelism * 2, 8)
+
+
 class IndexBuilder:
     def __init__(self, analyzer: StandardAnalyzer = ENGLISH_ANALYZER,
                  grid: int = 1 << 17, head_df: int = 4096,
-                 salt_target: int = 4096, with_positions: bool = False):
+                 salt_target: int = 4096, with_positions: bool = False,
+                 fields: tuple = (DEFAULT_FIELD,)):
         """grid: doc-range cell size blocks never cross — the query shard
         unit AND the skew bound (no term contributes more than `grid`
         postings to any pack task). head_df / salt_target are retained
         for manifest compatibility; the grid-cell shuffle subsumes them.
+        fields: text columns to index; each column is a field and every
+        Term is a (field, text) pair (`index/Term.java:69`).
         Sandbox default sizes; at cluster scale use grid=1<<17+ (same
         code path)."""
         self.analyzer = analyzer
@@ -123,64 +252,67 @@ class IndexBuilder:
         self.head_df = head_df
         self.salt_target = salt_target
         self.with_positions = with_positions
+        self.fields = tuple(fields)
 
     # ------------------------------------------------------------------
     # stage 1: invert (narrow)
     # ------------------------------------------------------------------
-    def invert(self, docs: DataFrame, doc_id_col="doc_id", text_col="text") -> DataFrame:
+    def invert(self, docs: DataFrame, doc_id_col="doc_id",
+               text_col: str | None = None,
+               fields: tuple | None = None) -> DataFrame:
+        flds = self._resolve_fields(text_col, fields)
         analyzer = self.analyzer
         with_pos = self.with_positions
 
         def invert_batches(batches):
-            lut = _NORM_LUT
             for pdf in batches:
-                rows_doc, rows_term, rows_freq, rows_norm, rows_pos = [], [], [], [], []
-                for did, text in zip(pdf[doc_id_col].to_numpy(),
-                                     pdf[text_col].to_numpy()):
-                    tp = analyzer.term_positions(text or "")
-                    if not tp:
+                dids = pdf[doc_id_col].to_numpy()
+                frames = []
+                for fld in flds:
+                    arrs = invert_field_arrays(dids, pdf[fld], analyzer,
+                                               with_pos)
+                    if arrs is None:
                         continue
-                    dl = 0
-                    for v in tp.values():
-                        dl += len(v)
-                    nb = (int(lut[dl]) if dl < len(lut)
-                          else int(int_to_byte4(np.array([dl]))[0]))
-                    for term, pos in tp.items():
-                        rows_doc.append(did)
-                        rows_term.append(term)
-                        rows_freq.append(len(pos))
-                        rows_norm.append(nb)
-                        if with_pos:
-                            rows_pos.append(_vbyte_positions(pos))
-                        else:
-                            rows_pos.append(None)
-                yield pd.DataFrame({
-                    "doc_id": pd.Series(rows_doc, dtype="int64"),
-                    "term": pd.Series(rows_term, dtype="object"),
-                    "freq": pd.Series(rows_freq, dtype="int32"),
-                    "norm": pd.Series(rows_norm, dtype="int32"),
-                    "pos_blob": pd.Series(rows_pos, dtype="object"),
-                })
+                    n = len(arrs["doc_id"])
+                    frames.append(pd.DataFrame({
+                        "doc_id": pd.Series(arrs["doc_id"], dtype="int64"),
+                        "field": pd.Series([fld] * n, dtype="object"),
+                        "term": pd.Series(arrs["term"], dtype="object"),
+                        "freq": pd.Series(arrs["freq"], dtype="int32"),
+                        "norm": pd.Series(arrs["norm"], dtype="int32"),
+                        "pos_blob": pd.Series(
+                            arrs.get("pos_blob", [None] * n), dtype="object"),
+                    }))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
-        return docs.select(doc_id_col, text_col).mapInPandas(
+        return docs.select(doc_id_col, *flds).mapInPandas(
             invert_batches, schema=RAW_SCHEMA)
+
+    def _resolve_fields(self, text_col, fields) -> tuple:
+        if fields is not None:
+            return tuple(fields)
+        if text_col is not None:
+            return (text_col,)
+        return self.fields
 
     # ------------------------------------------------------------------
     # full build
     # ------------------------------------------------------------------
     def build(self, spark: SparkSession, docs: DataFrame,
-              doc_id_col="doc_id", text_col="text") -> InvertedIndex:
+              doc_id_col="doc_id", text_col: str | None = None,
+              fields: tuple | None = None) -> InvertedIndex:
         # Decouple invert parallelism from the input's file layout: a 1 GB
         # corpus in ~30 MB files coalesces to <10 scan partitions under
         # maxPartitionBytes, which would serialize the (Python-bound)
         # analyzer stage. Round-robin repartition = the DWPT work-queue
         # analog; index content is order-independent, so this is safe.
         import time as _time
+        flds = self._resolve_fields(text_col, fields)
         timings: dict = {}
         t0 = _time.perf_counter()
-        n_inv = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                    spark.sparkContext.defaultParallelism * 2, 8)
-        raw = self.invert(docs.repartition(n_inv), doc_id_col, text_col)
+        n_inv = _shuffle_n(spark)
+        raw = self.invert(docs.repartition(n_inv), doc_id_col, fields=flds)
         # One logical pass feeds three aggregations; cache the (much smaller
         # than the corpus) raw postings to avoid re-running the analyzer.
         # At cluster scale this is a checkpoint table instead (catalog.py).
@@ -189,8 +321,9 @@ class IndexBuilder:
         timings["invert_sec"] = round(_time.perf_counter() - t0, 3)
         t0 = _time.perf_counter()
 
-        # --- term dictionary + singleton pulsing (shuffle w/ partial agg)
-        terms = (raw.groupBy("term")
+        # --- per-field term dictionary + singleton pulsing (shuffle w/
+        # partial agg). Terms are (field, text) pairs.
+        terms = (raw.groupBy("field", "term")
                  .agg(F.count("*").alias("df"),
                       F.sum("freq").alias("ttf"),
                       F.min("doc_id").alias("singleton_doc"),
@@ -203,42 +336,49 @@ class IndexBuilder:
                  .withColumn("singleton_norm",
                              F.when(F.col("df") == 1, F.col("singleton_norm"))))
         terms = terms.repartitionByRange(
-            max(4, spark.sparkContext.defaultParallelism // 2), "term"
-        ).sortWithinPartitions("term").persist()
+            max(4, spark.sparkContext.defaultParallelism // 2), "field", "term"
+        ).sortWithinPartitions("field", "term").persist()
 
-        # --- norms + collection stats
-        norms = (raw.groupBy("doc_id")
+        # --- per-(field, doc) norms + per-field collection stats
+        norms = (raw.groupBy("field", "doc_id")
                  .agg(F.sum("freq").alias("dl"), F.max("norm").alias("norm"))
                  .repartitionByRange(max(4, spark.sparkContext.defaultParallelism // 2),
                                      "doc_id")
-                 .sortWithinPartitions("doc_id")).persist()
-        srow = norms.agg(F.count("*").alias("doc_count"),
-                         F.sum("dl").alias("sum_ttf"),
+                 .sortWithinPartitions("field", "doc_id")).persist()
+        frows = (norms.groupBy("field")
+                 .agg(F.count("*").alias("doc_count"),
+                      F.sum("dl").alias("sum_ttf"))).collect()
+        sdf_rows = terms.groupBy("field").agg(F.sum("df").alias("sum_df")).collect()
+        sdf = {r["field"]: int(r["sum_df"]) for r in sdf_rows}
+        fstats = {r["field"]: {"doc_count": int(r["doc_count"]),
+                               "sum_ttf": int(r["sum_ttf"]),
+                               "sum_df": sdf.get(r["field"], 0)}
+                  for r in frows}
+        grow = norms.agg(F.countDistinct("doc_id").alias("doc_count"),
                          F.max("doc_id").alias("max_doc")).collect()[0]
-        sum_df = terms.agg(F.sum("df")).collect()[0][0]
-        stats = {"doc_count": int(srow["doc_count"]),
-                 "sum_ttf": int(srow["sum_ttf"]),
-                 "sum_df": int(sum_df),
-                 "max_doc": int(srow["max_doc"]),
-                 "grid": self.grid}
+        stats = {"doc_count": int(grow["doc_count"]),
+                 "sum_ttf": sum(v["sum_ttf"] for v in fstats.values()),
+                 "sum_df": sum(v["sum_df"] for v in fstats.values()),
+                 "max_doc": int(grow["max_doc"]),
+                 "grid": self.grid,
+                 "fields": fstats}
         timings["dict_norms_stats_sec"] = round(_time.perf_counter() - t0, 3)
         t0 = _time.perf_counter()
 
         # --- pack: ONE shuffle, directly into the final doc-sharded layout.
         # Range-partition by grid cell (whole cells per partition — the
         # Solr shard model, QueryComponent.java:810 mergeIds), JVM-sort by
-        # (bucket, term, doc_id), then a narrow mapInPandas walks the
-        # sorted runs and emits 128-posting blocks. Head-term skew is
+        # (bucket, field, term, doc_id), then a narrow mapInPandas walks
+        # the sorted runs and emits 128-posting blocks. Head-term skew is
         # handled STRUCTURALLY: a term's postings are split at grid-cell
         # boundaries, so no per-term list ever exceeds `grid` docs — this
         # is the salted split (salt == doc range) taken to its limit, and
         # it preserves docID order by construction. Query-time kernels
         # need NO shuffle: filter(term) is narrow and every cell's blocks
-        # are contiguous; Parquet row-group stats on the (bucket, term)
-        # sort order still prune term lookups on disk.
+        # are contiguous; Parquet row-group stats on the (bucket, field,
+        # term) sort order still prune term lookups on disk.
         grid = self.grid
-        n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                     spark.sparkContext.defaultParallelism * 2, 8)
+        n_part = _shuffle_n(spark)
         with_pos = self.with_positions
 
         def pack(batches):
@@ -246,7 +386,7 @@ class IndexBuilder:
 
         postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                     .repartitionByRange(n_part, "bucket")
-                    .sortWithinPartitions("bucket", "term", "doc_id")
+                    .sortWithinPartitions("bucket", "field", "term", "doc_id")
                     .mapInPandas(pack, schema=POSTINGS_SCHEMA))
 
         timings["pack_plan_sec"] = round(_time.perf_counter() - t0, 3)
@@ -261,10 +401,10 @@ class IndexBuilder:
 def pack_partition(batches, grid: int, with_pos: bool):
     """Pack a bucket-range partition of sorted raw postings into block rows.
 
-    Input arrives sorted by (bucket, term, doc_id); every (bucket, term)
-    run becomes 128-posting blocks (Lucene84PostingsWriter.startDoc
-    semantics: Δ-from-previous-doc, FOR full blocks, VByte tail) with
-    inline norm bytes, competitive-impact skylines, optional packed
+    Input arrives sorted by (bucket, field, term, doc_id); every (bucket,
+    field, term) run becomes 128-posting blocks (Lucene84PostingsWriter.
+    startDoc semantics: Δ-from-previous-doc, FOR full blocks, VByte tail)
+    with inline norm bytes, competitive-impact skylines, optional packed
     positions. The trailing run of each Arrow batch is buffered — it may
     continue in the next batch.
     """
@@ -277,7 +417,8 @@ def pack_partition(batches, grid: int, with_pos: bool):
             continue
         b = pdf["bucket"].to_numpy()
         t = pdf["term"].to_numpy()
-        same_last = (b == b[-1]) & (t == t[-1])
+        fl = pdf["field"].to_numpy()
+        same_last = (b == b[-1]) & (t == t[-1]) & (fl == fl[-1])
         nz = np.flatnonzero(~same_last)
         start_last = int(nz[-1]) + 1 if len(nz) else 0
         buf = pdf.iloc[start_last:]
@@ -288,52 +429,83 @@ def pack_partition(batches, grid: int, with_pos: bool):
         yield _pack_frame(buf, grid, with_pos)
 
 
+_TAIL_TAG = bytes([codec._TAG_VBYTE])
+
+
 def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
+    """Vectorized run→block packing: doc deltas and VByte tails are
+    computed for the whole frame in batch numpy passes; per-block Python
+    is reduced to buffer slicing plus FOR/PFOR encodes for full blocks."""
     docs = pdf["doc_id"].to_numpy()
+    n = len(docs)
+    fields_arr = pdf["field"].to_numpy()
     terms_arr = pdf["term"].to_numpy()
     buckets = pdf["bucket"].to_numpy()
     freqs = pdf["freq"].to_numpy().astype(np.int64)
-    norms = pdf["norm"].to_numpy().astype(np.int64)
+    norms_u8 = pdf["norm"].to_numpy().astype(np.uint8)
     poss = pdf["pos_blob"].to_numpy() if with_pos else None
 
-    out = {k: [] for k in ("term", "bucket", "block_id", "doc_count",
-                           "last_doc", "doc_blob", "freq_blob", "norm_blob",
-                           "imp_freqs", "imp_norms", "pos_blob")}
     change = np.r_[True, (buckets[1:] != buckets[:-1])
-                   | (terms_arr[1:] != terms_arr[:-1])]
-    starts = np.flatnonzero(change)
-    bounds = np.r_[starts, len(docs)]
-    for gi in range(len(starts)):
-        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-        term = terms_arr[lo]
-        bucket = int(buckets[lo])
-        for s in range(lo, hi, codec.BLOCK_SIZE):
-            e = min(s + codec.BLOCK_SIZE, hi)
-            bd, bf, bn = docs[s:e], freqs[s:e], norms[s:e]
-            first = int(bd[0])
-            doc_blob, freq_blob = codec.encode_block_payloads(bd, bf, first - 1)
-            sf, sn = skyline(bf, bn)
-            pos_blob = None
-            if with_pos:
-                # per-(doc,term) streams arrive pre-VByte'd from invert
-                pos_blob = b"".join(bytes(p) for p in poss[s:e])
-            out["term"].append(term)
-            out["bucket"].append(bucket)
-            out["block_id"].append(first)
-            out["doc_count"].append(e - s)
-            out["last_doc"].append(int(bd[-1]))
-            out["doc_blob"].append(doc_blob)
-            out["freq_blob"].append(freq_blob)
-            out["norm_blob"].append(bn.astype(np.uint8).tobytes())
-            out["imp_freqs"].append(sf.astype(np.int32).tolist())
-            out["imp_norms"].append(sn.astype(np.int32).tolist())
-            out["pos_blob"].append(pos_blob)
-    res = pd.DataFrame(out)
-    res["bucket"] = res["bucket"].astype("int64")
-    res["block_id"] = res["block_id"].astype("int64")
-    res["doc_count"] = res["doc_count"].astype("int32")
-    res["last_doc"] = res["last_doc"].astype("int64")
-    return res
+                   | (terms_arr[1:] != terms_arr[:-1])
+                   | (fields_arr[1:] != fields_arr[:-1])]
+    run_starts = np.flatnonzero(change)
+    run_ends = np.r_[run_starts[1:], n]
+    run_lens = run_ends - run_starts
+    nblocks = (run_lens + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    block_run = np.repeat(np.arange(len(run_starts)), nblocks)
+    cumb = np.zeros(len(nblocks), dtype=np.int64)
+    np.cumsum(nblocks[:-1], out=cumb[1:])
+    within = np.arange(total_blocks, dtype=np.int64) - cumb[block_run]
+    b_start = run_starts[block_run] + within * codec.BLOCK_SIZE
+    b_end = np.minimum(b_start + codec.BLOCK_SIZE, run_ends[block_run])
+    b_len = b_end - b_start
+
+    # global Δ stream; first-of-block Δ is 1 (block base = first_doc - 1)
+    delta = docs.copy()
+    delta[1:] = docs[1:] - docs[:-1]
+    delta[b_start] = 1
+    dbuf, doff = codec.vbyte_encode_batch(delta)
+    fbuf, foff = codec.vbyte_encode_batch(freqs)
+
+    full = codec.BLOCK_SIZE
+    doc_blobs, freq_blobs, norm_blobs = [], [], []
+    imp_f, imp_n, pos_blobs = [], [], []
+    for i in range(total_blocks):
+        s, e = int(b_start[i]), int(b_end[i])
+        if b_len[i] == full:
+            doc_blobs.append(codec.encode_for(delta[s:e]))
+            freq_blobs.append(codec.encode_pfor(freqs[s:e]))
+        else:
+            doc_blobs.append(_TAIL_TAG + dbuf[doff[s]:doff[e]].tobytes())
+            freq_blobs.append(_TAIL_TAG + fbuf[foff[s]:foff[e]].tobytes())
+        norm_blobs.append(norms_u8[s:e].tobytes())
+        if e - s == 1:
+            imp_f.append([int(freqs[s])])
+            imp_n.append([int(norms_u8[s])])
+        else:
+            sf, sn = skyline(freqs[s:e], norms_u8[s:e])
+            imp_f.append(sf.astype(np.int32).tolist())
+            imp_n.append(sn.astype(np.int32).tolist())
+        if with_pos:
+            pos_blobs.append(b"".join(bytes(p) for p in poss[s:e]))
+        else:
+            pos_blobs.append(None)
+
+    return pd.DataFrame({
+        "field": pd.Series(fields_arr[b_start], dtype="object"),
+        "term": pd.Series(terms_arr[b_start], dtype="object"),
+        "bucket": pd.Series(buckets[b_start], dtype="int64"),
+        "block_id": pd.Series(docs[b_start], dtype="int64"),
+        "doc_count": pd.Series(b_len, dtype="int32"),
+        "last_doc": pd.Series(docs[b_end - 1], dtype="int64"),
+        "doc_blob": pd.Series(doc_blobs, dtype="object"),
+        "freq_blob": pd.Series(freq_blobs, dtype="object"),
+        "norm_blob": pd.Series(norm_blobs, dtype="object"),
+        "imp_freqs": pd.Series(imp_f, dtype="object"),
+        "imp_norms": pd.Series(imp_n, dtype="object"),
+        "pos_blob": pd.Series(pos_blobs, dtype="object"),
+    })
 
 
 def decode_postings_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -355,3 +527,19 @@ def decode_positions_blob(pos_blob: bytes, freqs: np.ndarray) -> list[np.ndarray
         outs.append(np.cumsum(flat[off:off + f]))
         off += f
     return outs
+
+
+def decode_positions_flat(pos_blob: bytes, freqs: np.ndarray) -> np.ndarray:
+    """All positions of a block as one flat array (per-doc streams are
+    delta-from-zero; vectorized segmented cumsum, no per-doc loop)."""
+    f = np.asarray(freqs, dtype=np.int64)
+    total = int(f.sum())
+    flat = codec.vbyte_decode(bytes(pos_blob), total)
+    if total == 0:
+        return flat
+    csum = np.cumsum(flat)
+    starts = np.zeros(len(f), dtype=np.int64)
+    np.cumsum(f[:-1], out=starts[1:])
+    # subtract the running total at each doc boundary to restart the cumsum
+    base = np.repeat(csum[starts - 1] * (starts > 0), f)
+    return csum - base

@@ -38,15 +38,39 @@ MANIFEST = "MANIFEST.json"
 
 
 def _input_fingerprint(docs: DataFrame) -> dict:
-    files = sorted(f.split("/")[-1] for f in docs.inputFiles())
-    return {"n_rows": docs.count(), "n_files": len(files),
-            "files_head": files[:8]}
+    """Content-sensitive fingerprint for resume keying.
+
+    File-backed inputs: full paths + sizes (not just basenames — two
+    directories with same-named parts must not collide). In-memory
+    inputs (no inputFiles): hash a deterministic row sample so e.g.
+    generated corpora with equal row counts but different seeds never
+    collide (same-key resume would silently return the wrong index).
+    """
+    import hashlib
+    files = sorted(docs.inputFiles())
+    if files:
+        sizes = []
+        for f in files[:64]:
+            p = f.removeprefix("file:")
+            try:
+                sizes.append(os.path.getsize(p))
+            except OSError:
+                sizes.append(-1)
+        return {"n_rows": docs.count(), "n_files": len(files),
+                "files": files[:64], "sizes": sizes}
+    # content sample: md5 over a deterministic slice of the rows
+    sample = docs.limit(256).collect()
+    h = hashlib.md5()
+    for row in sample:
+        h.update(repr(tuple(row)).encode())
+    return {"n_rows": docs.count(), "content_md5": h.hexdigest()}
 
 
 def _params(builder: IndexBuilder) -> dict:
     return {"grid": builder.grid, "head_df": builder.head_df,
             "salt_target": builder.salt_target,
             "with_positions": builder.with_positions,
+            "fields": list(builder.fields),
             "stop_words": sorted(builder.analyzer.stop_words),
             "max_token_length": builder.analyzer.max_token_length}
 
@@ -114,7 +138,7 @@ def load(spark: SparkSession, path: str,
     postings = (spark.read.parquet(f"{path}/postings")
                 .repartitionByRange(
                     max(4, spark.sparkContext.defaultParallelism), "bucket")
-                .sortWithinPartitions("bucket", "term", "block_id"))
+                .sortWithinPartitions("bucket", "field", "term", "block_id"))
     return InvertedIndex(
         postings=postings,
         terms=spark.read.parquet(f"{path}/terms"),

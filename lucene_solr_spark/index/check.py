@@ -29,13 +29,13 @@ from pyspark.sql import functions as F
 from ..functions.impacts import dominates
 from .builder import InvertedIndex, decode_postings_block
 
-BLOCK_FACTS_SCHEMA = ("term string, bucket long, block_id long, "
+BLOCK_FACTS_SCHEMA = ("field string, term string, bucket long, block_id long, "
                       "doc_count int, sum_freq long, ok boolean, err string")
 
 
 def _block_facts(batches, grid: int):
     for pdf in batches:
-        terms, buckets, bids, dcs, sfs, oks, errs = [], [], [], [], [], [], []
+        flds, terms, buckets, bids, dcs, sfs, oks, errs = [], [], [], [], [], [], [], []
         for row in pdf.itertuples(index=False):
             r = row._asdict()
             err = ""
@@ -64,6 +64,7 @@ def _block_facts(batches, grid: int):
                     err = "impact skyline does not dominate block"    # B4
             except Exception as e:          # decode failure is a finding
                 err = f"decode: {e}"
+            flds.append(r["field"])
             terms.append(r["term"])
             buckets.append(r["bucket"])
             bids.append(r["block_id"])
@@ -72,6 +73,7 @@ def _block_facts(batches, grid: int):
             oks.append(err == "")
             errs.append(err)
         yield pd.DataFrame({
+            "field": pd.Series(flds, dtype="object"),
             "term": pd.Series(terms, dtype="object"),
             "bucket": pd.Series(buckets, dtype="int64"),
             "block_id": pd.Series(bids, dtype="int64"),
@@ -93,11 +95,11 @@ def check_index(idx: InvertedIndex) -> dict:
     for r in bad.collect():
         errors.append(f"block {r['term']}@{r['block_id']}: {r['err']}")
 
-    # T1: dictionary consistency
-    per_term = facts.groupBy("term").agg(
+    # T1: dictionary consistency (Terms are (field, text) pairs)
+    per_term = facts.groupBy("field", "term").agg(
         F.sum("doc_count").alias("df_blocks"),
         F.sum("sum_freq").alias("ttf_blocks"))
-    t = idx.terms.join(per_term, "term", "full_outer")
+    t = idx.terms.join(per_term, ["field", "term"], "full_outer")
     t_bad = t.filter(
         F.col("df_blocks").isNull() | F.col("df").isNull() |
         (F.col("df") != F.col("df_blocks")) |
@@ -114,12 +116,14 @@ def check_index(idx: InvertedIndex) -> dict:
     for r in s_bad.collect():
         errors.append(f"term {r['term']}: singleton pulsing violated")
 
-    # N1: norms + stats
-    nrow = idx.norms.agg(F.count("*").alias("n"), F.sum("dl").alias("s"),
+    # N1: norms + stats (norms are per (field, doc); global doc_count is
+    # distinct docs with any indexed field)
+    nrow = idx.norms.agg(F.countDistinct("doc_id").alias("n"),
+                         F.sum("dl").alias("s"),
                          F.min("dl").alias("mn")).collect()[0]
     if int(nrow["n"]) != idx.stats["doc_count"]:
         errors.append(f"stats.doc_count {idx.stats['doc_count']} != "
-                      f"|norms| {nrow['n']}")
+                      f"|norms docs| {nrow['n']}")
     if int(nrow["s"]) != idx.stats["sum_ttf"]:
         errors.append(f"stats.sum_ttf {idx.stats['sum_ttf']} != "
                       f"sum(dl) {nrow['s']}")

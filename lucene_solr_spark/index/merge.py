@@ -31,24 +31,43 @@ from .builder import IndexBuilder, InvertedIndex
 
 
 def _merge_terms(a: DataFrame, b: DataFrame) -> DataFrame:
-    cols = ["term", "df", "ttf", "singleton_doc", "singleton_freq",
+    cols = ["field", "term", "df", "ttf", "singleton_doc", "singleton_freq",
             "singleton_norm"]
     a, b = a.select(cols), b.select(cols)
-    j = (a.alias("a").join(b.alias("b"), "term", "full_outer"))
+    j = (a.alias("a").join(b.alias("b"), ["field", "term"], "full_outer"))
     df = F.coalesce(F.col("a.df"), F.lit(0)) + F.coalesce(F.col("b.df"), F.lit(0))
     ttf = (F.coalesce(F.col("a.ttf"), F.lit(0)) +
            F.coalesce(F.col("b.ttf"), F.lit(0)))
     merged = j.select(
-        "term", df.alias("df"), ttf.alias("ttf"),
+        "field", "term", df.alias("df"), ttf.alias("ttf"),
         F.coalesce("a.singleton_doc", "b.singleton_doc").alias("s_doc"),
         F.coalesce("a.singleton_freq", "b.singleton_freq").alias("s_freq"),
         F.coalesce("a.singleton_norm", "b.singleton_norm").alias("s_norm"))
     one = F.col("df") == 1
     return merged.select(
-        "term", "df", "ttf",
+        "field", "term", "df", "ttf",
         F.when(one, F.col("s_doc")).alias("singleton_doc"),
         F.when(one, F.col("s_freq")).alias("singleton_freq"),
         F.when(one, F.col("s_norm")).alias("singleton_norm"))
+
+
+def merge_stats(a: dict, b: dict) -> dict:
+    """Additive merge of two stats dicts, per-field sub-stats included."""
+    fields = {}
+    for src in (a.get("fields", {}), b.get("fields", {})):
+        for f, fs in src.items():
+            cur = fields.setdefault(f, {"doc_count": 0, "sum_ttf": 0,
+                                        "sum_df": 0})
+            for k in cur:
+                cur[k] += fs.get(k, 0)
+    return {
+        "doc_count": a["doc_count"] + b["doc_count"],
+        "sum_ttf": a["sum_ttf"] + b["sum_ttf"],
+        "sum_df": a["sum_df"] + b["sum_df"],
+        "max_doc": max(a["max_doc"], b["max_doc"]),
+        "grid": a["grid"],
+        "fields": fields,
+    }
 
 
 def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
@@ -72,20 +91,18 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
     n_part = max(4, spark.sparkContext.defaultParallelism)
     postings = (idx.postings.unionByName(delta.postings)
                 .repartitionByRange(n_part, "bucket")
-                .sortWithinPartitions("bucket", "term", "block_id"))
+                .sortWithinPartitions("bucket", "field", "term", "block_id"))
     terms = (_merge_terms(idx.terms, delta.terms)
-             .repartitionByRange(max(4, n_part // 2), "term")
-             .sortWithinPartitions("term"))
+             .repartitionByRange(max(4, n_part // 2), "field", "term")
+             .sortWithinPartitions("field", "term"))
     norms = (idx.norms.unionByName(delta.norms)
              .repartitionByRange(max(4, n_part // 2), "doc_id")
-             .sortWithinPartitions("doc_id"))
-    stats = {
-        "doc_count": idx.stats["doc_count"] + delta.stats["doc_count"],
-        "sum_ttf": idx.stats["sum_ttf"] + delta.stats["sum_ttf"],
-        "sum_df": idx.stats["sum_df"] + delta.stats["sum_df"],
-        "max_doc": max(idx.stats["max_doc"], delta.stats["max_doc"]),
-        "grid": idx.stats["grid"],
-    }
+             .sortWithinPartitions("field", "doc_id"))
+    stats = merge_stats(idx.stats, delta.stats)
+    # carry the delta's persisted raw postings so release() on the merged
+    # index unpersists them (ADVICE: repeated appends leaked the delta's
+    # cached raw table; the merged postings are lazy over it, so it can't
+    # be released any earlier than the merged index itself)
     return InvertedIndex(postings=postings, terms=terms, norms=norms,
                          stats=stats, analyzer=builder.analyzer,
-                         with_positions=idx.with_positions)
+                         with_positions=idx.with_positions, raw=delta.raw)

@@ -1,11 +1,19 @@
 """Pure-Python single-node oracle with exact Lucene scoring semantics.
 
-The FIXTURES.md §6 oracle: a dict-of-lists inverted index plus float32
-BM25 (k1=1.2, b=0.75), global collection stats, and the reference's
-tie-breaks — score desc, then docID asc (`search/HitQueue.java:76-81`,
+The FIXTURES.md §6 oracle: a dict-of-lists inverted index (per-field, a
+Term is (field, text) — `index/Term.java:69`) plus float32 BM25
+(k1=1.2, b=0.75), per-field collection stats
+(`search/IndexSearcher.java:914-933`), and the reference's tie-breaks —
+score desc, then docID asc (`search/HitQueue.java:76-81`,
 `search/TopDocs.java:34,70`). The Spark engine must be rank-identical
 (docIDs AND float32 scores) to this oracle; the oracle itself is pinned
 by golden tests.
+
+``search_ast`` interprets the SAME flattened clause plan the Spark
+kernel executes (search/executor.py:flatten_plan), so clause ordering —
+and therefore float32 accumulation order — agrees by construction; a
+term appearing in both MUST and SHOULD scores twice, exactly as
+BooleanWeight builds one scorer per clause.
 """
 
 from __future__ import annotations
@@ -16,58 +24,197 @@ from ..analysis.analyzer import StandardAnalyzer
 from ..functions import bm25
 from ..functions.smallfloat import int_to_byte4
 
+DEFAULT_FIELD = "text"
+
 
 class OracleIndex:
     def __init__(self, analyzer: StandardAnalyzer):
         self.analyzer = analyzer
-        self.postings: dict[str, dict[int, int]] = {}   # term -> doc -> freq
-        self.positions: dict[str, dict[int, list[int]]] = {}
-        self.norms: dict[int, int] = {}                  # doc -> norm byte
-        self.doc_len: dict[int, int] = {}
-        self.doc_count = 0
-        self.sum_ttf = 0
+        # per-field structures: field -> term -> doc -> ...
+        self.postings: dict[str, dict[str, dict[int, int]]] = {}
+        self.positions: dict[str, dict[str, dict[int, list[int]]]] = {}
+        self.norms: dict[str, dict[int, int]] = {}     # field -> doc -> byte
+        self.doc_len: dict[str, dict[int, int]] = {}
+        self.field_doc_count: dict[str, int] = {}
+        self.field_sum_ttf: dict[str, int] = {}
+        self.all_docs: set[int] = set()
 
-    def add(self, doc_id: int, text: str):
-        tp = self.analyzer.term_positions(text)
-        length = sum(len(v) for v in tp.values())
-        self.doc_count += 1
-        self.sum_ttf += length
-        self.doc_len[doc_id] = length
-        self.norms[doc_id] = int(int_to_byte4(np.array([length]))[0])
-        for term, pos in tp.items():
-            self.postings.setdefault(term, {})[doc_id] = len(pos)
-            self.positions.setdefault(term, {})[doc_id] = pos
+    def add(self, doc_id: int, text, fields: dict | None = None):
+        """Add a document. ``text`` is the default field's text; extra
+        fields via ``fields={name: text}`` (demo/IndexFiles.java:168-186
+        multi-field document shape)."""
+        fmap = {DEFAULT_FIELD: text} if fields is None else dict(fields)
+        if fields is not None and text is not None:
+            fmap.setdefault(DEFAULT_FIELD, text)
+        added = False
+        for fld, ftext in fmap.items():
+            tp = self.analyzer.term_positions(ftext or "")
+            if not tp:
+                continue
+            added = True
+            length = sum(len(v) for v in tp.values())
+            self.field_doc_count[fld] = self.field_doc_count.get(fld, 0) + 1
+            self.field_sum_ttf[fld] = self.field_sum_ttf.get(fld, 0) + length
+            self.doc_len.setdefault(fld, {})[doc_id] = length
+            self.norms.setdefault(fld, {})[doc_id] = int(
+                int_to_byte4(np.array([length]))[0])
+            fpost = self.postings.setdefault(fld, {})
+            fpos = self.positions.setdefault(fld, {})
+            for term, pos in tp.items():
+                fpost.setdefault(term, {})[doc_id] = len(pos)
+                fpos.setdefault(term, {})[doc_id] = pos
+        if added:
+            self.all_docs.add(doc_id)
+
+    # --- legacy single-field views (existing tests) --------------------
+    @property
+    def doc_count(self) -> int:
+        return self.field_doc_count.get(DEFAULT_FIELD, 0)
+
+    @property
+    def sum_ttf(self) -> int:
+        return self.field_sum_ttf.get(DEFAULT_FIELD, 0)
 
     # --- stats ---------------------------------------------------------
-    def df(self, term: str) -> int:
-        return len(self.postings.get(term, {}))
+    def df(self, term: str, field: str = DEFAULT_FIELD) -> int:
+        return len(self.postings.get(field, {}).get(term, {}))
 
-    def ttf(self, term: str) -> int:
-        return sum(self.postings.get(term, {}).values())
+    def ttf(self, term: str, field: str = DEFAULT_FIELD) -> int:
+        return sum(self.postings.get(field, {}).get(term, {}).values())
 
-    def term_weight(self, term: str, boost: float = 1.0) -> bm25.TermWeight:
-        return bm25.make_term_weight(term, self.df(term), self.doc_count,
-                                     self.sum_ttf, boost=boost)
+    def term_weight(self, term: str, boost: float = 1.0,
+                    field: str = DEFAULT_FIELD) -> bm25.TermWeight:
+        return bm25.make_term_weight(
+            term, self.df(term, field), self.field_doc_count.get(field, 0),
+            self.field_sum_ttf.get(field, 0), boost=boost)
 
     # --- scoring ---------------------------------------------------------
-    def _term_scores(self, term: str) -> dict[int, np.float32]:
-        plist = self.postings.get(term, {})
+    def _term_scores(self, term: str, boost: float = 1.0,
+                     field: str = DEFAULT_FIELD) -> dict[int, np.float32]:
+        plist = self.postings.get(field, {}).get(term, {})
         if not plist:
             return {}
-        w = self.term_weight(term)
+        w = self.term_weight(term, boost=boost, field=field)
         docs = np.array(sorted(plist), dtype=np.int64)
         freqs = np.array([plist[d] for d in docs], dtype=np.int64)
-        norms = np.array([self.norms[d] for d in docs], dtype=np.int64)
+        norms = np.array([self.norms[field][d] for d in docs], dtype=np.int64)
         scores = w.score(freqs, norms)
         return dict(zip(docs.tolist(), scores))
 
-    def search_or(self, terms: list[str], k: int = 10):
-        """Pure disjunction (BooleanQuery of SHOULD clauses) top-k.
+    def _phrase_scores(self, keys, slop: int,
+                       boost: float = 1.0) -> dict[int, np.float32]:
+        """Min-displacement sloppy/exact phrase (the kernel's semantics —
+        SloppyPhraseMatcher.java:56 sloppy weight 1/(1+matchLength); at
+        slop=0 this is exact ExactPhraseMatcher counting)."""
+        field = keys[0][0]
+        terms = [t for _, t in keys]
+        fpos = self.positions.get(field, {})
+        if any(t not in fpos for t in terms):
+            return {}
+        cand = set(fpos[terms[0]])
+        for t in terms[1:]:
+            cand &= set(fpos[t])
+        if not cand:
+            return {}
+        idf_sum = np.float32(sum(
+            np.float32(bm25.idf(self.df(t, field),
+                                self.field_doc_count[field]))
+            for t in terms))
+        w = np.float32(np.float32(boost) * idf_sum)
+        avgdl = bm25.avg_field_length(self.field_sum_ttf[field],
+                                      self.field_doc_count[field])
+        cache = bm25.norm_inverse_cache(avgdl)
+        out: dict[int, np.float32] = {}
+        for d in cand:
+            pf = 0.0
+            for p0 in fpos[terms[0]][d]:
+                tot = 0.0
+                for i, t in enumerate(terms[1:], 1):
+                    target = p0 + i
+                    dist = min(abs(p - target) for p in fpos[t][d])
+                    tot += dist
+                    if tot > slop:
+                        break
+                if tot <= slop:
+                    pf += 1.0 / (1.0 + tot)
+            if pf > 0:
+                ni = cache[self.norms[field][d]]
+                out[d] = np.float32(
+                    w - w / (np.float32(1.0) + np.float32(pf) * ni))
+        return out
 
-        Per-doc score = float32 sum of clause scores in clause order —
-        DisjunctionSumScorer accumulates in doc-at-a-time clause order;
-        we replicate by summing per-term score arrays in query-term order.
-        """
+    def _dismax_scores(self, children, tie: float,
+                       boost: float = 1.0) -> dict[int, np.float32]:
+        """DisjunctionMaxQuery.java:51 — max + tie × (sum − max), f32."""
+        per = [self._term_scores(t, boost=boost * ch_boost, field=f)
+               for (f, t), ch_boost in children]
+        out: dict[int, np.float32] = {}
+        docs = set()
+        for p in per:
+            docs |= set(p)
+        for d in docs:
+            mx = np.float32(0.0)
+            sm = np.float32(0.0)
+            for p in per:
+                if d in p:
+                    s = p[d]
+                    sm = np.float32(sm + s)
+                    mx = max(mx, s)
+            out[d] = np.float32(mx + np.float32(tie) * np.float32(sm - mx))
+        return out
+
+    # ------------------------------------------------------------------
+    # AST interpreter (same clause plan as the Spark kernel)
+    # ------------------------------------------------------------------
+    def search_ast(self, query, k: int = 10):
+        from ..search.ast import rewrite
+        from ..search.executor import flatten_plan
+        plan = flatten_plan(rewrite(query))
+        if plan is None:
+            return []
+        if plan == "ALL":
+            docs = sorted(self.all_docs)[:k]
+            return [(d, np.float32(1.0)) for d in docs]
+        clauses, must_not = plan["clauses"], plan["must_not"]
+        msm, n_groups = plan["msm"], plan["n_groups"]
+
+        def eval_clause(c) -> dict[int, np.float32]:
+            if c["kind"] == "term":
+                f, t = c["key"]
+                return self._term_scores(t, boost=c["boost"], field=f)
+            if c["kind"] == "phrase":
+                return self._phrase_scores(c["keys"], c["slop"], c["boost"])
+            children = [(ch["key"], ch["boost"]) for ch in c["children"]]
+            return self._dismax_scores(children, c["tie"], c["boost"])
+
+        acc: dict[int, np.float32] = {}
+        group_matched: list[set[int]] = [set() for _ in range(n_groups)]
+        should_cnt: dict[int, int] = {}
+        for c in clauses:
+            sc = eval_clause(c)
+            if c["scoring"]:
+                for d, s in sc.items():
+                    acc[d] = np.float32(acc.get(d, np.float32(0.0)) + s)
+            if c["group"] is not None:
+                group_matched[c["group"]] |= set(sc)
+            elif c["should"]:
+                for d in sc:
+                    should_cnt[d] = should_cnt.get(d, 0) + 1
+        if n_groups:
+            docs = set.intersection(*group_matched) if group_matched else set()
+            if msm > 0:
+                docs = {d for d in docs if should_cnt.get(d, 0) >= msm}
+        else:
+            need = max(1, msm)
+            docs = {d for d, n in should_cnt.items() if n >= need}
+        for c in must_not:
+            sc = eval_clause(dict(c, scoring=False))
+            docs -= set(sc)
+        out = {d: acc.get(d, np.float32(0.0)) for d in docs}
+        return self._topk(out, k)
+
+    # --- legacy single-field API (kept for existing golden tests) ------
+    def search_or(self, terms: list[str], k: int = 10):
         acc: dict[int, np.float32] = {}
         for t in terms:
             for d, s in self._term_scores(t).items():
@@ -75,8 +222,8 @@ class OracleIndex:
         return self._topk(acc, k)
 
     def search_and(self, terms: list[str], k: int = 10):
-        """Conjunction: doc must match every term; score = sum."""
-        sets = [set(self.postings.get(t, {})) for t in terms]
+        sets = [set(self.postings.get(DEFAULT_FIELD, {}).get(t, {}))
+                for t in terms]
         if not sets:
             return []
         docs = set.intersection(*sets)
@@ -89,24 +236,23 @@ class OracleIndex:
 
     def search_bool(self, must=(), should=(), must_not=(), k: int = 10,
                     min_should_match: int = 0):
-        """General boolean: returns top-k of matching docs.
-
-        Lucene semantics: if there are MUST clauses, SHOULD clauses only
+        """Lucene semantics: if there are MUST clauses, SHOULD clauses only
         contribute score (ReqOptSumScorer); else ≥max(1, msm) SHOULD must
-        match. MUST_NOT excludes.
-        """
+        match. MUST_NOT excludes. A term in both MUST and SHOULD scores
+        twice (one scorer per clause)."""
         must, should, must_not = list(must), list(should), list(must_not)
+        fpost = self.postings.get(DEFAULT_FIELD, {})
         excluded = set()
         for t in must_not:
-            excluded |= set(self.postings.get(t, {}))
+            excluded |= set(fpost.get(t, {}))
         if must:
-            docs = set.intersection(*[set(self.postings.get(t, {})) for t in must])
+            docs = set.intersection(*[set(fpost.get(t, {})) for t in must])
         else:
             msm = max(1, min_should_match)
             from collections import Counter
             c: Counter = Counter()
             for t in set(should):
-                c.update(self.postings.get(t, {}).keys())
+                c.update(fpost.get(t, {}).keys())
             docs = {d for d, n in c.items() if n >= msm}
         docs -= excluded
         acc = {d: np.float32(0.0) for d in docs}
@@ -118,36 +264,10 @@ class OracleIndex:
         return self._topk(acc, k)
 
     def search_phrase(self, terms: list[str], k: int = 10):
-        """Exact phrase: positions of term i+1 == positions of term i + 1.
-
-        Scored like Lucene's PhraseQuery: freq = number of phrase
-        occurrences, scored with the combined-term stats? No — Lucene
-        scores a phrase with SimScorer on phrase freq and the *sum* of
-        idfs of its terms. We implement: weight = sum of per-term idf,
-        freq = phrase occurrence count.
-        """
-        if not terms:
-            return []
-        base = self.positions.get(terms[0], {})
-        acc: dict[int, np.float32] = {}
-        cand = set(base)
-        for t in terms[1:]:
-            cand &= set(self.positions.get(t, {}))
-        if not cand:
-            return []
-        idf_sum = np.float32(sum(np.float32(bm25.idf(self.df(t), self.doc_count))
-                                 for t in terms))
-        avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
-        cache = bm25.norm_inverse_cache(avgdl)
-        for d in cand:
-            pos_sets = [set(self.positions[t][d]) for t in terms]
-            n = sum(1 for p in self.positions[terms[0]][d]
-                    if all((p + i) in pos_sets[i] for i in range(1, len(terms))))
-            if n > 0:
-                w = idf_sum
-                ni = cache[self.norms[d]]
-                acc[d] = np.float32(w - w / (np.float32(1.0) + np.float32(n) * ni))
-        return self._topk(acc, k)
+        """Exact phrase (slop=0) — one BM25 evaluation on the phrase
+        freq with weight = sum of per-term idfs."""
+        sc = self._phrase_scores([(DEFAULT_FIELD, t) for t in terms], 0)
+        return self._topk(sc, k)
 
     @staticmethod
     def _topk(acc: dict[int, np.float32], k: int):

@@ -82,16 +82,87 @@ def seed_centroids(emb: DataFrame, n: int = 8, id_col: str = "vec_id",
             .select("cell", "cvec"))
 
 
+def kmeans_refine(emb: DataFrame, centroids: DataFrame, iters: int = 1,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd iterations on cosine assignment: each pass reassigns every
+    vector to its max-cosine centroid and replaces each centroid with the
+    elementwise mean of its members (empty cells keep their seed). All
+    arithmetic is double precision and expressible in ANSI SQL, so the
+    DuckDB oracle reproduces the exact same centroids."""
+    cent = centroids
+    for _ in range(iters):
+        asg = ivf_assign(emb, cent, id_col, vec_col)
+        members = emb.join(asg, emb[id_col] == asg["vec_id"]).select(
+            "cell", F.col(vec_col).alias("v"))
+        means = (members.select("cell", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg(F.col("x").cast("double"))
+                                             .alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cell", F.expr("transform(pm, e -> e.m)")
+                         .alias("mvec")))
+        cent = (cent.join(means, "cell", "left")
+                .select("cell", F.coalesce("mvec", F.col("cvec").cast(
+                    "array<double>")).alias("cvec")))
+    return cent
+
+
+def build_ivf_index(spark, emb: DataFrame, path: str, n_cells: int = 8,
+                    iters: int = 1, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Materialize the IVF index: refined centroids + the per-vector cell
+    assignment written as Parquet PARTITIONED BY cell — probing then
+    prunes to the probed cells' partitions (verified via explain() in
+    tests). The assignment is computed ONCE here, never per query."""
+    cent = kmeans_refine(emb, seed_centroids(emb, n_cells, id_col, vec_col),
+                         iters=iters, id_col=id_col, vec_col=vec_col)
+    asg = ivf_assign(emb, cent, id_col, vec_col)
+    withv = (emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"))
+             .join(asg, "vec_id"))
+    (withv.repartition("cell").write.mode("overwrite")
+     .partitionBy("cell").parquet(f"{path}/assign"))
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    return cent
+
+
+def ivf_topk_persisted(spark, path: str, query_vec, n_probe: int = 2,
+                       k: int = 10) -> DataFrame:
+    """IVF probe over a persisted index: rank centroids by cosine to the
+    query, scan ONLY the probed cells (Parquet partition pruning on the
+    `cell` directory key — the scan is cut by ~n_probe/n_cells), exact
+    cosine within: (vec_id, cos)."""
+    q = _lit_vec(query_vec)
+    cent = spark.read.parquet(f"{path}/centroids")
+    probed = [int(r["cell"]) for r in
+              (cent.select("cell", cosine(F.col("cvec"), q).alias("ccos"))
+               .orderBy(F.desc("ccos"), F.asc("cell")).limit(n_probe)
+               .collect())]
+    asg = spark.read.parquet(f"{path}/assign")
+    cand = asg.filter(F.col("cell").isin(probed))   # partition pruning
+    scored = cand.select("vec_id", cosine(F.col("v"), q).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec,
              n_probe: int = 2, k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             assign: DataFrame | None = None) -> DataFrame:
     """IVF search: rank centroids by cosine to the query, scan the top
-    n_probe cells only, exact cosine within: (vec_id, cos)."""
+    n_probe cells only, exact cosine within: (vec_id, cos).
+
+    Pass a precomputed ``assign`` (from :func:`ivf_assign`, cached or
+    persisted) so the per-query plan touches only the probed cells; the
+    fallback recompute is for one-off use — at scale use
+    :func:`build_ivf_index` + :func:`ivf_topk_persisted`."""
     q = _lit_vec(query_vec)
     probe = (centroids.select("cell", cosine(F.col("cvec"), q).alias("ccos"))
              .orderBy(F.desc("ccos"), F.asc("cell")).limit(n_probe)
              .select("cell"))
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    if assign is None:
+        assign = ivf_assign(emb, centroids, id_col, vec_col)
     cand = assign.join(F.broadcast(probe), "cell").select("vec_id")
     scored = (emb.join(cand, emb[id_col] == cand["vec_id"])
               .select(cand["vec_id"], cosine(F.col(vec_col), q).alias("cos")))

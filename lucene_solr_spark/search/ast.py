@@ -5,11 +5,20 @@ fixpoint (`search/BooleanQuery.java:235-340`, applied by
 `IndexSearcher.rewrite`, `search/IndexSearcher.java:754-761`):
 
 - empty boolean → MatchNo
-- single-SHOULD/MUST unwrap (keeping boost out of scope: boost=1 v0)
+- single-SHOULD/MUST unwrap
 - a term both SHOULD/MUST and MUST_NOT → MatchNo / clause elimination
 - duplicate FILTER/MUST_NOT dedup
 - minimumShouldMatch > #SHOULD → MatchNo
 - nested single-occur flattening
+- BoostQuery(boost=1) unwrap; nested boosts multiply
+  (`search/BoostQuery.java:34,66`)
+
+Terms are (field, text) pairs exactly as in the reference
+(`index/Term.java:69`); every leaf node carries a field, defaulting to
+the engine's default field ("text"). Multi-term leaves (prefix /
+wildcard / regexp / fuzzy / range — `search/MultiTermQuery.java`) are
+carried symbolically and expanded against the term dictionary by the
+Searcher (the MultiTermQuery.rewrite step), not here.
 
 The executor consumes the *normalized* tree only.
 """
@@ -18,6 +27,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from enum import Enum
+
+DEFAULT_FIELD = "text"
 
 
 class Occur(Enum):
@@ -30,17 +41,76 @@ class Occur(Enum):
 @dataclass(frozen=True)
 class TermQuery:
     term: str
+    field: str = DEFAULT_FIELD
 
     def __str__(self):
-        return self.term
+        return f"{self.field}:{self.term}"
 
 
 @dataclass(frozen=True)
 class PhraseQuery:
     terms: tuple
+    field: str = DEFAULT_FIELD
+    slop: int = 0           # PhraseQuery.java:70 — edit-distance budget
 
     def __str__(self):
-        return '"' + " ".join(self.terms) + '"'
+        s = f'{self.field}:"' + " ".join(self.terms) + '"'
+        return s + (f"~{self.slop}" if self.slop else "")
+
+
+@dataclass(frozen=True)
+class BoostQuery:
+    """BoostQuery.java:34 — multiplies the wrapped query's score."""
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """DisjunctionMaxQuery.java:45,51 — score = max over disjuncts plus
+    tie_breaker × (sum of the other matching disjuncts' scores)."""
+    disjuncts: tuple
+    tie_breaker: float = 0.0
+
+
+# --- multi-term leaves (expanded by Searcher against the dictionary) ------
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    prefix: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    pattern: str            # * = any run, ? = one char
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    pattern: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    term: str
+    max_edits: int = 2
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = False
+    field: str = DEFAULT_FIELD
+
+
+MULTI_TERM_NODES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
+                    TermRangeQuery)
 
 
 @dataclass(frozen=True)
@@ -83,6 +153,23 @@ def rewrite(q):
 
 
 def _rewrite_once(q):
+    if isinstance(q, BoostQuery):
+        sub = _rewrite_once(q.query)
+        if q.boost == 1.0:
+            return sub
+        if isinstance(sub, BoostQuery):        # nested boosts multiply
+            return BoostQuery(sub.query, q.boost * sub.boost)
+        if isinstance(sub, (MatchNoQuery,)):
+            return sub
+        return BoostQuery(sub, q.boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        subs = tuple(s for s in (_rewrite_once(d) for d in q.disjuncts)
+                     if not isinstance(s, MatchNoQuery))
+        if not subs:
+            return MatchNoQuery()
+        if len(subs) == 1:
+            return subs[0]
+        return DisjunctionMaxQuery(subs, q.tie_breaker)
     if not isinstance(q, BooleanQuery):
         return q
     if len(q.clauses) > MAX_CLAUSE_COUNT:
@@ -123,7 +210,6 @@ def _rewrite_once(q):
         dedup.append(c)
     clauses = dedup
 
-    pos = {c.query for c in clauses if c.occur in (Occur.MUST, Occur.SHOULD, Occur.FILTER)}
     neg = {c.query for c in clauses if c.occur == Occur.MUST_NOT}
     req = {c.query for c in clauses if c.occur in (Occur.MUST, Occur.FILTER)}
     if req & neg:
@@ -140,28 +226,35 @@ def _rewrite_once(q):
             return c.query
     if n_should == 0 and n_must == 0:
         return MatchNoQuery()  # only MUST_NOT clauses match nothing
-    # SHOULD term also MUST'd: drop the SHOULD-as-matcher (it still scores in
-    # Lucene; we keep both clauses for scoring parity — no drop here). v0: keep.
+    # NOTE: a term appearing both MUST and SHOULD keeps BOTH clauses — it
+    # scores twice (BooleanWeight builds one scorer per clause); the
+    # executor keys its kernel spec by CLAUSE, not by term.
     return BooleanQuery(tuple(clauses), q.min_should_match)
 
 
-def collect_terms(q) -> list[str]:
-    """All distinct terms in the tree, in first-appearance order."""
+def collect_terms(q) -> list[tuple[str, str]]:
+    """All distinct (field, term) pairs in the tree, in appearance order."""
     out, seen = [], set()
+
+    def add(f, t):
+        if (f, t) not in seen:
+            seen.add((f, t))
+            out.append((f, t))
 
     def walk(n):
         if isinstance(n, TermQuery):
-            if n.term not in seen:
-                seen.add(n.term)
-                out.append(n.term)
+            add(n.field, n.term)
         elif isinstance(n, PhraseQuery):
             for t in n.terms:
-                if t not in seen:
-                    seen.add(t)
-                    out.append(t)
+                add(n.field, t)
         elif isinstance(n, BooleanQuery):
             for c in n.clauses:
                 walk(c.query)
+        elif isinstance(n, BoostQuery):
+            walk(n.query)
+        elif isinstance(n, DisjunctionMaxQuery):
+            for d in n.disjuncts:
+                walk(d)
 
     walk(q)
     return out

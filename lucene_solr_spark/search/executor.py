@@ -1,16 +1,20 @@
 """Distributed query execution: IndexSearcher → grid-sharded scoring kernel.
 
-Plan shape (the Spark restatement of `IndexSearcher.search`,
-`search/IndexSearcher.java:513,654-700`):
+Plan shape (the Spark restatement of `search/IndexSearcher.java:513,
+654-700`):
 
-  driver   rewrite(query) → collect term stats (tiny broadcast) → weights
-  scan     postings.filter(term ∈ query) — Catalyst pushes the predicate
-           into the Parquet scan; the (bucket, term) sort order makes this
-           the FST/BlockTree seek analog (row-group pruning). The index
-           layout is doc-sharded (bucket-major, whole grid cells per
-           partition — Solr's shard model, QueryComponent.java:810), so
-           the query plan is SHUFFLE-FREE: filter is narrow and every
-           bucket's blocks are already contiguous.
+  driver   rewrite(query) → expand multi-term leaves against the
+           dictionary → collect (field, term) stats (tiny broadcast) →
+           per-CLAUSE weights (BooleanWeight builds one scorer per
+           clause, so a term in both MUST and SHOULD scores twice)
+  scan     postings.filter(field/term ∈ query) — Catalyst pushes the
+           predicate into the Parquet scan; the (bucket, field, term)
+           sort order makes this the FST/BlockTree seek analog
+           (row-group pruning). The index layout is doc-sharded
+           (bucket-major, whole grid cells per partition — Solr's shard
+           model, QueryComponent.java:810), so the query plan is
+           SHUFFLE-FREE: filter is narrow and every bucket's blocks are
+           already contiguous.
   kernel   per partition, buckets in sequence: decode → vectorized
            TAAT scatter-add with block-max pruning (the WANDScorer /
            BlockMaxConjunctionScorer / BooleanScorer roles in one numpy
@@ -20,12 +24,28 @@ Plan shape (the Spark restatement of `IndexSearcher.search`,
            TopDocs.merge TopDocs.java:34,70)
 
 Because blocks never span grid cells (builder invariant), bucket sharding
-is exact: every (term, doc) pair lands in exactly one bucket, so AND / OR
-/ NOT / minShouldMatch semantics are local to the kernel.
+is exact: every (field, term, doc) triple lands in exactly one bucket, so
+AND / OR / NOT / minShouldMatch semantics are local to the kernel.
+
+Clause kinds the kernel scores:
+  term     TermQuery/BoostQuery(TermQuery) — BM25, weight = boost × idf
+  phrase   PhraseQuery slop=0 (ExactPhraseMatcher.java:36) and slop>0
+           (SloppyPhraseMatcher.java:56 semantics: a phrase occurrence
+           anchored at each position p0 of the first term matches when
+           the minimal total displacement Σᵢ min|posᵢ − (p0+i)| ≤ slop,
+           contributing sloppyWeight = 1/(1+matchLength) to the phrase
+           freq — the reference's sloppy weight formula; the matcher is
+           fully vectorized, no per-doc Python)
+  dismax   DisjunctionMaxQuery.java:45,51 — max + tie×(sum−max)
 
 Scoring modes:
   f32 — Lucene-exact float32 (BM25Similarity.java:222-235 order of ops)
   f64 — double precision on decoded lengths, for DuckDB-oracle parity
+
+Pruning safety: upper bounds are computed in float64 and inflated by a
+relative epsilon before comparison (the WANDScorer.java:52-104 scaled-
+long guard restated for floats), so mixed f32/f64 rounding can never
+over-prune; pruned ≡ exhaustive is pinned by tests.
 """
 
 from __future__ import annotations
@@ -40,12 +60,17 @@ from pyspark.sql import functions as F
 
 from ..functions import bm25
 from ..functions.smallfloat import LENGTH_TABLE
-from ..index.builder import (InvertedIndex, decode_positions_blob,
+from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
-from .ast import (BooleanQuery, MatchAllQuery, MatchNoQuery, Occur,
-                  PhraseQuery, TermQuery, collect_terms, rewrite)
+from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, BooleanQuery, BoostQuery,
+                  Clause, DisjunctionMaxQuery, FuzzyQuery, MatchAllQuery,
+                  MatchNoQuery, Occur, PhraseQuery, PrefixQuery, RegexpQuery,
+                  TermQuery, TermRangeQuery, WildcardQuery, rewrite)
 
 KERNEL_SCHEMA = "doc_id long, score double"
+
+# relative safety margin on float upper bounds (never over-prune)
+_UB_EPS = 1e-6
 
 
 class Searcher:
@@ -55,117 +80,195 @@ class Searcher:
         self.index = index
         self.k1, self.b = k1, b
         self.stats = index.stats
-        # driver-side term-stats cache: the index is immutable, queries
-        # repeat terms, and each miss costs a (tiny but job-scheduling-
-        # bound) filtered collect — the TermStates caching analog
-        self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        # driver-side stats cache keyed by (field, term): the index is
+        # immutable, queries repeat terms, and each miss costs a (tiny but
+        # job-scheduling-bound) filtered collect — the TermStates analog
+        self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
 
     # -- driver-side stats (collectionStatistics/termStatistics analog) ----
-    def term_stats(self, terms: list[str]) -> dict:
-        if not terms:
+    def term_stats(self, keys: list[tuple[str, str]]) -> dict:
+        """{(field, term): (df, ttf)} for keys present in the dictionary."""
+        if not keys:
             return {}
         cache = self._term_stats_cache
-        missing = [t for t in terms if t not in cache]
+        missing = [k for k in keys if k not in cache]
         if missing:
-            rows = (self.index.terms
-                    .filter(F.col("term").isin(missing))
-                    .select("term", "df", "ttf").collect())
-            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
-            for t in missing:
-                cache[t] = found.get(t, (0, 0))
-        return {t: cache[t] for t in terms if cache[t][0] > 0}
+            cond = _key_filter(missing)
+            rows = (self.index.terms.filter(cond)
+                    .select("field", "term", "df", "ttf").collect())
+            found = {(r["field"], r["term"]): (int(r["df"]), int(r["ttf"]))
+                     for r in rows}
+            for k in missing:
+                cache[k] = found.get(k, (0, 0))
+        return {k: cache[k] for k in keys if cache[k][0] > 0}
 
-    def _plan(self, query):
-        """Normalize the AST into flat kernel spec lists."""
-        query = rewrite(query)
-        if isinstance(query, MatchNoQuery):
-            return None
-        if isinstance(query, MatchAllQuery):
-            return "ALL"
-        must, should, must_not, phrases = [], [], [], []
-        msm = 0
-        if isinstance(query, TermQuery):
-            should = [query.term]
-        elif isinstance(query, PhraseQuery):
-            phrases = [(Occur.SHOULD, query.terms)]
-        elif isinstance(query, BooleanQuery):
-            msm = query.min_should_match
-            for c in query.clauses:
-                q = c.query
-                if isinstance(q, TermQuery):
-                    if c.occur in (Occur.MUST, Occur.FILTER):
-                        must.append([q.term])
-                    elif c.occur == Occur.SHOULD:
-                        should.append(q.term)
-                    else:
-                        must_not.append(q.term)
-                elif isinstance(q, PhraseQuery):
-                    phrases.append((c.occur, q.terms))
-                elif isinstance(q, BooleanQuery):
-                    # one nesting level: MUST(pure-SHOULD) → ≥1-of group
-                    # (Lucene keeps the tree; our kernel flattens to groups)
-                    inner = q.grouped()
-                    pure_should = (not inner[Occur.MUST] and not inner[Occur.MUST_NOT]
-                                   and not inner[Occur.FILTER]
-                                   and q.min_should_match <= 1
-                                   and all(isinstance(x, TermQuery)
-                                           for x in inner[Occur.SHOULD]))
-                    if c.occur in (Occur.MUST, Occur.FILTER) and pure_should:
-                        must.append([x.term for x in inner[Occur.SHOULD]])
-                    elif c.occur == Occur.MUST_NOT and pure_should:
-                        must_not.extend(x.term for x in inner[Occur.SHOULD])
-                    else:
-                        raise ValueError(
-                            "v0 kernel supports one nesting level: "
-                            "MUST/NOT of a pure-OR group")
-        else:
-            raise ValueError(f"unsupported query {query!r}")
-        return must, should, must_not, phrases, msm
-
-    def _weights(self, terms_needed, scoring_terms, phrases, mode):
-        st = self.term_stats(list(terms_needed))
-        N, sttf = self.stats["doc_count"], self.stats["sum_ttf"]
-        avgdl32 = bm25.avg_field_length(sttf, N)
-        cache32 = bm25.norm_inverse_cache(avgdl32, self.k1, self.b)
-        spec = {}
-        for i, t in enumerate(scoring_terms):
-            df, _ = st.get(t, (0, 0))
-            if df == 0:
-                continue
-            w32 = float(np.float32(bm25.idf(df, N)))
-            spec[t] = {"idx": i, "df": df, "w32": w32}
-        phrase_spec = []
-        for occ, pterms in phrases:
-            dfs = [st.get(t, (0, 0))[0] for t in pterms]
-            if any(d == 0 for d in dfs):
-                phrase_spec.append({"occur": occ.value, "terms": list(pterms),
-                                    "w32": 0.0, "dead": True})
-                continue
-            w32 = float(np.float32(sum(np.float32(bm25.idf(d, N)) for d in dfs)))
-            phrase_spec.append({"occur": occ.value, "terms": list(pterms),
-                                "w32": w32, "dead": False})
-        return {
-            "terms": spec, "phrases": phrase_spec,
-            "cache32": cache32, "N": N,
-            "avgdl64": sttf / float(N),
-            "idf64": {t: math.log(1.0 + (N - st[t][0] + 0.5) / (st[t][0] + 0.5))
-                      for t in st},
-            "dfs": {t: st.get(t, (0, 0))[0] for t in terms_needed},
-            "k1": self.k1, "b": self.b, "mode": mode,
-        }
+    def field_stats(self, fld: str) -> dict:
+        return self.index.field_stats(fld)
 
     # ------------------------------------------------------------------
-    def _run_kernel(self, must, should, must_not, phrases, msm,
-                    mode="f32", collect_all=False, k=10,
+    # multi-term expansion (MultiTermQuery.rewrite analog)
+    # ------------------------------------------------------------------
+    def expand_multiterm(self, q):
+        """Replace prefix/wildcard/regexp/fuzzy/range leaves with the OR
+        of their dictionary expansions (SCORING_BOOLEAN rewrite,
+        `search/ScoringRewrite.java:30`); expansion runs executor-side
+        over the terms table, the driver receives only matches."""
+        from . import multiterm as mt
+        if isinstance(q, MULTI_TERM_NODES):
+            if isinstance(q, PrefixQuery):
+                ts = mt.prefix_terms(self.index.terms, q.prefix, field=q.field)
+            elif isinstance(q, WildcardQuery):
+                ts = mt.wildcard_terms(self.index.terms, q.pattern, field=q.field)
+            elif isinstance(q, RegexpQuery):
+                ts = mt.regexp_terms(self.index.terms, q.pattern, field=q.field)
+            elif isinstance(q, FuzzyQuery):
+                ts = mt.fuzzy_terms(self.index.terms, q.term,
+                                    max_edits=q.max_edits, field=q.field)
+            else:
+                ts = mt.range_terms(self.index.terms, q.lower, q.upper,
+                                    q.include_lower, q.include_upper,
+                                    field=q.field)
+            if not ts:
+                return MatchNoQuery()
+            return mt.expanded_or(ts, field=q.field)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                tuple(Clause(c.occur, self.expand_multiterm(c.query))
+                      for c in q.clauses), q.min_should_match)
+        if isinstance(q, BoostQuery):
+            return BoostQuery(self.expand_multiterm(q.query), q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self.expand_multiterm(d) for d in q.disjuncts),
+                q.tie_breaker)
+        return q
+
+    # ------------------------------------------------------------------
+    # plan: AST → clause list
+    # ------------------------------------------------------------------
+    def _plan(self, query):
+        query = rewrite(self.expand_multiterm(rewrite(query)))
+        return flatten_plan(query)
+
+    # ------------------------------------------------------------------
+    def _clause_keys(self, c) -> list[tuple[str, str]]:
+        if c["kind"] == "term":
+            return [c["key"]]
+        if c["kind"] == "phrase":
+            return list(c["keys"])
+        return [ch["key"] for ch in c["children"]]
+
+    def _spec_for_plan(self, plan, mode, k, prune, collect_all=False):
+        """→ (spec, live_keys, dead). Computes per-clause weights from
+        per-field collection stats (IndexSearcher.java:914-933) and drops
+        clauses that cannot match (df == 0), propagating deadness."""
+        clauses, must_not, msm = plan["clauses"], plan["must_not"], plan["msm"]
+        all_keys = []
+        for c in clauses + must_not:
+            all_keys.extend(self._clause_keys(c))
+        all_keys = list(dict.fromkeys(all_keys))
+        st = self.term_stats(all_keys)
+
+        fields = sorted({f for f, _ in all_keys})
+        fstats = {f: self.field_stats(f) for f in fields}
+        cache32 = {f: bm25.norm_inverse_cache(
+            bm25.avg_field_length(fstats[f]["sum_ttf"], fstats[f]["doc_count"])
+            if fstats[f]["doc_count"] else np.float32(1.0),
+            self.k1, self.b) for f in fields}
+        avgdl64 = {f: (fstats[f]["sum_ttf"] / float(fstats[f]["doc_count"])
+                       if fstats[f]["doc_count"] else 1.0) for f in fields}
+
+        def idf32(key):
+            f, _ = key
+            return bm25.idf(st[key][0], fstats[f]["doc_count"])
+
+        def idf64(key):
+            f, _ = key
+            n, df = fstats[f]["doc_count"], st[key][0]
+            return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+        weights = {}
+        for key in all_keys:
+            if key in st:
+                weights[key] = {"df": st[key][0],
+                                "idf32": float(idf32(key)),
+                                "idf64": idf64(key)}
+
+        n_groups = plan["n_groups"]
+        group_alive = [False] * n_groups
+        live_clauses = []
+        n_should_alive = 0
+        for c in clauses:
+            keys = self._clause_keys(c)
+            if c["kind"] == "phrase":
+                alive = all(k in st for k in keys)
+                if alive:
+                    w32 = float(np.float32(
+                        np.float32(c["boost"]) * np.float32(
+                            sum(np.float32(weights[k]["idf32"]) for k in keys))))
+                    w64 = c["boost"] * sum(weights[k]["idf64"] for k in keys)
+                    c = dict(c, w32=w32, w64=w64)
+            elif c["kind"] == "term":
+                alive = keys[0] in st
+                if alive:
+                    w = weights[keys[0]]
+                    c = dict(c, w32=float(np.float32(
+                        np.float32(c["boost"]) * np.float32(w["idf32"]))),
+                        w64=c["boost"] * w["idf64"])
+            else:  # dismax — outer boost folds into each child weight
+                children = []
+                for ch in c["children"]:
+                    if ch["key"] in st:
+                        w = weights[ch["key"]]
+                        b = ch["boost"] * c["boost"]
+                        children.append(dict(
+                            ch,
+                            w32=float(np.float32(
+                                np.float32(b) * np.float32(w["idf32"]))),
+                            w64=b * w["idf64"]))
+                alive = bool(children)
+                if alive:
+                    c = dict(c, children=children)
+            if alive:
+                live_clauses.append(c)
+                if c["group"] is not None:
+                    group_alive[c["group"]] = True
+                elif c["should"]:
+                    n_should_alive += 1
+        dead = (n_groups > 0 and not all(group_alive)) or not live_clauses
+        if n_groups == 0:
+            dead = dead or n_should_alive == 0
+        dead = dead or (msm > 0 and msm > n_should_alive)
+
+        # renumber groups to the alive set (dead groups kill the query)
+        live_mn = []
+        for c in must_not:
+            keys = self._clause_keys(c)
+            if c["kind"] == "term" and keys[0] in st:
+                live_mn.append(c)
+            elif c["kind"] == "phrase" and all(k in st for k in keys):
+                live_mn.append(dict(c, w32=0.0, w64=0.0))  # match-only
+
+        spec = dict(
+            clauses=live_clauses, must_not=live_mn, msm=msm,
+            n_groups=n_groups,
+            cache32={f: c for f, c in cache32.items()},
+            avgdl64=avgdl64,
+            k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
+            collect_all=collect_all, prune=prune and not collect_all,
+            with_positions=self.index.with_positions,
+        )
+        live = [k for k in all_keys if k in st]
+        return spec, live, dead
+
+    # ------------------------------------------------------------------
+    def _run_kernel(self, plan, mode="f32", collect_all=False, k=10,
                     prune=True) -> DataFrame:
-        """must: list of term-groups (each group = ≥1 term must match);
-        should/must_not: flat term lists."""
-        plan = (must, should, must_not, phrases, msm)
         spec, live, dead = self._spec_for_plan(
             plan, mode, k, prune, collect_all=collect_all)
         if dead:
             return self.spark.createDataFrame([], KERNEL_SCHEMA)
-        blocks = self.index.postings.filter(F.col("term").isin(live))
+        blocks = self.index.postings.filter(_key_filter(live))
         if not self.index.with_positions:
             blocks = blocks.drop("pos_blob")
 
@@ -173,36 +276,9 @@ class Searcher:
             yield from _bucket_kernel(batches, spec)
 
         # No shuffle: the index layout is bucket-major (whole grid cells per
-        # partition, sorted by bucket/term/block), so the narrow filter keeps
-        # every bucket's blocks contiguous within its partition.
+        # partition, sorted by bucket/field/term/block), so the narrow filter
+        # keeps every bucket's blocks contiguous within its partition.
         return blocks.mapInPandas(kernel, schema=KERNEL_SCHEMA)
-
-    def _spec_for_plan(self, plan, mode, k, prune, collect_all=False):
-        must, should, must_not, phrases, msm = plan
-        must_flat = [t for g in must for t in g]
-        terms_needed = list(dict.fromkeys(
-            must_flat + should + must_not + [t for _, p in phrases for t in p]))
-        scoring_terms = list(dict.fromkeys(must_flat + should))
-        w = self._weights(terms_needed, scoring_terms, phrases, mode)
-        dead = (all(w["dfs"].get(t, 0) == 0 for t in must_flat + should)
-                and not any(not p["dead"] for p in w["phrases"]))
-        dead = dead or any(all(w["dfs"].get(t, 0) == 0 for t in g)
-                           for g in must)
-        dead = dead or any(
-            p["dead"] and p["occur"] not in ("MUST_NOT", "SHOULD")
-            for p in w["phrases"])
-        spec = dict(
-            must=[list(g) for g in must], should=list(should),
-            must_not=list(must_not), msm=msm,
-            phrases=w["phrases"], terms=w["terms"],
-            scoring_order=scoring_terms,
-            cache32=w["cache32"], idf64=w["idf64"], avgdl64=w["avgdl64"],
-            k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
-            collect_all=collect_all, prune=prune and not collect_all,
-            with_positions=self.index.with_positions,
-        )
-        live = [t for t in terms_needed if w["dfs"].get(t, 0) > 0]
-        return spec, live, dead
 
     # ------------------------------------------------------------------
     # public API
@@ -235,8 +311,7 @@ class Searcher:
             qids.append(qi)
         if specs:
             live_union = list(dict.fromkeys(live_union))
-            blocks = self.index.postings.filter(
-                F.col("term").isin(live_union))
+            blocks = self.index.postings.filter(_key_filter(live_union))
             if not self.index.with_positions:
                 blocks = blocks.drop("pos_blob")
 
@@ -267,14 +342,13 @@ class Searcher:
         if plan is None:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
         if plan == "ALL":
-            pdf = (self.index.norms.select("doc_id").orderBy("doc_id")
-                   .limit(k).toPandas())
+            pdf = (self.index.norms.select("doc_id").distinct()
+                   .orderBy("doc_id").limit(k).toPandas())
             pdf["score"] = np.float32(1.0)
             pdf["rank"] = np.arange(1, len(pdf) + 1)
             return pdf[["rank", "doc_id", "score"]]
-        must, should, must_not, phrases, msm = plan
-        df = self._run_kernel(must, should, must_not, phrases, msm,
-                              mode=mode, collect_all=False, k=k, prune=prune)
+        df = self._run_kernel(plan, mode=mode, collect_all=False, k=k,
+                              prune=prune)
         pdf = df.toPandas()
         if len(pdf) == 0:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
@@ -294,11 +368,9 @@ class Searcher:
         if plan == "ALL":
             # MatchAllDocsQuery: every doc with at least one indexed term,
             # constant score 1 (ConstantScore semantics)
-            return self.index.norms.select(
+            return self.index.norms.select("doc_id").distinct().select(
                 "doc_id", F.lit(1.0).alias("score"))
-        must, should, must_not, phrases, msm = plan
-        return self._run_kernel(must, should, must_not, phrases, msm,
-                                mode=mode, collect_all=True)
+        return self._run_kernel(plan, mode=mode, collect_all=True)
 
     def match_docs(self, query) -> DataFrame:
         """Just the matching doc_ids (FILTER semantics / ConstantScore)."""
@@ -307,6 +379,122 @@ class Searcher:
     def count(self, query) -> int:
         """TotalHitCountCollector analog."""
         return self.score_all(query).count()
+
+
+def flatten_plan(query):
+    """Normalize a REWRITTEN AST into a clause-keyed kernel plan.
+
+    Clauses are kept per-CLAUSE (not per-term): Lucene's BooleanWeight
+    builds one scorer per clause, so `+spark spark` scores the term
+    twice (`search/BooleanQuery.java` clause model). Shared with the
+    pure-Python oracle so engine and oracle agree by construction on
+    clause ordering (the float32 accumulation order).
+
+    → None (MatchNo), "ALL" (MatchAll), or
+      {"clauses": [...], "must_not": [...], "msm": int, "n_groups": int}
+    """
+    if isinstance(query, MatchNoQuery):
+        return None
+    if isinstance(query, MatchAllQuery):
+        return "ALL"
+
+    groups: list[list[dict]] = []   # group i = list of member clauses
+    shoulds: list[dict] = []
+    must_not: list[dict] = []
+    msm = 0
+
+    def leaf_clause(q, boost=1.0):
+        """term/phrase/dismax leaf → clause dict (no occur fields yet)."""
+        if isinstance(q, BoostQuery):
+            return leaf_clause(q.query, boost * q.boost)
+        if isinstance(q, TermQuery):
+            return {"kind": "term", "key": (q.field, q.term),
+                    "boost": boost}
+        if isinstance(q, PhraseQuery):
+            return {"kind": "phrase",
+                    "keys": [(q.field, t) for t in q.terms],
+                    "slop": int(q.slop), "boost": boost}
+        if isinstance(q, DisjunctionMaxQuery):
+            children = []
+            for d in q.disjuncts:
+                c = leaf_clause(d, 1.0)
+                if c["kind"] != "term":
+                    raise ValueError(
+                        "dismax disjuncts must be term queries in v1")
+                children.append(c)
+            return {"kind": "dismax", "children": children,
+                    "tie": float(q.tie_breaker), "boost": boost}
+        raise ValueError(f"unsupported leaf {q!r}")
+
+    def add_group(q, scoring, boost=1.0):
+        """MUST/FILTER clause → one match-group; pure-OR boolean
+        members each become a scoring member of the same group."""
+        if isinstance(q, BoostQuery):
+            add_group(q.query, scoring, boost * q.boost)
+            return
+        if isinstance(q, BooleanQuery):
+            inner = q.grouped()
+            pure_should = (not inner[Occur.MUST] and not inner[Occur.MUST_NOT]
+                           and not inner[Occur.FILTER]
+                           and q.min_should_match <= 1)
+            if not pure_should:
+                raise ValueError(
+                    "kernel supports one nesting level: MUST/NOT of a "
+                    "pure-OR group")
+            members = [leaf_clause(x, boost) for x in inner[Occur.SHOULD]]
+        else:
+            members = [leaf_clause(q, boost)]
+        gi = len(groups)
+        for m in members:
+            m.update(scoring=scoring, group=gi, should=False)
+        groups.append(members)
+
+    if isinstance(query, (TermQuery, PhraseQuery, BoostQuery,
+                          DisjunctionMaxQuery)):
+        c = leaf_clause(query)
+        c.update(scoring=True, group=None, should=True)
+        shoulds.append(c)
+    elif isinstance(query, BooleanQuery):
+        msm = query.min_should_match
+        for cl in query.clauses:
+            q = cl.query
+            if cl.occur in (Occur.MUST, Occur.FILTER):
+                add_group(q, scoring=(cl.occur == Occur.MUST))
+            elif cl.occur == Occur.SHOULD:
+                c = leaf_clause(q)
+                c.update(scoring=True, group=None, should=True)
+                shoulds.append(c)
+            else:  # MUST_NOT
+                if isinstance(q, BooleanQuery):
+                    inner = q.grouped()
+                    if (inner[Occur.MUST] or inner[Occur.MUST_NOT]
+                            or inner[Occur.FILTER]):
+                        raise ValueError("MUST_NOT of a non-pure-OR group")
+                    for x in inner[Occur.SHOULD]:
+                        must_not.append(leaf_clause(x))
+                else:
+                    must_not.append(leaf_clause(q))
+    else:
+        raise ValueError(f"unsupported query {query!r}")
+
+    # clause order: groups (appearance order) then shoulds — the
+    # float32 accumulation order the pyoracle replicates
+    clauses = [m for g in groups for m in g] + shoulds
+    return {"clauses": clauses, "must_not": must_not, "msm": msm,
+            "n_groups": len(groups)}
+
+
+def _key_filter(keys: list[tuple[str, str]]):
+    """Pushed-down Parquet predicate for a set of (field, term) keys:
+    OR of per-field (field = f AND term IN (...)) conjunctions."""
+    byf: dict[str, list[str]] = {}
+    for f, t in keys:
+        byf.setdefault(f, []).append(t)
+    cond = None
+    for f, ts in byf.items():
+        c = (F.col("field") == f) & F.col("term").isin(ts)
+        cond = c if cond is None else (cond | c)
+    return cond if cond is not None else F.lit(False)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +511,6 @@ def _bucket_kernel(batches, spec):
     buf = None
     threshold = -np.inf
     heap: list = []  # (score, -doc_id) min-heap of partition-local top-k
-    k = spec["k"]
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -331,8 +518,7 @@ def _bucket_kernel(batches, spec):
             pdf = pd.concat([buf, pdf], ignore_index=True)
             buf = None
         bucket_vals = pdf["bucket"].to_numpy()
-        last_bucket = bucket_vals[-1]
-        tail_mask = bucket_vals == last_bucket
+        tail_mask = bucket_vals == bucket_vals[-1]
         buf = pdf[tail_mask]
         head = pdf[~tail_mask]
         if len(head):
@@ -393,126 +579,175 @@ def _push_heap(heap, k, scores, docs, threshold):
     return threshold
 
 
+class _BucketData:
+    """Lazy per-bucket decode cache: each (field, term) key decodes at
+    most once per bucket regardless of how many clauses reference it."""
+
+    __slots__ = ("by_key", "spec", "off", "dec", "decp")
+
+    def __init__(self, grp: pd.DataFrame, spec, off: int):
+        self.by_key = {k: g for k, g in grp.groupby(["field", "term"],
+                                                    sort=False)}
+        self.spec = spec
+        self.off = off
+        self.dec: dict = {}
+        self.decp: dict = {}
+
+    def decode(self, key):
+        """(docs, freqs, norms) for the key within the bucket, or None."""
+        if key in self.dec:
+            return self.dec[key]
+        g = self.by_key.get(key)
+        if g is None:
+            self.dec[key] = None
+            return None
+        docs_l, freqs_l, norms_l = [], [], []
+        for row in g.itertuples(index=False):
+            d, f, n = decode_postings_block(row._asdict())
+            docs_l.append(d)
+            freqs_l.append(f)
+            norms_l.append(n)
+        docs = np.concatenate(docs_l)
+        order = np.argsort(docs, kind="stable")
+        out = (docs[order], np.concatenate(freqs_l)[order],
+               np.concatenate(norms_l)[order])
+        self.dec[key] = out
+        return out
+
+    def decode_positions(self, key):
+        """(docs, freqs, norms, flat_local_doc, flat_pos) — flat arrays
+        repeat the local doc index per occurrence, positions ascending
+        within each doc (fully vectorized, no per-doc loop)."""
+        if key in self.decp:
+            return self.decp[key]
+        g = self.by_key.get(key)
+        if g is None:
+            self.decp[key] = None
+            return None
+        docs_l, freqs_l, norms_l, pos_l = [], [], [], []
+        for row in g.itertuples(index=False):
+            r = row._asdict()
+            d, f, n = decode_postings_block(r)
+            docs_l.append(d)
+            freqs_l.append(f)
+            norms_l.append(n)
+            pos_l.append(decode_positions_flat(r["pos_blob"], f))
+        # blocks of one (key, bucket) run are doc-ordered already, but
+        # generation seams (incremental appends) may interleave: sort.
+        docs = np.concatenate(docs_l)
+        freqs = np.concatenate(freqs_l)
+        norms = np.concatenate(norms_l)
+        order = np.argsort(docs, kind="stable")
+        if not np.array_equal(order, np.arange(len(docs))):
+            # reorder the flat position stream per block-doc
+            lens = freqs
+            starts = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            flat = np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
+            pieces = [flat[starts[i]:starts[i + 1]] for i in order]
+            flat = (np.concatenate(pieces) if pieces
+                    else np.zeros(0, np.int64))
+            docs, freqs, norms = docs[order], freqs[order], norms[order]
+        else:
+            flat = np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
+        flat_doc = np.repeat(docs - self.off, freqs)
+        out = (docs, freqs, norms, flat_doc, flat)
+        self.decp[key] = out
+        return out
+
+
 def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
     grid = spec["grid"]
     bucket = int(grp["bucket"].iloc[0])
     off = bucket * grid
     mode = spec["mode"]
     dtype = np.float32 if mode == "f32" else np.float64
-    by_term = {t: g for t, g in grp.groupby("term", sort=False)}
+    data = _BucketData(grp, spec, off)
 
-    must_groups = spec["must"]          # list of term lists, ≥1 must match
-    n_phrase_must = sum(1 for p in spec["phrases"]
-                        if p["occur"] in ("MUST", "FILTER") and not p["dead"])
-    total_must = len(must_groups) + n_phrase_must
+    clauses = spec["clauses"]
+    n_groups = spec["n_groups"]
     msm = spec["msm"]
 
-    # ---- bucket-level upper bound (block-max data) -----------------------
-    term_bucket_max = {}
+    # ---- group-death + bucket-level upper bound (block-max data) ---------
+    group_present = [False] * n_groups
+    for c in clauses:
+        if c["group"] is not None and _clause_present(c, data):
+            group_present[c["group"]] = True
+    if n_groups and not all(group_present):
+        return None, threshold   # a required group is absent from the bucket
+
+    clause_ub = {}
     if spec["prune"]:
-        for t, g in by_term.items():
-            tw = spec["terms"].get(t)
-            if tw is None:
-                continue
-            m = 0.0
-            for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
-                m = max(m, float(_max_impact_score(np.asarray(fr), np.asarray(no),
-                                                   t, spec)))
-            term_bucket_max[t] = m
-        ub = sum(term_bucket_max.values()) + sum(
-            p["w32"] for p in spec["phrases"]
-            if not p["dead"] and p["occur"] != "MUST_NOT")
-        # AND: a bucket missing an entire required group is dead
-        if any(all(t not in by_term for t in g) for g in must_groups):
-            return None, threshold
+        ub = 0.0
+        for ci, c in enumerate(clauses):
+            u = _clause_bucket_ub(c, data, spec)
+            clause_ub[ci] = u
+            ub += u
+        ub = ub * (1.0 + _UB_EPS) + _UB_EPS
         if not spec["collect_all"] and ub < threshold:
             return None, threshold
-    elif any(all(t not in by_term for t in g) for g in must_groups):
-        return None, threshold
+        ub_total = ub
+    else:
+        ub_total = np.inf
 
     score = np.zeros(grid, dtype=dtype)
-    grp_matched = (np.zeros((len(must_groups), grid), dtype=bool)
-                   if must_groups else None)
-    should_cnt = np.zeros(grid, dtype=np.int16) if (msm > 0 or total_must == 0) else None
+    grp_matched = (np.zeros((n_groups, grid), dtype=bool) if n_groups else None)
+    need_should = msm > 0 or n_groups == 0
+    should_cnt = np.zeros(grid, dtype=np.int16) if need_should else None
+
+    # block-max skipping is sound only when dropping a sub-threshold-bound
+    # doc cannot change matching: no required groups and msm <= 1
+    block_skip = (spec["prune"] and not spec["collect_all"]
+                  and n_groups == 0 and msm <= 1)
+
+    for ci, c in enumerate(clauses):
+        if c["kind"] == "term":
+            res = _eval_term(c, data, spec, dtype,
+                             skip=block_skip,
+                             ub_other=(ub_total - clause_ub.get(ci, 0.0)
+                                       if block_skip else 0.0),
+                             threshold=threshold)
+        elif c["kind"] == "phrase":
+            res = _eval_phrase(c, data, spec, dtype)
+        else:
+            res = _eval_dismax(c, data, spec, dtype, grid)
+        if res is None:
+            if c["group"] is not None and _clause_present(c, data) is False:
+                pass
+            continue
+        idxs, s = res
+        if len(idxs) == 0:
+            continue
+        if c["scoring"]:
+            score[idxs] += s.astype(dtype, copy=False)
+        if c["group"] is not None:
+            grp_matched[c["group"], idxs] = True
+        elif c["should"] and should_cnt is not None:
+            should_cnt[idxs] += 1
+        elif c["should"] is False and should_cnt is not None:
+            pass
+
+    # must_not exclusion
     excl = None
-
-    term_groups: dict = {}
-    for gi, g in enumerate(must_groups):
-        for t in g:
-            term_groups.setdefault(t, []).append(gi)
-    should_set = set(spec["should"])
-    ub_other = {t: (sum(term_bucket_max.values()) - term_bucket_max.get(t, 0.0))
-                for t in by_term} if spec["prune"] else {}
-
-    # ---- per-term scatter-add, in query order (float determinism) -------
-    for t in spec["scoring_order"]:
-        g = by_term.get(t)
-        if g is None:
-            continue
-        tw = spec["terms"].get(t)
-        if tw is None:
-            continue
-        for row in g.itertuples(index=False):
-            r = row._asdict()
-            if (spec["prune"] and not spec["collect_all"] and total_must == 0
-                    and msm <= 1):
-                bm = float(_max_impact_score(np.asarray(r["imp_freqs"]),
-                                             np.asarray(r["imp_norms"]), t, spec))
-                if bm + ub_other.get(t, 0.0) < threshold:
-                    continue  # block-max skip: cannot be competitive
-            docs, freqs, norms = decode_postings_block(r)
-            idxs = docs - off
-            s = _score_arrays(freqs, norms, t, spec, dtype)
-            score[idxs] += s
-            for gi in term_groups.get(t, ()):
-                grp_matched[gi, idxs] = True
-            if should_cnt is not None and t in should_set:
-                should_cnt[idxs] += 1
-
-    # must_not terms never score:
-    for t in spec["must_not"]:
-        g = by_term.get(t)
-        if g is None:
-            continue
-        if excl is None:
-            excl = np.zeros(grid, dtype=bool)
-        for row in g.itertuples(index=False):
-            docs, _, _ = decode_postings_block(row._asdict())
-            excl[docs - off] = True
-
-    # ---- phrases ---------------------------------------------------------
-    phrase_must_matched = []
-    for p in spec["phrases"]:
-        if p["dead"]:
-            continue
-        pdocs, pfreqs = _phrase_match(p["terms"], by_term, spec)
-        if p["occur"] == "MUST_NOT":
-            if len(pdocs):
-                if excl is None:
-                    excl = np.zeros(grid, dtype=bool)
-                excl[pdocs - off] = True
-            continue
-        if len(pdocs):
-            idxs = pdocs - off
-            norms_arr = _norms_for_docs(p["terms"][0], by_term, pdocs)
-            s = _score_phrase(pfreqs, norms_arr, p, spec, dtype)
-            score[idxs] += s
-            if p["occur"] in ("MUST", "FILTER"):
-                m = np.zeros(grid, dtype=bool)
-                m[idxs] = True
-                phrase_must_matched.append(m)
-            if should_cnt is not None and p["occur"] == "SHOULD":
-                should_cnt[idxs] += 1
-        elif p["occur"] in ("MUST", "FILTER"):
-            return None, threshold
+    for c in spec["must_not"]:
+        if c["kind"] == "term":
+            d = data.decode(c["key"])
+            if d is None:
+                continue
+            if excl is None:
+                excl = np.zeros(grid, dtype=bool)
+            excl[d[0] - off] = True
+        else:
+            res = _eval_phrase(c, data, spec, dtype)
+            if res is None or len(res[0]) == 0:
+                continue
+            if excl is None:
+                excl = np.zeros(grid, dtype=bool)
+            excl[res[0]] = True
 
     # ---- combine masks ----------------------------------------------------
-    if total_must > 0:
-        mask = np.ones(grid, dtype=bool)
-        if grp_matched is not None and len(must_groups):
-            mask &= grp_matched.all(axis=0)
-        for m in phrase_must_matched:
-            mask &= m
+    if n_groups:
+        mask = grp_matched.all(axis=0)
         if msm > 0:
             mask &= should_cnt >= msm
     else:
@@ -537,98 +772,210 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
                          "score": scores_out.astype(np.float64)}), threshold
 
 
-def _score_arrays(freqs, norms, term, spec, dtype):
-    tw = spec["terms"][term]
+def _clause_present(c, data: _BucketData) -> bool:
+    if c["kind"] == "term":
+        return c["key"] in data.by_key
+    if c["kind"] == "phrase":
+        return all(k in data.by_key for k in c["keys"])
+    return any(ch["key"] in data.by_key for ch in c["children"])
+
+
+def _term_w(c, spec, dtype):
+    return np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
+
+
+def _score_freqs(freqs, norms, w, field, spec, dtype):
+    """BM25 on decoded (freq, norm byte) arrays with clause weight w."""
     if dtype is np.float32:
-        w = np.float32(tw["w32"])
-        ni = spec["cache32"][norms & 0xFF]
-        return (w - w / (np.float32(1.0) + freqs.astype(np.float32) * ni))
-    w = spec["idf64"][term]
-    dl = LENGTH_TABLE[norms & 0xFF].astype(np.float64)
-    f = freqs.astype(np.float64)
-    return w * f / (f + spec["k1"] * (1.0 - spec["b"] + spec["b"] * dl / spec["avgdl64"]))
+        w = np.float32(w)
+        ni = spec["cache32"][field][np.asarray(norms, dtype=np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float32)
+        return (w - w / (np.float32(1.0) + f * ni))
+    dl = LENGTH_TABLE[np.asarray(norms, dtype=np.int64) & 0xFF].astype(np.float64)
+    f = np.asarray(freqs, dtype=np.float64)
+    k1, b = spec["k1"], spec["b"]
+    return w * f / (f + k1 * (1.0 - b + b * dl / spec["avgdl64"][field]))
 
 
-def _max_impact_score(imp_freqs, imp_norms, term, spec):
+def _max_impact(imp_freqs, imp_norms, w, field, spec, dtype):
     if len(imp_freqs) == 0:
         return 0.0
-    s = _score_arrays(imp_freqs.astype(np.int64), imp_norms.astype(np.int64),
-                      term, spec, np.float32 if spec["mode"] == "f32" else np.float64)
+    s = _score_freqs(np.asarray(imp_freqs, dtype=np.int64),
+                     np.asarray(imp_norms, dtype=np.int64),
+                     w, field, spec, dtype)
     return float(np.max(s))
 
 
-def _score_phrase(pfreqs, norms, p, spec, dtype):
-    if dtype is np.float32:
-        w = np.float32(p["w32"])
-        ni = spec["cache32"][norms & 0xFF]
-        return (w - w / (np.float32(1.0) + pfreqs.astype(np.float32) * ni))
-    w = sum(spec["idf64"][t] for t in p["terms"])
-    dl = LENGTH_TABLE[norms & 0xFF].astype(np.float64)
-    f = pfreqs.astype(np.float64)
-    return w * f / (f + spec["k1"] * (1.0 - spec["b"] + spec["b"] * dl / spec["avgdl64"]))
+def _clause_bucket_ub(c, data: _BucketData, spec) -> float:
+    """Float64 upper bound of the clause's max contribution in the bucket
+    (from the per-block competitive-impact skylines)."""
+    dtype = np.float32 if spec["mode"] == "f32" else np.float64
+    if c["kind"] == "term":
+        g = data.by_key.get(c["key"])
+        if g is None:
+            return 0.0
+        w = _term_w(c, spec, dtype)
+        m = 0.0
+        for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
+            m = max(m, _max_impact(fr, no, w, c["key"][0], spec, dtype))
+        return m if c["scoring"] else 0.0
+    if c["kind"] == "phrase":
+        if not _clause_present(c, data) or not c["scoring"]:
+            return 0.0
+        # phrase freq <= min term freq in doc; bound by the phrase weight
+        # applied at the max min-term impact (cheap, safe bound)
+        w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
+        field = c["keys"][0][0]
+        m = 0.0
+        g = data.by_key.get(c["keys"][0])
+        for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
+            m = max(m, _max_impact(fr, no, w, field, spec, dtype))
+        return m
+    # dismax: max_child_ub + tie * (sum_others_ub)
+    ubs = []
+    for ch in c["children"]:
+        g = data.by_key.get(ch["key"])
+        if g is None:
+            continue
+        w = np.float32(ch["w32"]) if dtype is np.float32 else ch["w64"]
+        m = 0.0
+        for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
+            m = max(m, _max_impact(fr, no, w, ch["key"][0], spec, dtype))
+        ubs.append(m)
+    if not ubs:
+        return 0.0
+    mx, sm = max(ubs), sum(ubs)
+    return (mx + c["tie"] * (sm - mx)) if c["scoring"] else 0.0
 
 
-def _decode_term_bucket(term, by_term, want_positions=False):
-    """All (docs, freqs, norms[, positions]) of a term within the bucket."""
-    g = by_term.get(term)
-    if g is None:
+def _eval_term(c, data: _BucketData, spec, dtype, skip=False,
+               ub_other=0.0, threshold=-np.inf):
+    key = c["key"]
+    field = key[0]
+    w = _term_w(c, spec, dtype)
+    if skip and key not in data.dec:
+        g = data.by_key.get(key)
+        if g is None:
+            return None
+        # per-block skip: a block whose max possible TOTAL score is below
+        # the current threshold cannot contribute a top-k doc
+        idx_l, s_l = [], []
+        for row in g.itertuples(index=False):
+            r = row._asdict()
+            bm = _max_impact(r["imp_freqs"], r["imp_norms"], w, field,
+                             spec, dtype)
+            if (bm + ub_other) * (1.0 + _UB_EPS) + _UB_EPS < threshold:
+                continue
+            d, f, n = decode_postings_block(r)
+            idx_l.append(d - data.off)
+            s_l.append(_score_freqs(f, n, w, field, spec, dtype))
+        if not idx_l:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
+        return np.concatenate(idx_l), np.concatenate(s_l)
+    d = data.decode(key)
+    if d is None:
         return None
-    docs_l, freqs_l, norms_l, pos_l = [], [], [], []
-    for row in g.itertuples(index=False):
-        r = row._asdict()
-        d, f, n = decode_postings_block(r)
-        docs_l.append(d)
-        freqs_l.append(f)
-        norms_l.append(n)
-        if want_positions:
-            pos_l.append(decode_positions_blob(r["pos_blob"], f))
-    docs = np.concatenate(docs_l)
-    order = np.argsort(docs, kind="stable")
-    docs = docs[order]
-    freqs = np.concatenate(freqs_l)[order]
-    norms = np.concatenate(norms_l)[order]
-    if want_positions:
-        flat_pos = [p for sub in pos_l for p in sub]
-        flat_pos = [flat_pos[i] for i in order]
-        return docs, freqs, norms, flat_pos
-    return docs, freqs, norms, None
+    docs, freqs, norms = d
+    return docs - data.off, _score_freqs(freqs, norms, w, field, spec, dtype)
 
 
-def _norms_for_docs(term, by_term, docs):
-    d, _, n, _ = _decode_term_bucket(term, by_term)
-    idx = np.searchsorted(d, docs)
-    return n[idx]
+_POS_SHIFT = np.int64(33)
+_POS_PAD = np.int64(512)    # covers adjusted positions down to -(phrase len)
+_BIG = np.iinfo(np.int64).max // 4
 
 
-def _phrase_match(terms, by_term, spec):
-    """Exact phrase within the bucket → (docs, phrase_freqs)."""
+def _eval_phrase(c, data: _BucketData, spec, dtype):
+    """Vectorized exact/sloppy phrase matcher (no per-doc Python).
+
+    Encodes each (local doc, position) occurrence as doc<<33 | (pos+pad);
+    for every occurrence p0 of the first term, finds the nearest position
+    of each later term to its expected offset via searchsorted and sums
+    the displacements — matchLength ≤ slop matches, contributing
+    1/(1+matchLength) to the phrase freq (SloppyPhraseMatcher.java:56
+    sloppy weight; slop=0 degenerates to ExactPhraseMatcher semantics).
+    """
     if not spec["with_positions"]:
         raise ValueError("phrase query requires an index built with positions")
+    keys = c["keys"]
+    slop = c.get("slop", 0)
     per = []
-    for t in terms:
-        r = _decode_term_bucket(t, by_term, want_positions=True)
+    for k in keys:
+        r = data.decode_positions(k)
         if r is None:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
         per.append(r)
-    cand = per[0][0]
-    for d, *_ in per[1:]:
-        cand = np.intersect1d(cand, d, assume_unique=True)
-    if len(cand) == 0:
-        return cand, cand
-    out_docs, out_freqs = [], []
-    for doc in cand:
-        pos_sets = []
-        ok = True
-        for i, (d, f, n, ps) in enumerate(per):
-            j = int(np.searchsorted(d, doc))
-            pos_sets.append(ps[j])
-        base = pos_sets[0]
-        cnt = 0
-        sets = [set(p.tolist()) for p in pos_sets[1:]]
-        for p in base:
-            if all((int(p) + i + 1) in sets[i] for i in range(len(sets))):
-                cnt += 1
-        if cnt > 0:
-            out_docs.append(int(doc))
-            out_freqs.append(cnt)
-    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
+    d0, f0, n0, fd0, fp0 = per[0]
+    if len(fd0) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
+    base = (fd0 << _POS_SHIFT) + fp0 + _POS_PAD
+    tot = np.zeros(len(base), dtype=np.float64)
+    for i in range(1, len(keys)):
+        _, _, _, fdi, fpi = per[i]
+        if len(fdi) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
+        arr = (fdi << _POS_SHIFT) + fpi + _POS_PAD
+        target = base + i
+        j = np.searchsorted(arr, target)
+        jr = np.minimum(j, len(arr) - 1)
+        right_ok = (j < len(arr)) & ((arr[jr] >> _POS_SHIFT)
+                                     == (target >> _POS_SHIFT))
+        right_d = np.where(right_ok, arr[jr] - target, _BIG)
+        jl = np.maximum(j - 1, 0)
+        left_ok = (j > 0) & ((arr[jl] >> _POS_SHIFT)
+                             == (target >> _POS_SHIFT))
+        left_d = np.where(left_ok, target - arr[jl], _BIG)
+        d_i = np.minimum(right_d, left_d).astype(np.float64)
+        d_i[d_i >= _BIG] = np.inf
+        tot += d_i
+    match = tot <= slop
+    if not match.any():
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
+    wts = 1.0 / (1.0 + tot[match])
+    docs_m = fd0[match]
+    pf_grid = np.bincount(docs_m, weights=wts, minlength=spec["grid"])
+    idxs = np.flatnonzero(pf_grid > 0)
+    pf = pf_grid[idxs]
+    if slop == 0:
+        pf = np.round(pf)       # integral counts, exact
+    # norms of matched docs from term0's postings
+    norm_grid = np.zeros(spec["grid"], dtype=np.int64)
+    norm_grid[d0 - data.off] = n0
+    norms = norm_grid[idxs]
+    w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
+    field = keys[0][0]
+    if dtype is np.float32:
+        ni = spec["cache32"][field][norms & 0xFF]
+        f = pf.astype(np.float32)
+        s = (np.float32(w) - np.float32(w) / (np.float32(1.0) + f * ni))
+    else:
+        dl = LENGTH_TABLE[norms & 0xFF].astype(np.float64)
+        f = pf.astype(np.float64)
+        k1, b = spec["k1"], spec["b"]
+        s = w * f / (f + k1 * (1.0 - b + b * dl / spec["avgdl64"][field]))
+    return idxs, s
+
+
+def _eval_dismax(c, data: _BucketData, spec, dtype, grid):
+    """DisjunctionMaxQuery: score = max + tie × (sum − max) over matching
+    disjuncts (DisjunctionMaxQuery.java:51,61)."""
+    mx = np.zeros(grid, dtype=dtype)
+    sm = np.zeros(grid, dtype=dtype)
+    matched = np.zeros(grid, dtype=bool)
+    any_child = False
+    for ch in c["children"]:
+        res = _eval_term({**ch, "kind": "term"}, data, spec, dtype)
+        if res is None:
+            continue
+        idxs, s = res
+        if len(idxs) == 0:
+            continue
+        any_child = True
+        sm[idxs] += s.astype(dtype, copy=False)
+        np.maximum.at(mx, idxs, s.astype(dtype, copy=False))
+        matched[idxs] = True
+    if not any_child:
+        return None
+    idxs = np.flatnonzero(matched)
+    tie = dtype(c["tie"])
+    s = mx[idxs] + tie * (sm[idxs] - mx[idxs])
+    return idxs, s

@@ -20,13 +20,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.smallfloat import LENGTH_TABLE
 from ..index.builder import decode_positions_blob, decode_postings_block
+from .ast import DEFAULT_FIELD
 
 POSTINGS_ROWS_SCHEMA = "term string, doc_id long, freq long, norm int"
 POSTINGS_POS_SCHEMA = POSTINGS_ROWS_SCHEMA + ", positions array<int>"
 
 
 def postings_rows(searcher, terms: list[str],
-                  with_positions: bool = False) -> DataFrame:
+                  with_positions: bool = False,
+                  field: str = DEFAULT_FIELD) -> DataFrame:
     """Decoded postings for a term set: (term, doc_id, freq, norm
     [, positions]) — the public 'postings reader' API (PostingsEnum /
     ImpactsEnum analog). A narrow mapInPandas over the term-filtered
@@ -37,7 +39,9 @@ def postings_rows(searcher, terms: list[str],
         if not searcher.index.with_positions:
             raise ValueError("index built without positions")
         cols.append("pos_blob")
-    blocks = (searcher.index.postings.filter(F.col("term").isin(list(terms)))
+    blocks = (searcher.index.postings
+              .filter((F.col("field") == field)
+                      & F.col("term").isin(list(terms)))
               .select(*cols))
 
     def dec(batches):
@@ -69,9 +73,11 @@ def postings_rows(searcher, terms: list[str],
     return blocks.mapInPandas(dec, schema=schema)
 
 
-def _bm25_f64_col(freq_col, norm_col, df_val: int, searcher):
-    """Double-precision BM25 column on decoded (freq, norm byte)."""
-    st = searcher.stats
+def _bm25_f64_col(freq_col, norm_col, df_val: int, searcher,
+                  field: str = DEFAULT_FIELD):
+    """Double-precision BM25 column on decoded (freq, norm byte), using
+    the FIELD's collection stats (IndexSearcher.java:914-933)."""
+    st = searcher.field_stats(field)
     n_docs, avgdl = st["doc_count"], st["sum_ttf"] / float(st["doc_count"])
     idf = math.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5))
     lt = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
@@ -82,21 +88,22 @@ def _bm25_f64_col(freq_col, norm_col, df_val: int, searcher):
                              (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
 
 
-def synonym_score_all(searcher, terms: list[str]) -> DataFrame:
+def synonym_score_all(searcher, terms: list[str],
+                      field: str = DEFAULT_FIELD) -> DataFrame:
     """SynonymQuery: terms scored as ONE pseudo-term — per-doc freq is the
     SUM over the synonyms, docFreq is the MAX over the synonyms, one BM25
     evaluation (float64). → (doc_id, score)."""
-    st = searcher.term_stats(list(terms))
-    live = [t for t in terms if t in st]
+    st = searcher.term_stats([(field, t) for t in terms])
+    live = [t for t in terms if (field, t) in st]
     if not live:
         return searcher.spark.createDataFrame([], "doc_id long, score double")
-    df_syn = max(st[t][0] for t in live)
-    rows = postings_rows(searcher, live)
+    df_syn = max(st[(field, t)][0] for t in live)
+    rows = postings_rows(searcher, live, field=field)
     agg = rows.groupBy("doc_id").agg(F.sum("freq").alias("freq"),
                                      F.max("norm").alias("norm"))
     return agg.select(
         "doc_id",
-        _bm25_f64_col(F.col("freq"), F.col("norm"), df_syn, searcher)
+        _bm25_f64_col(F.col("freq"), F.col("norm"), df_syn, searcher, field)
         .alias("score"))
 
 
@@ -128,7 +135,7 @@ def boosted_sum_score_all(searcher, boosts: dict[str, float]) -> DataFrame:
 
 
 def proximity_score_all(searcher, term_a: str, term_b: str,
-                        window: int) -> DataFrame:
+                        window: int, field: str = DEFAULT_FIELD) -> DataFrame:
     """Proximity query: docs where term_a and term_b co-occur within
     `window` positions (unordered). pf = number of (pa, pb) position
     pairs with |pa - pb| <= window; scored like a phrase — one BM25
@@ -138,15 +145,16 @@ def proximity_score_all(searcher, term_a: str, term_b: str,
     arrays) after an inner join on doc_id — the SloppyPhraseMatcher role
     (`search/SloppyPhraseMatcher.java:56`) with simplified, exactly-
     specified pf semantics. → (doc_id, score)."""
-    st = searcher.term_stats([term_a, term_b])
-    if term_a not in st or term_b not in st:
+    ka, kb = (field, term_a), (field, term_b)
+    st = searcher.term_stats([ka, kb])
+    if ka not in st or kb not in st:
         return searcher.spark.createDataFrame([], "doc_id long, score double")
-    n_docs = searcher.stats["doc_count"]
-    idf = (math.log(1.0 + (n_docs - st[term_a][0] + 0.5) / (st[term_a][0] + 0.5))
-           + math.log(1.0 + (n_docs - st[term_b][0] + 0.5) / (st[term_b][0] + 0.5)))
-    a = (postings_rows(searcher, [term_a], with_positions=True)
+    n_docs = searcher.field_stats(field)["doc_count"]
+    idf = (math.log(1.0 + (n_docs - st[ka][0] + 0.5) / (st[ka][0] + 0.5))
+           + math.log(1.0 + (n_docs - st[kb][0] + 0.5) / (st[kb][0] + 0.5)))
+    a = (postings_rows(searcher, [term_a], with_positions=True, field=field)
          .select("doc_id", F.col("positions").alias("pos_a"), "norm"))
-    b = (postings_rows(searcher, [term_b], with_positions=True)
+    b = (postings_rows(searcher, [term_b], with_positions=True, field=field)
          .select("doc_id", F.col("positions").alias("pos_b")))
     j = a.join(b, "doc_id")
     pf = F.aggregate(
@@ -154,7 +162,7 @@ def proximity_score_all(searcher, term_a: str, term_b: str,
         lambda acc, pa: acc + F.size(F.filter(
             "pos_b", lambda pb: F.abs(pb - pa) <= F.lit(window))))
     scored = j.select("doc_id", pf.alias("pf"), "norm").filter(F.col("pf") > 0)
-    st_all = searcher.stats
+    st_all = searcher.field_stats(field)
     avgdl = st_all["sum_ttf"] / float(st_all["doc_count"])
     lt = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
     dl = F.element_at(lt, F.col("norm") + 1).cast("double")

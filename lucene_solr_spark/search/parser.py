@@ -1,19 +1,27 @@
-"""Classic-syntax query parser (minimal subset).
+"""Classic-syntax query parser.
 
-A from-scratch recursive-descent parser for the subset of the classic
-Lucene syntax the reference query set uses
-(`queryparser/.../classic/QueryParserBase.java:107`, default operator OR
-per `:63`; clause assembly per `QueryParserBase.java:387`):
+A from-scratch recursive-descent parser for the classic Lucene syntax
+subset the reference query set uses (`queryparser/.../classic/
+QueryParserBase.java:107`, default operator OR per `:63`; clause
+assembly per `QueryParserBase.java:387`):
 
-    term            → analyzed; 1 token → TermQuery, n tokens → OR of terms
-    "quoted phrase" → PhraseQuery over analyzed tokens
-    +term           → MUST        -term / NOT term → MUST_NOT
-    a AND b         → both MUST   a OR b → both SHOULD
-    (grouping)      → nested BooleanQuery
+    term              → analyzed; 1 token → TermQuery, n tokens → OR
+    field:term        → field-scoped (Term = (field, text), Term.java:69)
+    "quoted phrase"   → PhraseQuery over analyzed tokens
+    "quoted"~N        → sloppy phrase, slop N (PhraseQuery.java:70)
+    term~ / term~N    → FuzzyQuery (default maxEdits 2, FuzzyQuery.java:55)
+    wild*card / wi?d  → WildcardQuery; pure trailing-* → PrefixQuery
+    [a TO b] / {a TO b} → TermRangeQuery (inclusive / exclusive)
+    atom^2.5          → BoostQuery (QueryParserBase.java:838 handleBoost)
+    +term             → MUST        -term / NOT term → MUST_NOT
+    a AND b           → both MUST   a OR b → both SHOULD
+    (grouping)        → nested BooleanQuery
 
 Query text runs through the SAME analyzer as indexing
 (`util/QueryBuilder.java:97-162` behavior: stopwords vanish from the
-query; an all-stopword clause contributes nothing).
+query; an all-stopword clause contributes nothing). Wildcard / fuzzy /
+range patterns are lowercased but NOT analyzed, matching the classic
+parser's lowercase_expanded_terms behavior.
 """
 
 from __future__ import annotations
@@ -21,14 +29,29 @@ from __future__ import annotations
 import re
 
 from ..analysis.analyzer import StandardAnalyzer
-from .ast import (BooleanQuery, Clause, MatchNoQuery, Occur, PhraseQuery,
-                  TermQuery, rewrite)
+from ..analysis.lowercase import simple_lowercase
+from .ast import (DEFAULT_FIELD, BooleanQuery, BoostQuery, Clause,
+                  FuzzyQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
+                  TermQuery, TermRangeQuery, WildcardQuery, rewrite)
 
-_TOKEN_SPLIT = re.compile(r'\s+')
-_LEX = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+_LEX = re.compile(
+    r'(?:[A-Za-z0-9_.]+:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'   # [f:]"…"[~n][^b]
+    r'|(?:[A-Za-z0-9_.]+:)?\[[^\]]*\](?:\^[\d.]+)?'        # [f:][a TO b][^b]
+    r'|(?:[A-Za-z0-9_.]+:)?\{[^}]*\}(?:\^[\d.]+)?'         # [f:]{a TO b}[^b]
+    r'|\(|\)'
+    r'|\^[\d.]+'                                           # group boost
+    r'|[^\s()]+'
+)
+
+_FIELD_RE = re.compile(r'^([A-Za-z0-9_.]+):(.+)$', re.DOTALL)
+_BOOST_RE = re.compile(r'^(.*?)\^(\d+(?:\.\d+)?)$', re.DOTALL)
+_FUZZY_RE = re.compile(r'^(.+?)~(\d?)$')
+_RANGE_RE = re.compile(r'^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$')
+_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.DOTALL)
 
 
-def parse_query(text: str, analyzer: StandardAnalyzer):
+def parse_query(text: str, analyzer: StandardAnalyzer,
+                default_field: str = DEFAULT_FIELD):
     """Parse classic-subset syntax → normalized query AST."""
     tokens = _LEX.findall(text or "")
     pos = [0]
@@ -66,13 +89,17 @@ def parse_query(text: str, analyzer: StandardAnalyzer):
             elif t.startswith("+") and len(t) > 1:
                 occur = Occur.MUST
                 tokens[pos[0]] = t[1:]
-                t = tokens[pos[0]]
             elif t.startswith("-") and len(t) > 1:
                 occur = Occur.MUST_NOT
                 tokens[pos[0]] = t[1:]
-                t = tokens[pos[0]]
 
             sub = parse_atom()
+            # group boost: (a b)^2
+            nxt = peek()
+            if (sub is not None and nxt is not None and nxt.startswith("^")
+                    and _BOOST_RE.match("x" + nxt)):
+                advance()
+                sub = BoostQuery(sub, float(nxt[1:]))
             if pending_op == "AND" and occur == Occur.SHOULD:
                 occur = Occur.MUST
                 # retroactively promote the left neighbor, classic-parser style
@@ -90,22 +117,75 @@ def parse_query(text: str, analyzer: StandardAnalyzer):
             if peek() == ")":
                 advance()
             return sub
+        return parse_leaf(t, default_field)
+
+    def parse_leaf(t: str, fld: str):
+        # field prefix (not inside quotes/brackets)
+        m = _FIELD_RE.match(t)
+        if m and not t.startswith(('"', "[", "{")):
+            fld, t = m.group(1), m.group(2)
+        # boost suffix (phrases handle their own to keep ~slop ordering)
+        boost = None
+        if not t.startswith('"'):
+            mb = _BOOST_RE.match(t)
+            if mb and mb.group(1):
+                t, boost = mb.group(1), float(mb.group(2))
+        q = parse_bare(t, fld)
+        if q is None:
+            return None
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        return q
+
+    def parse_bare(t: str, fld: str):
         if t.startswith('"'):
-            toks = analyzer.tokens(t.strip('"'))
+            body, boost = _strip_phrase_boost(t)
+            m = _PHRASE_RE.match(body)
+            if not m:
+                return None
+            toks = analyzer.tokens(m.group(1))
             if not toks:
                 return None
-            if len(toks) == 1:
-                return TermQuery(toks[0])
-            return PhraseQuery(tuple(toks))
+            slop = int(m.group(2)) if m.group(2) else 0
+            if len(toks) == 1 and slop == 0:
+                q = TermQuery(toks[0], fld)
+            else:
+                q = PhraseQuery(tuple(toks), fld, slop)
+            return BoostQuery(q, boost) if boost is not None else q
+        mr = _RANGE_RE.match(t)
+        if mr:
+            lo = None if mr.group(2) == "*" else simple_lowercase(mr.group(2))
+            hi = None if mr.group(3) == "*" else simple_lowercase(mr.group(3))
+            return TermRangeQuery(lo, hi,
+                                  include_lower=mr.group(1) == "[",
+                                  include_upper=mr.group(4) == "]",
+                                  field=fld)
+        mf = _FUZZY_RE.match(t)
+        if mf and "*" not in t and "?" not in t:
+            edits = int(mf.group(2)) if mf.group(2) else 2
+            return FuzzyQuery(simple_lowercase(mf.group(1)), edits, fld)
+        if "*" in t or "?" in t:
+            low = simple_lowercase(t)
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                return PrefixQuery(low[:-1], fld)
+            return WildcardQuery(low, fld)
         toks = analyzer.tokens(t)
         if not toks:
             return None
         if len(toks) == 1:
-            return TermQuery(toks[0])
+            return TermQuery(toks[0], fld)
         # one input word analyzed to several tokens → OR of terms
-        return BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(x)) for x in toks))
+        return BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(x, fld))
+                                  for x in toks))
 
     q = parse_boolean()
     if not q.clauses:
         return MatchNoQuery()
     return rewrite(q)
+
+
+def _strip_phrase_boost(t: str) -> tuple[str, float | None]:
+    m = re.match(r'^("(?:[^"]*)"(?:~\d+)?)\^(\d+(?:\.\d+)?)$', t)
+    if m:
+        return m.group(1), float(m.group(2))
+    return t, None

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.analyzer import StandardAnalyzer
 from ..index.builder import IndexBuilder, InvertedIndex
-from ..index.merge import _merge_terms
+from ..index.merge import _merge_terms, merge_stats
 
 SEGMENTS = "SEGMENTS.json"
 
@@ -83,6 +83,11 @@ def commit_segment(spark: SparkSession, docs: DataFrame,
     idx.release()
     entry = {"name": name, "batch_id": batch_id, "min_doc": lo,
              "max_doc": hi, "n_docs": n, "stats": idx.stats,
+             # reader-side derivation (ADVICE: a positionless segment must
+             # never be read as positioned): record the build params
+             "with_positions": builder.with_positions,
+             "stop_words": sorted(builder.analyzer.stop_words),
+             "max_token_length": builder.analyzer.max_token_length,
              "build_sec": round(time.perf_counter() - t0, 3)}
     seglist["segments"] = ([s for s in seglist["segments"]
                             if s["batch_id"] != batch_id] + [entry])
@@ -93,17 +98,32 @@ def commit_segment(spark: SparkSession, docs: DataFrame,
 
 def load_segments(spark: SparkSession, path: str,
                   analyzer: StandardAnalyzer,
-                  with_positions: bool = True) -> InvertedIndex:
+                  with_positions: bool | None = None) -> InvertedIndex:
     """Point-in-time reader over all committed segments (DirectoryReader
     .open analog). Postings re-shard once to the bucket-major layout;
-    term dictionaries fold with SegmentMerger semantics."""
+    term dictionaries fold with SegmentMerger semantics.
+
+    ``with_positions`` is DERIVED from the segment manifests (recorded at
+    commit_segment time); passing it explicitly only validates."""
     seglist = _read_segments(path)
     segs = seglist["segments"]
     if not segs:
         raise FileNotFoundError(f"no committed segments under {path}")
+    recorded = {s.get("with_positions") for s in segs}
+    recorded.discard(None)
+    if len(recorded) > 1:
+        raise ValueError("segments disagree on with_positions")
+    if recorded:
+        rec = recorded.pop()
+        if with_positions is not None and with_positions != rec:
+            raise ValueError(
+                f"requested with_positions={with_positions} but segments "
+                f"were built with with_positions={rec}")
+        with_positions = rec
+    elif with_positions is None:
+        with_positions = True  # legacy manifests recorded nothing
     post = terms = norms = None
-    stats = {"doc_count": 0, "sum_ttf": 0, "sum_df": 0, "max_doc": 0,
-             "grid": segs[0]["stats"]["grid"]}
+    stats = None
     for s in segs:
         d = f"{path}/{s['name']}"
         p = spark.read.parquet(f"{d}/postings")
@@ -112,15 +132,13 @@ def load_segments(spark: SparkSession, path: str,
         post = p if post is None else post.unionByName(p)
         terms = t if terms is None else _merge_terms(terms, t)
         norms = n if norms is None else norms.unionByName(n)
-        for k in ("doc_count", "sum_ttf", "sum_df"):
-            stats[k] += s["stats"][k]
-        stats["max_doc"] = max(stats["max_doc"], s["stats"]["max_doc"])
+        stats = s["stats"] if stats is None else merge_stats(stats, s["stats"])
         if s["stats"]["grid"] != stats["grid"]:
             raise ValueError("segments disagree on doc-grid size")
     n_part = max(4, spark.sparkContext.defaultParallelism)
     return InvertedIndex(
         postings=(post.repartitionByRange(n_part, "bucket")
-                  .sortWithinPartitions("bucket", "term", "block_id")),
+                  .sortWithinPartitions("bucket", "field", "term", "block_id")),
         terms=terms, norms=norms, stats=stats, analyzer=analyzer,
         with_positions=with_positions)
 

@@ -43,11 +43,13 @@ def searcher(spark, corpus):
 
 
 def _top_terms(oracle, n=5):
-    return sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[:n]
+    post = oracle.postings["text"]
+    return sorted(post, key=lambda t: -len(post[t]))[:n]
 
 
 def _mid_terms(oracle, lo=3, hi=30, n=6):
-    ts = [t for t in sorted(oracle.postings) if lo <= len(oracle.postings[t]) <= hi]
+    post = oracle.postings["text"]
+    ts = [t for t in sorted(post) if lo <= len(post[t]) <= hi]
     return ts[:n]
 
 
@@ -70,7 +72,7 @@ def test_index_stats_match_oracle(corpus):
 def test_terms_table_matches_oracle(corpus):
     _, oracle, idx = corpus
     rows = idx.terms.collect()
-    assert len(rows) == len(oracle.postings)
+    assert len(rows) == len(oracle.postings["text"])
     for r in rows:
         assert r["df"] == oracle.df(r["term"]), r["term"]
         assert r["ttf"] == oracle.ttf(r["term"]), r["term"]
