@@ -29,7 +29,8 @@ from lucene_solr_spark.pipeline import textstats as tstat
 from lucene_solr_spark.pipeline.hashing import P31, md5h60_sql, perm_sql
 from lucene_solr_spark.pipeline.textstats import DE_STOP_WORDS, FP_BASE
 from lucene_solr_spark.search import Searcher, parse_query
-from lucene_solr_spark.search.ast import (BooleanQuery, Clause, Occur,
+from lucene_solr_spark.search.ast import (BooleanQuery, Clause,
+                                          DisjunctionMaxQuery, Occur,
                                           PhraseQuery, TermQuery)
 from lucene_solr_spark.search import multiterm as mt
 
@@ -213,13 +214,41 @@ def q_group_top2_lang(spark, sf_dir):
 
 
 def q_dismax_topk(spark, sf_dir):
+    q = DisjunctionMaxQuery((TermQuery("spark"), TermQuery("merge")), 0.0)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_dismax_tiebreak_topk(spark, sf_dir):
+    q = DisjunctionMaxQuery((TermQuery("spark"), TermQuery("merge")), 0.3)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_field_term_topk(spark, sf_dir):
+    return _topk(_searcher(spark, sf_dir), TermQuery("part", "title"))
+
+
+def q_multifield_bool_topk(spark, sf_dir):
+    q = parse_query("title:part AND text:merge", ENGLISH_ANALYZER)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_must_should_overlap_topk(spark, sf_dir):
+    q = BooleanQuery((Clause(Occur.MUST, TermQuery("spark")),
+                      Clause(Occur.SHOULD, TermQuery("spark"))))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_sloppy_phrase_topk(spark, sf_dir):
+    return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg"), slop=2))
+
+
+def q_regexp_terms(spark, sf_dir):
     s = _searcher(spark, sf_dir)
-    a = s.score_all(TermQuery("spark"), mode="f64")
-    b = s.score_all(TermQuery("merge"), mode="f64")
-    u = a.unionByName(b)
-    return (u.groupBy("doc_id").agg(F.max("score").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
-            .select(F.col("doc_id").cast("long"), F.round("score", 4).alias("score")))
+    terms = mt.regexp_terms(s.index.terms, "s.*k")
+    return (s.index.terms.filter((F.col("field") == "text")
+                                 & F.col("term").isin(terms))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")).orderBy("term"))
 
 
 def q_tokens_per_lang(spark, sf_dir):
@@ -304,7 +333,8 @@ def q_simhash_sigs(spark, sf_dir):
 
 
 def q_dedup_ngram(spark, sf_dir):
-    res = dd.ngram_jaccard_pairs(_raw_docs(spark, sf_dir), threshold=0.8)
+    res = dd.ngram_jaccard_pairs(_raw_docs(spark, sf_dir), threshold=0.8,
+                                 df_cutoff=100)
     return (res.select(F.col("doc_a").cast("long"),
                        F.col("doc_b").cast("long"),
                        F.round("jaccard", 4).alias("jaccard"))
@@ -322,12 +352,36 @@ def q_ann_cosine_topk(spark, sf_dir):
                       F.round("cos", 4).alias("cos"))
 
 
+def _ivf_path(spark, sf_dir) -> str:
+    key = ("ivf", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="lss_ivf_")
+        sim.build_ivf_index(spark, _emb(spark, sf_dir), path,
+                            n_cells=8, iters=1)
+        _RAW_CACHE[key] = path
+    return _RAW_CACHE[key]
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    cent = sim.seed_centroids(emb, 8)
-    top = sim.ivf_topk(emb, cent, _qvec(spark, sf_dir), n_probe=2, k=10)
+    # assignment is PRECOMPUTED+persisted partitioned-by-cell; the probe
+    # scans only the probed cells (Parquet partition pruning)
+    top = sim.ivf_topk_persisted(spark, _ivf_path(spark, sf_dir),
+                                 _qvec(spark, sf_dir), n_probe=2, k=10)
     return top.select(F.col("vec_id").cast("long"),
                       F.round("cos", 4).alias("cos"))
+
+
+def q_embed_neardup_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    planes = (emb.filter("vec_id >= 1 AND vec_id <= 4")
+              .select((F.col("vec_id") - 1).alias("pid"),
+                      F.col("embedding").alias("pvec")))
+    res = sim.lsh_neardup_pairs(emb, planes, threshold=0.45)
+    return (res.select(F.col("vec_a").cast("long"),
+                       F.col("vec_b").cast("long"),
+                       F.round("cos", 4).alias("cos"))
+            .orderBy("vec_a", "vec_b"))
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -486,6 +540,44 @@ WITH tok AS (
 """
 
 
+
+# title-field prelude: title = first 5 raw tokens of text; same
+# tokenize→stop→tf→dl→dlq→stats→df→BM25 chain as _PRELUDE, per-field
+# collection stats exactly as the engine computes them
+# (IndexSearcher.java:914-933).
+_TITLE_CTES = f"""
+, ttok AS (
+  SELECT doc_id,
+         unnest(list_slice(regexp_extract_all(text, '[a-z0-9]+'), 1, 5)) AS term
+  FROM documents
+), ttokf AS (
+  SELECT doc_id, term FROM ttok WHERE term NOT IN ({_STOPLIST})
+), ttf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS freq FROM ttokf GROUP BY doc_id, term
+), tdl AS (
+  SELECT doc_id, sum(freq)::BIGINT AS dl FROM ttf GROUP BY doc_id
+), tdlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 40 THEN dl
+         ELSE 24 + ((((dl-24) >> (length(bin(dl-24))-4)) & 7 | 8)
+                    << (length(bin(dl-24))-4)) END AS dlq
+  FROM tdl
+), tstats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sttf,
+         sum(dl)::DOUBLE / count(*) AS avgdl FROM tdl
+), tdfreq AS (
+  SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
+  FROM ttf GROUP BY term
+), tsc AS (
+  SELECT ttf.doc_id, ttf.term, ttf.freq, tdlq.dlq,
+         ln(1 + (tstats.n - tdfreq.df + 0.5) / (tdfreq.df + 0.5))
+           * ttf.freq / (ttf.freq + {K1} * (1 - {B} + {B} * tdlq.dlq / tstats.avgdl))
+           AS s
+  FROM ttf JOIN tdlq USING (doc_id) JOIN tdfreq USING (term) CROSS JOIN tstats
+)
+"""
+
+
 def _sql_topk_sum(term_list, extra=""):
     terms = ", ".join(f"'{t}'" for t in term_list)
     return _PRELUDE + f"""
@@ -597,6 +689,62 @@ FROM scored WHERE rn <= 2 ORDER BY lang, rn"""
 SELECT doc_id, ROUND(MAX(s), 4) AS score
 FROM sc WHERE term IN ('spark', 'merge')
 GROUP BY doc_id ORDER BY MAX(s) DESC, doc_id LIMIT 10"""
+
+    # DisjunctionMaxQuery.java:51 — max + tie × (sum − max)
+    sql["q_dismax_tiebreak_topk"] = _PRELUDE + """
+SELECT doc_id, ROUND(MAX(s) + 0.3 * (SUM(s) - MAX(s)), 4) AS score
+FROM sc WHERE term IN ('spark', 'merge')
+GROUP BY doc_id
+ORDER BY MAX(s) + 0.3 * (SUM(s) - MAX(s)) DESC, doc_id LIMIT 10"""
+
+    # field-scoped term query: BM25 on the TITLE field's own stats
+    sql["q_field_term_topk"] = _PRELUDE + _TITLE_CTES + """
+SELECT doc_id, ROUND(s, 4) AS score FROM tsc WHERE term = 'part'
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # cross-field conjunction: title:part AND text:merge, score = sum
+    sql["q_multifield_bool_topk"] = _PRELUDE + _TITLE_CTES + """
+SELECT a.doc_id, ROUND(a.s + b.s, 4) AS score
+FROM tsc a JOIN sc b USING (doc_id)
+WHERE a.term = 'part' AND b.term = 'merge'
+ORDER BY a.s + b.s DESC, a.doc_id LIMIT 10"""
+
+    # +spark spark — one scorer per clause: the term scores TWICE
+    sql["q_must_should_overlap_topk"] = _PRELUDE + """
+SELECT doc_id, ROUND(2 * s, 4) AS score FROM sc WHERE term = 'spark'
+ORDER BY 2 * s DESC, doc_id LIMIT 10"""
+
+    # sloppy phrase "key agg"~2: per anchor position a of 'key', the
+    # minimal displacement to 'agg' (expected at a+1); matches within
+    # slop contribute 1/(1+d) to the phrase freq
+    # (SloppyPhraseMatcher.java:56 sloppy weight)
+    sql["q_sloppy_phrase_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), mind AS (
+  SELECT a.doc_id, a.p AS ap, MIN(ABS(b.p - (a.p + 1))) AS d
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id, a.p
+), pf AS (
+  SELECT doc_id, SUM(1.0 / (1 + d)) AS pf FROM mind WHERE d <= 2
+  GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    sql["q_regexp_terms"] = _PRELUDE + """
+SELECT term, df, ttf FROM dfreq WHERE regexp_matches(term, '^(?:s.*k)$')
+ORDER BY term"""
 
     sql["q_tokens_per_lang"] = _PRELUDE + """
 SELECT d.lang AS lang, sum(tf.freq)::BIGINT AS n_tokens,
@@ -781,10 +929,20 @@ FROM scand WHERE bit_count(xor(sig_a, sig_b)) <= 1 ORDER BY doc_a, doc_b"""
     sql["q_simhash_sigs"] = _P2 + _SIMHASH_CTES + """
 SELECT doc_id, simhash FROM ssig WHERE doc_id < 30 ORDER BY doc_id"""
 
-    sql["q_dedup_ngram"] = _P2 + """, inter2 AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+    # prefix filter: candidates only from shingles in <= 100 docs, then
+    # EXACT Jaccard on the full shingle sets (the engine's df_cutoff path)
+    sql["q_dedup_ngram"] = _P2 + """, rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+), shr AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+), inter2 AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, ROUND(inter / (sa.n + sb.n - inter), 4) AS jaccard
 FROM inter2 JOIN sizes sa ON sa.doc_id = doc_a
@@ -799,32 +957,54 @@ ORDER BY {_COS_E} DESC, e.vec_id LIMIT 10"""
 
     sql["q_ann_ivf_topk"] = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-cent AS (
-  SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
-  FROM embeddings WHERE vec_id < 8
-), scored AS (
-  SELECT e.vec_id, c.cell,
-    list_dot_product(e.embedding::DOUBLE[], c.cvec) /
-      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-       sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
-  FROM embeddings e CROSS JOIN cent c
-), asg AS (
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seed AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 8),
+s1 AS (
+  SELECT e.vec_id, s.cell,
+    list_dot_product(e.v, s.cvec) /
+      (sqrt(list_dot_product(e.v, e.v)) *
+       sqrt(list_dot_product(s.cvec, s.cvec))) AS ccos
+  FROM e CROSS JOIN seed s
+), a1 AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
-      row_number() OVER (PARTITION BY vec_id
-                         ORDER BY ccos DESC, cell) AS rn
-    FROM scored) WHERE rn = 1
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM s1) WHERE rn = 1
+), memb AS (
+  SELECT a1.cell, e.v FROM a1 JOIN e USING (vec_id)
+), mexp AS (
+  SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x
+  FROM memb
+), mm AS (
+  SELECT cell, pos, avg(x) AS m FROM mexp GROUP BY cell, pos
+), cent2 AS (
+  SELECT s.cell,
+    CASE WHEN count(mm.m) = 0 THEN s.cvec
+         ELSE list(mm.m ORDER BY mm.pos) END AS cvec
+  FROM seed s LEFT JOIN mm ON mm.cell = s.cell
+  GROUP BY s.cell, s.cvec
+), s2 AS (
+  SELECT e.vec_id, c.cell,
+    list_dot_product(e.v, c.cvec) /
+      (sqrt(list_dot_product(e.v, e.v)) *
+       sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+  FROM e CROSS JOIN cent2 c
+), a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+    FROM s2) WHERE rn = 1
 ), probe AS (
   SELECT cell FROM (
     SELECT c.cell, row_number() OVER (
       ORDER BY list_dot_product(c.cvec, q.qv) /
         (sqrt(list_dot_product(c.cvec, c.cvec)) *
          sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cell) AS rn
-    FROM cent c CROSS JOIN q) WHERE rn <= 2
+    FROM cent2 c CROSS JOIN q) WHERE rn <= 2
 )
 SELECT e.vec_id, ROUND({_COS_E}, 4) AS cos
 FROM embeddings e CROSS JOIN q
-JOIN asg ON asg.vec_id = e.vec_id JOIN probe ON probe.cell = asg.cell
+JOIN a2 ON a2.vec_id = e.vec_id JOIN probe ON probe.cell = a2.cell
 ORDER BY {_COS_E} DESC, e.vec_id LIMIT 10"""
 
     sql["q_embed_neardup"] = """
@@ -834,6 +1014,30 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     (sqrt(list_dot_product(a.v, a.v)) *
      sqrt(list_dot_product(b.v, b.v))), 4) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+  (sqrt(list_dot_product(a.v, a.v)) *
+   sqrt(list_dot_product(b.v, b.v))) >= 0.45
+ORDER BY vec_a, vec_b"""
+
+    sql["q_embed_neardup_lsh"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id - 1 AS pid, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN p
+), bk AS (
+  SELECT vec_id, CAST(SUM(bit * (2 ** pid)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+), wb AS (
+  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) *
+     sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) /
   (sqrt(list_dot_product(a.v, a.v)) *
    sqrt(list_dot_product(b.v, b.v))) >= 0.45
@@ -928,6 +1132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_source": q_facet_source,
         "q_group_top2_lang": q_group_top2_lang,
         "q_dismax_topk": q_dismax_topk,
+        "q_dismax_tiebreak_topk": q_dismax_tiebreak_topk,
+        "q_field_term_topk": q_field_term_topk,
+        "q_multifield_bool_topk": q_multifield_bool_topk,
+        "q_must_should_overlap_topk": q_must_should_overlap_topk,
+        "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
+        "q_regexp_terms": q_regexp_terms,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_match_all_count": q_match_all_count,
         "q_dedup_exact": q_dedup_exact,
@@ -939,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
+        "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_counts": q_token_counts,

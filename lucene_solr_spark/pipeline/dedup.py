@@ -210,25 +210,38 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold: float = 0.8,
                         df_cutoff: int | None = None) -> DataFrame:
     """All pairs with token-k-gram Jaccard >= threshold, via the shared-
-    shingle inverted join. df_cutoff drops shingles present in more than
-    that many docs before pairing (prefix-filter; bounds join fanout)."""
+    shingle inverted join.
+
+    df_cutoff is the prefix-filter: CANDIDATE pairs come only from the
+    join on shingles present in ≤ df_cutoff docs (bounding the self-join
+    fanout on ubiquitous shingles — the scale guard), but the Jaccard is
+    then verified EXACTLY on the full shingle sets, so reported values
+    are true Jaccards. A qualifying pair is missed only if every one of
+    its shared shingles exceeds the cutoff — vanishingly unlikely at
+    j ≥ 0.8 unless the pair is pure boilerplate."""
     sh = shingles(docs, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    joinable = sh
-    if df_cutoff is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-        joinable = (sh.join(dfreq.filter(F.col("sdf") <= df_cutoff)
-                            .select("shingle"), "shingle"))
-    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    return (inter
-            .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("n", "na"), "doc_a")
-            .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                  .withColumnRenamed("n", "nb"), "doc_b")
-            .withColumn("jaccard", F.col("inter") /
-                        (F.col("na") + F.col("nb") - F.col("inter")))
-            .filter(F.col("jaccard") >= threshold)
+    if df_cutoff is None:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+        return (inter
+                .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n", "na"), "doc_a")
+                .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("n", "nb"), "doc_b")
+                .withColumn("jaccard", F.col("inter") /
+                            (F.col("na") + F.col("nb") - F.col("inter")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    rare = (sh.join(dfreq.filter(F.col("sdf") <= df_cutoff)
+                    .select("shingle"), "shingle"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    ver = jaccard_verify(sh, cand)
+    return (ver.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
