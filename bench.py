@@ -39,6 +39,7 @@ QUERY_SET = [
     ("q_and2", "spark AND table"),
     ("q_and3", "sort AND hash AND join"),
     ("q_phrase", '"key agg"'),
+    ("q_sloppy", '"key agg"~2'),
     ("q_nested", "(spark OR merge) AND fast"),
     ("q_not", "spark NOT dup"),
     ("q_wide_or", "batch part line column order small sort"),
@@ -59,7 +60,7 @@ def main() -> None:
     grid = max(128, n_docs // (CPUS * 4))
     builder = IndexBuilder(ENGLISH_ANALYZER, grid=grid, head_df=512,
                            salt_target=512, with_positions=True)
-    idx = builder.build(spark, docs).cache()
+    idx = builder.build(spark, docs).cache(serving_partitions=2 * CPUS)
     idx.norms.count()
     build_sec = time.perf_counter() - t0
 

@@ -54,8 +54,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.analyzer import ENGLISH_ANALYZER, StandardAnalyzer
-from ..analysis.lowercase import _multi_char_exceptions, simple_lowercase
-from ..analysis.tokenizer import _HAS_IDEO_RE, _TOKEN_RE, tokenize_raw
+from ..analysis.lowercase import _multi_char_exceptions
+from ..analysis.tokenizer import _TOKEN_RE
 from ..functions import codec
 from ..functions.impacts import skyline
 from ..functions.smallfloat import int_to_byte4
@@ -112,44 +112,68 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
     → None, or dict of parallel arrays (doc_id, term, freq, norm
     [, pos_blob]) — one entry per (doc, term) pair, byte-identical to
     running ``analyzer.term_positions`` per doc (differential-tested in
-    tests/test_analyzer.py). Tokenize/lower/stop/group all run as
-    pandas/numpy batch ops; only exotic-script rows fall back to the
-    per-doc reference path.
+    tests/test_analyzer.py).
+
+    Hot-path shape: whole-document lowercase FIRST (one C-level
+    str.lower per doc — legal because simple-lowercase is 1:1 and
+    class-preserving on every codepoint outside the fallback set, so
+    tokenize∘lower ≡ lower∘tokenize there), one C regex findall per
+    doc, C-level map(len) / set-membership over the flat token stream,
+    then factorize + lexsort + run detection in numpy. Rows containing
+    exotic scripts or exceptional-lowercase codepoints route wholly
+    through the per-doc reference path (`analyzer.term_positions`).
     """
-    texts = texts.fillna("")
-    fallback = texts.str.contains(_fallback_re(), regex=True, na=False).to_numpy()
-    lists = texts.str.findall(_TOKEN_RE)
-    if fallback.any():
-        lists = lists.copy()
-        for i in np.flatnonzero(fallback):
-            lists.iat[i] = tokenize_raw(texts.iat[i])
+    arr = texts.fillna("").to_numpy()
+    rx = _fallback_re()
+    fb = np.fromiter((rx.search(t) is not None for t in arr),
+                     dtype=bool, count=len(arr))
+    parts = []
+    if not fb.all():
+        parts.append(_invert_vec(doc_ids[~fb], arr[~fb], analyzer, with_pos))
+    if fb.any():
+        parts.append(_invert_exact(doc_ids[fb], arr[fb], analyzer, with_pos))
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    out = {k: np.concatenate([p[k] for p in parts])
+           for k in ("doc_id", "term", "freq", "norm")}
+    if with_pos:
+        out["pos_blob"] = parts[0]["pos_blob"] + parts[1]["pos_blob"]
+    return out
+
+
+def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
+    """Batch inversion of fallback-free rows (the web-text fast path)."""
+    if len(arr) == 0:
+        return None
+    findall = _TOKEN_RE.findall
+    lists = [findall(t.lower()) for t in arr]
     counts = np.fromiter(map(len, lists), dtype=np.int64, count=len(lists))
     total = int(counts.sum())
     if total == 0:
         return None
-    flat = pd.Series(list(chain.from_iterable(lists)), dtype="object")
-    local = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
-    cum0 = np.zeros(len(texts), dtype=np.int64)
+    flat = list(chain.from_iterable(lists))
+    local = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+    cum0 = np.zeros(len(arr), dtype=np.int64)
     np.cumsum(counts[:-1], out=cum0[1:])
     pos = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
 
-    lens = flat.str.len().to_numpy()
-    low = flat.str.lower()
-    if fallback.any():
-        tok_fb = fallback[local]
-        if tok_fb.any():
-            low = low.copy()
-            low[tok_fb] = flat[tok_fb].map(simple_lowercase)
+    lens = np.fromiter(map(len, flat), dtype=np.int64, count=total)
     keep = lens <= analyzer.max_token_length
-    if analyzer.stop_words:
-        keep &= ~low.isin(analyzer.stop_words).to_numpy()
+    sw = analyzer.stop_words
+    if sw:
+        keep &= np.fromiter((t not in sw for t in flat),
+                            dtype=bool, count=total)
     if not keep.any():
         return None
+    flat = np.asarray(flat, dtype=object)
     did_k = local[keep]
-    term_k = low.to_numpy()[keep]
+    term_k = flat[keep]
     pos_k = pos[keep]
 
-    dl = np.bincount(did_k, minlength=len(texts))
+    dl = np.bincount(did_k, minlength=len(arr))
     nb = _NORM_LUT[np.minimum(dl, len(_NORM_LUT) - 1)].astype(np.int64)
     big = dl >= len(_NORM_LUT)
     if big.any():
@@ -162,7 +186,7 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
     run_starts = np.flatnonzero(change)
     run_ends = np.r_[run_starts[1:], len(d_s)]
     out = {
-        "doc_id": doc_ids[d_s[run_starts]],
+        "doc_id": np.asarray(doc_ids)[d_s[run_starts]],
         "term": np.asarray(uniq, dtype=object)[c_s[run_starts]],
         "freq": (run_ends - run_starts).astype(np.int32),
         "norm": nb[d_s[run_starts]].astype(np.int32),
@@ -174,6 +198,37 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
         buf, off = codec.vbyte_encode_batch(delta)
         out["pos_blob"] = [buf[off[s]:off[e]].tobytes()
                            for s, e in zip(run_starts, run_ends)]
+    return out
+
+
+def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
+    """Per-doc reference path for rows the batch path can't handle
+    (mixed CJK scripts / exceptional lowercase)."""
+    rows_doc, rows_term, rows_freq, rows_norm, rows_pos = [], [], [], [], []
+    for did, text in zip(np.asarray(doc_ids), arr):
+        tp = analyzer.term_positions(text or "")
+        if not tp:
+            continue
+        dl = sum(len(v) for v in tp.values())
+        nbyte = (int(_NORM_LUT[dl]) if dl < len(_NORM_LUT)
+                 else int(int_to_byte4(np.array([dl]))[0]))
+        for term, ps in tp.items():
+            rows_doc.append(did)
+            rows_term.append(term)
+            rows_freq.append(len(ps))
+            rows_norm.append(nbyte)
+            if with_pos:
+                rows_pos.append(_vbyte_positions(ps))
+    if not rows_doc:
+        return None
+    out = {
+        "doc_id": np.asarray(rows_doc, dtype=np.int64),
+        "term": np.asarray(rows_term, dtype=object),
+        "freq": np.asarray(rows_freq, dtype=np.int32),
+        "norm": np.asarray(rows_norm, dtype=np.int32),
+    }
+    if with_pos:
+        out["pos_blob"] = rows_pos
     return out
 
 
@@ -215,7 +270,23 @@ class InvertedIndex:
                 except Exception:
                     pass
 
-    def cache(self) -> "InvertedIndex":
+    def cache(self, serving_partitions: int | None = None) -> "InvertedIndex":
+        """Pin the index tables in memory for query serving.
+
+        ``serving_partitions`` re-range-partitions the postings by bucket
+        (whole cells per partition, kernel invariant preserved) before
+        caching. Query latency is dominated by per-task Python round-trip
+        overhead (~10-25 ms/task), so the serving layout should use FEW,
+        FAT partitions — ~2× the executor cores — independent of the
+        build's shuffle width, which wants to be much larger. The build
+        width shards the expensive pack; the serving width bounds the
+        per-query task count. (Solr has the same split: many indexing
+        threads, few search shards per node.)"""
+        if serving_partitions is not None:
+            self.postings = (self.postings
+                             .repartitionByRange(serving_partitions, "bucket")
+                             .sortWithinPartitions("bucket", "field", "term",
+                                                   "block_id"))
         self.postings = self.postings.cache()
         self.terms = self.terms.cache()
         self.norms = self.norms.cache()
@@ -483,12 +554,32 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
         if e - s == 1:
             imp_f.append([int(freqs[s])])
             imp_n.append([int(norms_u8[s])])
+        elif e - s <= 8:
+            # tiny blocks dominate run counts: pure-Python pareto sweep
+            # (identical result to functions.impacts.skyline, no numpy
+            # per-call overhead)
+            out_f, out_n = [], []
+            mx, prev_n = -1, None
+            for fv, nv in sorted(zip(freqs[s:e].tolist(),
+                                     norms_u8[s:e].tolist()),
+                                 key=lambda p: (p[1], -p[0])):
+                if nv == prev_n:
+                    continue
+                prev_n = nv
+                if fv > mx:
+                    out_f.append(fv)
+                    out_n.append(nv)
+                    mx = fv
+            imp_f.append(out_f)
+            imp_n.append(out_n)
         else:
             sf, sn = skyline(freqs[s:e], norms_u8[s:e])
             imp_f.append(sf.astype(np.int32).tolist())
             imp_n.append(sn.astype(np.int32).tolist())
         if with_pos:
-            pos_blobs.append(b"".join(bytes(p) for p in poss[s:e]))
+            # bytes.join accepts any bytes-like element (bytes/bytearray/
+            # memoryview) — no per-element copy
+            pos_blobs.append(b"".join(poss[s:e]))
         else:
             pos_blobs.append(None)
 

@@ -1,0 +1,135 @@
+"""Deletes / live docs — tombstones + expunge, the Lucene deletion model.
+
+Reference semantics (`index/LeafReader.java:227` getLiveDocs,
+`index/IndexWriter.java deleteDocuments` → liveDocs bitset,
+`IndexWriter.forceMergeDeletes`): a delete only HIDES a document — every
+statistic (docFreq, totalTermFreq, norms, docCount, avgdl) keeps
+counting it until a merge physically drops it. Scores therefore do NOT
+change when a doc is deleted; only the match set shrinks. This module
+reproduces exactly that:
+
+- :func:`delete_docs` records tombstones (a small doc_id set). The
+  Searcher ships the sorted tombstone array to the kernel, which masks
+  those docs out of every match (the liveDocs bitset analog). Like
+  Lucene's in-memory liveDocs, the tombstone set is assumed SMALL
+  relative to the corpus (bounded by ``MAX_DRIVER_DELETES``); beyond
+  that, expunge.
+- :func:`expunge_deletes` (forceMergeDeletes analog) rewrites postings
+  without the deleted docs and RECOMPUTES dictionary/norms/stats — after
+  it, scores reflect the shrunken collection, exactly as after a Lucene
+  merge.
+
+A training-data pipeline wires dedup output straight in:
+``delete_docs(idx, dedup_result.filter("is_duplicate"))``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import InvertedIndex, POSTINGS_SCHEMA, RAW_SCHEMA, _shuffle_n
+from .compact import _unpack_blocks
+from .builder import pack_partition
+
+# liveDocs-in-memory bound: beyond this, callers must expunge (the
+# tombstone array is broadcast inside the kernel spec)
+MAX_DRIVER_DELETES = 2_000_000
+
+
+def delete_docs(spark: SparkSession, idx: InvertedIndex,
+                doc_ids) -> InvertedIndex:
+    """Record tombstones; returns an index view whose queries exclude
+    them. ``doc_ids`` is a DataFrame with a doc_id column or an iterable
+    of ints. Stats/norms/dictionary are intentionally UNCHANGED
+    (IndexWriter semantics: deletes don't affect scoring until merge)."""
+    if isinstance(doc_ids, DataFrame):
+        new = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        new = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                    "doc_id long").distinct()
+    prev = getattr(idx, "deletes", None)
+    dels = new if prev is None else prev.unionByName(new).distinct()
+    n = dels.count()
+    if n > MAX_DRIVER_DELETES:
+        raise ValueError(
+            f"{n} tombstones exceed MAX_DRIVER_DELETES="
+            f"{MAX_DRIVER_DELETES}; run expunge_deletes first")
+    out = InvertedIndex(postings=idx.postings, terms=idx.terms,
+                        norms=idx.norms, stats=dict(idx.stats),
+                        analyzer=idx.analyzer,
+                        with_positions=idx.with_positions, raw=idx.raw)
+    out.deletes = dels
+    out.deleted_array = np.sort(np.array(
+        [r["doc_id"] for r in dels.collect()], dtype=np.int64))
+    return out
+
+
+def live_doc_count(idx: InvertedIndex) -> int:
+    """numDocs() analog: maxDoc-style doc_count minus tombstones."""
+    arr = getattr(idx, "deleted_array", None)
+    return idx.stats["doc_count"] - (len(arr) if arr is not None else 0)
+
+
+def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
+    """Physically drop tombstoned docs (forceMergeDeletes): unpack →
+    filter live → repack, then rebuild dictionary/norms/stats from the
+    surviving postings. One bucket-range shuffle, same key as the build."""
+    dels = getattr(idx, "deletes", None)
+    if dels is None:
+        return idx
+    with_pos = idx.with_positions
+    grid = idx.stats["grid"]
+    raw = idx.postings.mapInPandas(
+        lambda it: _unpack_blocks(it, with_pos), schema=RAW_SCHEMA)
+    raw = raw.join(F.broadcast(dels), "doc_id", "left_anti").persist()
+
+    terms = (raw.groupBy("field", "term")
+             .agg(F.count("*").alias("df"), F.sum("freq").alias("ttf"),
+                  F.min("doc_id").alias("singleton_doc"),
+                  F.max("freq").alias("singleton_freq"),
+                  F.max("norm").alias("singleton_norm")))
+    one = F.col("df") == 1
+    terms = (terms.select(
+        "field", "term", "df", "ttf",
+        F.when(one, F.col("singleton_doc")).alias("singleton_doc"),
+        F.when(one, F.col("singleton_freq")).alias("singleton_freq"),
+        F.when(one, F.col("singleton_norm")).alias("singleton_norm"))
+        .repartitionByRange(max(4, spark.sparkContext.defaultParallelism // 2),
+                            "field", "term")
+        .sortWithinPartitions("field", "term").persist())
+
+    norms = (idx.norms.join(F.broadcast(dels), "doc_id", "left_anti")
+             .repartitionByRange(max(4, spark.sparkContext.defaultParallelism // 2),
+                                 "doc_id")
+             .sortWithinPartitions("field", "doc_id").persist())
+    frows = (norms.groupBy("field")
+             .agg(F.count("*").alias("doc_count"),
+                  F.sum("dl").alias("sum_ttf"))).collect()
+    sdf_rows = terms.groupBy("field").agg(F.sum("df").alias("sum_df")).collect()
+    sdf = {r["field"]: int(r["sum_df"]) for r in sdf_rows}
+    fstats = {r["field"]: {"doc_count": int(r["doc_count"]),
+                           "sum_ttf": int(r["sum_ttf"]),
+                           "sum_df": sdf.get(r["field"], 0)}
+              for r in frows}
+    grow = norms.agg(F.countDistinct("doc_id").alias("n"),
+                     F.max("doc_id").alias("mx")).collect()[0]
+    stats = {"doc_count": int(grow["n"]),
+             "sum_ttf": sum(v["sum_ttf"] for v in fstats.values()),
+             "sum_df": sum(v["sum_df"] for v in fstats.values()),
+             "max_doc": int(grow["mx"]),
+             "grid": grid, "fields": fstats}
+
+    n_part = _shuffle_n(spark)
+
+    def pack(batches):
+        yield from pack_partition(batches, grid, with_pos)
+
+    postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
+                .repartitionByRange(n_part, "bucket")
+                .sortWithinPartitions("bucket", "field", "term", "doc_id")
+                .mapInPandas(pack, schema=POSTINGS_SCHEMA))
+    return InvertedIndex(postings=postings, terms=terms, norms=norms,
+                         stats=stats, analyzer=idx.analyzer,
+                         with_positions=with_pos, raw=raw)

@@ -249,9 +249,11 @@ class Searcher:
             elif c["kind"] == "phrase" and all(k in st for k in keys):
                 live_mn.append(dict(c, w32=0.0, w64=0.0))  # match-only
 
+        deleted = getattr(self.index, "deleted_array", None)
         spec = dict(
             clauses=live_clauses, must_not=live_mn, msm=msm,
             n_groups=n_groups,
+            deleted=deleted,
             cache32={f: c for f, c in cache32.items()},
             avgdl64=avgdl64,
             k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
@@ -342,8 +344,12 @@ class Searcher:
         if plan is None:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
         if plan == "ALL":
-            pdf = (self.index.norms.select("doc_id").distinct()
-                   .orderBy("doc_id").limit(k).toPandas())
+            alldocs = self.index.norms.select("doc_id").distinct()
+            dels = getattr(self.index, "deletes", None)
+            if dels is not None:
+                alldocs = alldocs.join(F.broadcast(dels), "doc_id",
+                                       "left_anti")
+            pdf = alldocs.orderBy("doc_id").limit(k).toPandas()
             pdf["score"] = np.float32(1.0)
             pdf["rank"] = np.arange(1, len(pdf) + 1)
             return pdf[["rank", "doc_id", "score"]]
@@ -367,9 +373,14 @@ class Searcher:
             return self.spark.createDataFrame([], KERNEL_SCHEMA)
         if plan == "ALL":
             # MatchAllDocsQuery: every doc with at least one indexed term,
-            # constant score 1 (ConstantScore semantics)
-            return self.index.norms.select("doc_id").distinct().select(
-                "doc_id", F.lit(1.0).alias("score"))
+            # constant score 1 (ConstantScore semantics); tombstoned docs
+            # excluded (liveDocs)
+            alldocs = self.index.norms.select("doc_id").distinct()
+            dels = getattr(self.index, "deletes", None)
+            if dels is not None:
+                alldocs = alldocs.join(F.broadcast(dels), "doc_id",
+                                       "left_anti")
+            return alldocs.select("doc_id", F.lit(1.0).alias("score"))
         return self._run_kernel(plan, mode=mode, collect_all=True)
 
     def match_docs(self, query) -> DataFrame:
@@ -695,10 +706,15 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
     need_should = msm > 0 or n_groups == 0
     should_cnt = np.zeros(grid, dtype=np.int16) if need_should else None
 
-    # block-max skipping is sound only when dropping a sub-threshold-bound
-    # doc cannot change matching: no required groups and msm <= 1
-    block_skip = (spec["prune"] and not spec["collect_all"]
-                  and n_groups == 0 and msm <= 1)
+    # Block-max skipping (WANDScorer + BlockMaxConjunctionScorer roles):
+    # a block may be skipped whenever every doc in it has
+    #   blockmax(this clause) + Σ other scoring clauses' bucket max
+    # below the current top-k threshold — such a doc can never enter the
+    # final top-k, so dropping it from scoring AND from match/msm
+    # tracking only removes rows that the driver merge would discard
+    # anyway (masks only shrink; surviving docs' scores are exact).
+    # MUST_NOT blocks are never skipped (skipping would un-exclude).
+    block_skip = spec["prune"] and not spec["collect_all"]
 
     for ci, c in enumerate(clauses):
         if c["kind"] == "term":
@@ -727,8 +743,15 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
         elif c["should"] is False and should_cnt is not None:
             pass
 
-    # must_not exclusion
+    # must_not exclusion (+ liveDocs tombstones, LeafReader.getLiveDocs)
     excl = None
+    deleted = spec.get("deleted")
+    if deleted is not None and len(deleted):
+        lo = int(np.searchsorted(deleted, off))
+        hi = int(np.searchsorted(deleted, off + grid))
+        if hi > lo:
+            excl = np.zeros(grid, dtype=bool)
+            excl[deleted[lo:hi] - off] = True
     for c in spec["must_not"]:
         if c["kind"] == "term":
             d = data.decode(c["key"])

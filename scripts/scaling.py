@@ -97,6 +97,16 @@ def child(cores: int, input_path: str) -> None:
               .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
               .collect()[0])
 
+    # query serving layout: per-query latency is bounded by task count
+    # (Python round-trip ~10-25 ms/task), so serve from ~2x-cores fat
+    # partitions regardless of the (wider) build shuffle
+    served = (idx.postings
+              .repartitionByRange(2 * cores, "bucket")
+              .sortWithinPartitions("bucket", "field", "term",
+                                    "block_id").persist())
+    served.count()               # materialize FROM the existing cache
+    idx.postings.unpersist()
+    idx.postings = served
     searcher = Searcher(spark, idx, k1=1.2, b=0.75)
     queries = query_set(idx)
     t0 = time.perf_counter()

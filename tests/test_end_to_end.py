@@ -125,13 +125,30 @@ def test_min_should_match(searcher, corpus):
 
 
 def test_pruned_equals_exhaustive(searcher, corpus):
-    """WAND-pruned == exhaustive (checkTopScores differential)."""
+    """WAND-pruned == exhaustive (checkTopScores differential) — OR,
+    AND (BlockMaxConjunction role), msm, filter and mixed shapes all
+    engage block skipping and must stay bit-identical."""
     _, oracle, _ = corpus
-    terms = _top_terms(oracle, 4)
-    q = BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(t)) for t in terms))
-    pruned = searcher.top_k(q, k=K, prune=True)
-    full = searcher.top_k(q, k=K, prune=False)
-    pd.testing.assert_frame_equal(pruned, full)
+    t = _top_terms(oracle, 6)
+    shapes = [
+        BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(x)) for x in t[:4])),
+        BooleanQuery((Clause(Occur.MUST, TermQuery(t[0])),
+                      Clause(Occur.MUST, TermQuery(t[1])))),
+        BooleanQuery((Clause(Occur.MUST, TermQuery(t[0])),
+                      Clause(Occur.SHOULD, TermQuery(t[2])),
+                      Clause(Occur.SHOULD, TermQuery(t[3])))),
+        BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(x)) for x in t[:4]),
+                     min_should_match=2),
+        BooleanQuery((Clause(Occur.FILTER, TermQuery(t[0])),
+                      Clause(Occur.SHOULD, TermQuery(t[1])),
+                      Clause(Occur.SHOULD, TermQuery(t[4])))),
+        BooleanQuery((Clause(Occur.MUST, TermQuery(t[1])),
+                      Clause(Occur.MUST_NOT, TermQuery(t[5])))),
+    ]
+    for q in shapes:
+        pruned = searcher.top_k(q, k=K, prune=True)
+        full = searcher.top_k(q, k=K, prune=False)
+        pd.testing.assert_frame_equal(pruned, full), str(q)
 
 
 def test_phrase(searcher, corpus):
