@@ -242,6 +242,24 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg"), slop=2))
 
 
+def q_suggest_prefix(spark, sf_dir):
+    from lucene_solr_spark.search.suggest import suggest_terms
+    s = _searcher(spark, sf_dir)
+    return (suggest_terms(s.index.terms, "s", k=10)
+            .select("term", F.col("df").cast("long").alias("df")))
+
+
+def q_highlight_topk(spark, sf_dir):
+    from lucene_solr_spark.search.suggest import highlight
+    docs, _, s = _index(spark, sf_dir)
+    top = (s.score_all(TermQuery("merge"), mode="f64")
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+           .select("doc_id"))
+    hl = highlight(docs.join(top, "doc_id"), "merge", radius=30)
+    return (hl.select(F.col("doc_id").cast("long"), "snippet")
+            .orderBy("doc_id"))
+
+
 def q_regexp_terms(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     terms = mt.regexp_terms(s.index.terms, "s.*k")
@@ -742,6 +760,23 @@ FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
+    sql["q_suggest_prefix"] = _PRELUDE + """
+SELECT term, df FROM dfreq WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 10"""
+
+    # first-occurrence window snippet, all in-window occurrences tagged;
+    # identical spec to search/suggest.py:highlight
+    sql["q_highlight_topk"] = _PRELUDE + """
+, hits AS (
+  SELECT doc_id FROM sc WHERE term = 'merge'
+  ORDER BY s DESC, doc_id LIMIT 10
+)
+SELECT d.doc_id,
+  replace(substr(d.text, greatest(1, instr(d.text, 'merge') - 30), 65),
+          'merge', '<b>merge</b>') AS snippet
+FROM documents d JOIN hits USING (doc_id)
+ORDER BY d.doc_id"""
+
     sql["q_regexp_terms"] = _PRELUDE + """
 SELECT term, df, ttf FROM dfreq WHERE regexp_matches(term, '^(?:s.*k)$')
 ORDER BY term"""
@@ -1138,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_must_should_overlap_topk": q_must_should_overlap_topk,
         "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
         "q_regexp_terms": q_regexp_terms,
+        "q_suggest_prefix": q_suggest_prefix,
+        "q_highlight_topk": q_highlight_topk,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_match_all_count": q_match_all_count,
         "q_dedup_exact": q_dedup_exact,

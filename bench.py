@@ -99,6 +99,13 @@ def main() -> None:
     t0 = time.perf_counter()
     sim.cosine_topk(emb, qv, 10).collect()
     per_query["op_ann_cosine"] = round(time.perf_counter() - t0, 4)
+    # persisted IVF: build once (amortized), time the pruned probe
+    import tempfile
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    sim.build_ivf_index(spark, emb, ivf_dir, n_cells=8, iters=1)
+    t0 = time.perf_counter()
+    sim.ivf_topk_persisted(spark, ivf_dir, qv, n_probe=2, k=10).collect()
+    per_query["op_ann_ivf_probe"] = round(time.perf_counter() - t0, 4)
 
     total = time.perf_counter() - t_all
 

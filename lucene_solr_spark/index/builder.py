@@ -382,6 +382,17 @@ class IndexBuilder:
         flds = self._resolve_fields(text_col, fields)
         timings: dict = {}
         t0 = _time.perf_counter()
+        # Bigger Arrow batches for the build: the vectorized invert/pack
+        # kernels amortize per-batch fixed costs (regex setup, factorize,
+        # buffer concat) — 10k-row default batches are too fine-grained
+        # for posting-row streams. 50k docs ≈ 30 MB of web text per batch.
+        try:
+            cur = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+            if int(cur) < 50000:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        except Exception:
+            pass
         n_inv = _shuffle_n(spark)
         raw = self.invert(docs.repartition(n_inv), doc_id_col, fields=flds)
         # One logical pass feeds three aggregations; cache the (much smaller

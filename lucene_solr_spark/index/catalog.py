@@ -88,8 +88,12 @@ def save(idx: InvertedIndex, path: str, builder: IndexBuilder,
     t0 = time.perf_counter()
     spark = idx.postings.sparkSession
     stage_rows = {}
-    for name, df in (("postings", idx.postings), ("terms", idx.terms),
-                     ("norms", idx.norms)):
+    tables = [("postings", idx.postings), ("terms", idx.terms),
+              ("norms", idx.norms)]
+    dels = getattr(idx, "deletes", None)
+    if dels is not None:
+        tables.append(("deletes", dels))
+    for name, df in tables:
         t = time.perf_counter()
         df.write.mode("overwrite").parquet(f"{path}/{name}")
         stage_rows[name] = {
@@ -113,6 +117,7 @@ def save(idx: InvertedIndex, path: str, builder: IndexBuilder,
         "stats": idx.stats,
         "stages": stage_rows,
         "partitions": [r.asDict() for r in per_part],
+        "has_deletes": dels is not None,
         "timings": timings or {},
         "save_sec": round(time.perf_counter() - t0, 3),
     }
@@ -139,13 +144,20 @@ def load(spark: SparkSession, path: str,
                 .repartitionByRange(
                     max(4, spark.sparkContext.defaultParallelism), "bucket")
                 .sortWithinPartitions("bucket", "field", "term", "block_id"))
-    return InvertedIndex(
+    idx = InvertedIndex(
         postings=postings,
         terms=spark.read.parquet(f"{path}/terms"),
         norms=spark.read.parquet(f"{path}/norms"),
         stats=dict(manifest["stats"]),
         with_positions=manifest["params"]["with_positions"],
         **kwargs)
+    if manifest.get("has_deletes"):
+        import numpy as np
+        dels = spark.read.parquet(f"{path}/deletes")
+        idx.deletes = dels
+        idx.deleted_array = np.sort(np.array(
+            [r["doc_id"] for r in dels.collect()], dtype=np.int64))
+    return idx
 
 
 def latest_generation(path: str) -> str | None:

@@ -408,6 +408,12 @@ def flatten_plan(query):
         return None
     if isinstance(query, MatchAllQuery):
         return "ALL"
+    # top-level boost distributes multiplicatively over every scoring
+    # clause (scores are linear in the clause weight)
+    boost_all = 1.0
+    while isinstance(query, BoostQuery):
+        boost_all *= query.boost
+        query = query.query
 
     groups: list[list[dict]] = []   # group i = list of member clauses
     shoulds: list[dict] = []
@@ -462,7 +468,7 @@ def flatten_plan(query):
 
     if isinstance(query, (TermQuery, PhraseQuery, BoostQuery,
                           DisjunctionMaxQuery)):
-        c = leaf_clause(query)
+        c = leaf_clause(query, boost_all)
         c.update(scoring=True, group=None, should=True)
         shoulds.append(c)
     elif isinstance(query, BooleanQuery):
@@ -470,9 +476,10 @@ def flatten_plan(query):
         for cl in query.clauses:
             q = cl.query
             if cl.occur in (Occur.MUST, Occur.FILTER):
-                add_group(q, scoring=(cl.occur == Occur.MUST))
+                add_group(q, scoring=(cl.occur == Occur.MUST),
+                          boost=boost_all)
             elif cl.occur == Occur.SHOULD:
-                c = leaf_clause(q)
+                c = leaf_clause(q, boost_all)
                 c.update(scoring=True, group=None, should=True)
                 shoulds.append(c)
             else:  # MUST_NOT
@@ -728,8 +735,6 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
         else:
             res = _eval_dismax(c, data, spec, dtype, grid)
         if res is None:
-            if c["group"] is not None and _clause_present(c, data) is False:
-                pass
             continue
         idxs, s = res
         if len(idxs) == 0:
@@ -740,8 +745,6 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
             grp_matched[c["group"], idxs] = True
         elif c["should"] and should_cnt is not None:
             should_cnt[idxs] += 1
-        elif c["should"] is False and should_cnt is not None:
-            pass
 
     # must_not exclusion (+ liveDocs tombstones, LeafReader.getLiveDocs)
     excl = None

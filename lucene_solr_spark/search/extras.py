@@ -179,6 +179,37 @@ def constant_score(searcher, query, score: float = 1.0) -> DataFrame:
         "doc_id", F.lit(float(score)).alias("score"))
 
 
+def fetch_documents(spark, hits, docs: DataFrame,
+                    columns: list[str] | None = None):
+    """StoredFields retrieval — ``IndexSearcher.doc(docID)`` analog.
+
+    The source Parquet table IS the row store (SURVEY §2.3: Lucene87
+    StoredFieldsWriter ↔ the columnar doc table). ``hits`` is a top_k
+    pandas frame (rank, doc_id, score) or any DataFrame with doc_id; the
+    hit set is broadcast (it is ≤k rows) against the doc store and the
+    result preserves hit order. → pandas DataFrame."""
+    import pandas as pd
+    if isinstance(hits, pd.DataFrame):
+        hit_ids = [int(d) for d in hits["doc_id"]]
+        order = {d: i for i, d in enumerate(hit_ids)}
+        sel = docs.filter(F.col("doc_id").isin(hit_ids))
+        if columns:
+            sel = sel.select("doc_id", *columns)
+        out = sel.toPandas()
+        out["__o"] = out["doc_id"].map(order)
+        out = (out.sort_values("__o").drop(columns="__o")
+               .reset_index(drop=True))
+        for c in hits.columns:
+            if c != "doc_id":
+                out[c] = out["doc_id"].map(
+                    dict(zip(hit_ids, hits[c])))
+        return out
+    sel = docs.join(F.broadcast(hits.select("doc_id").distinct()), "doc_id")
+    if columns:
+        sel = sel.select("doc_id", *columns)
+    return sel
+
+
 def sort_by_field(searcher, query, docs: DataFrame, field_col: str,
                   ascending: bool = False, k: int = 10) -> DataFrame:
     """TopFieldCollector: hits ordered by a doc-value column (tie: doc_id

@@ -102,3 +102,13 @@ def test_sort_by_field(searcher, docs, spark):
                                "n_chars", ascending=False, k=10).collect()
     vals = [r["n_chars"] for r in res]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_fetch_documents(spark, searcher, docs):
+    """StoredFields retrieval: hit order preserved, fields joined."""
+    from lucene_solr_spark.search import extras
+    top = searcher.top_k(TermQuery("spark"), k=5)
+    got = extras.fetch_documents(spark, top, docs, columns=["text"])
+    assert got["doc_id"].tolist() == top["doc_id"].tolist()
+    assert "text" in got.columns and "score" in got.columns
+    assert got["text"].notna().all()

@@ -206,3 +206,16 @@ def test_fuzzy_scales_past_clause_limit(spark):
                    "w9001"][:len(got)] or len(got) < 1024
     assert "w0001" in got and "w0002" in got and len(got) <= 1024
     idx.release()
+
+
+def test_top_level_group_boost(searcher, corpus):
+    """(a b)^2 — a boost wrapping a whole boolean distributes over its
+    clauses (scores are linear in clause weight)."""
+    _, oracle, _ = corpus
+    q = parse_query("(spark merge)^2", ENGLISH_ANALYZER)
+    assert isinstance(q, BoostQuery)
+    got = searcher.top_k(q, k=K)
+    exp = oracle.search_ast(q, k=K)
+    assert_topk_equal(got, exp, "(spark merge)^2")
+    plain = searcher.top_k(parse_query("spark merge", ENGLISH_ANALYZER), k=K)
+    assert got["doc_id"].tolist() == plain["doc_id"].tolist()
