@@ -242,6 +242,18 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg"), slop=2))
 
 
+def q_windowed_events(spark, sf_dir):
+    from lucene_solr_spark.streaming.windowed import windowed_event_counts
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    res = windowed_event_counts(ev, window="30 minutes")
+    return (res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.round("value_sum", 4).alias("value_sum"))
+        .orderBy("window_start", "event_type"))
+
+
 def q_suggest_prefix(spark, sf_dir):
     from lucene_solr_spark.search.suggest import suggest_terms
     s = _searcher(spark, sf_dir)
@@ -760,6 +772,13 @@ FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
+    sql["q_windowed_events"] = """
+SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n,
+       ROUND(SUM(value), 4) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
     sql["q_suggest_prefix"] = _PRELUDE + """
 SELECT term, df FROM dfreq WHERE term LIKE 's%'
 ORDER BY df DESC, term LIMIT 10"""
@@ -1174,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
         "q_regexp_terms": q_regexp_terms,
         "q_suggest_prefix": q_suggest_prefix,
+        "q_windowed_events": q_windowed_events,
         "q_highlight_topk": q_highlight_topk,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_match_all_count": q_match_all_count,

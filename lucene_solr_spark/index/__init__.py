@@ -1,3 +1,6 @@
 """Inverted-index construction: invert → stats → salted pack → tables."""
 
 from .builder import IndexBuilder, InvertedIndex  # noqa: F401
+from .compact import compact, needs_compaction  # noqa: F401
+from .deletes import delete_docs, expunge_deletes, live_doc_count  # noqa: F401
+from .merge import append  # noqa: F401

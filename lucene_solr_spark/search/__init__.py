@@ -1,8 +1,12 @@
 """Query AST, parser, rewrite, and the distributed scoring executor."""
 
 from .ast import (  # noqa: F401
-    BooleanQuery, Clause, MatchAllQuery, MatchNoQuery, Occur, PhraseQuery,
-    TermQuery, rewrite,
+    BooleanQuery, BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
+    MatchAllQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
+    RegexpQuery, TermQuery, TermRangeQuery, WildcardQuery, rewrite,
 )
+from .cache import QueryCache  # noqa: F401
 from .executor import Searcher  # noqa: F401
+from .explain import explain  # noqa: F401
 from .parser import parse_query  # noqa: F401
+from .suggest import highlight, suggest_terms  # noqa: F401

@@ -28,6 +28,14 @@ def get_spark(app="lucene_solr_spark", cores: int | None = None,
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Local mode: shuffle files on tmpfs when available — the pack
+    # shuffle is GB-scale and sandbox disks are slow; on a real cluster
+    # spark.local.dir comes from the cluster config instead.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     if "SPARK_GRAFT_MASTER" in os.environ:
         builder = (builder.master(os.environ["SPARK_GRAFT_MASTER"])
