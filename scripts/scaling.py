@@ -42,7 +42,7 @@ def query_set(idx) -> list[str]:
             f'"{t[1]} {t[2]}"']
 
 
-def child(cores: int, input_path: str) -> None:
+def child(cores: int, input_path: str, iters: int = 3) -> None:
     os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
     from pyspark.sql import functions as F
 
@@ -73,9 +73,9 @@ def child(cores: int, input_path: str) -> None:
     warm.postings.count()
     warm.release()
 
-    iters = []
+    timed = []
     idx = None
-    for _ in range(3):
+    for _ in range(max(1, iters)):
         if idx is not None:
             idx.release()
         t0 = time.perf_counter()
@@ -87,8 +87,8 @@ def child(cores: int, input_path: str) -> None:
         stages = dict(idx.timings)
         stages["pack_materialize_sec"] = round(
             sec - sum(idx.timings.values()), 3)
-        iters.append({"build_sec": round(sec, 3), "stages": stages})
-    build_sec = min(i["build_sec"] for i in iters)
+        timed.append({"build_sec": round(sec, 3), "stages": stages})
+    build_sec = min(i["build_sec"] for i in timed)
 
     # determinism fingerprint of the term dictionary
     fp_row = (idx.terms
@@ -118,7 +118,7 @@ def child(cores: int, input_path: str) -> None:
     print("CHILD_RESULT " + json.dumps({
         "cores": cores, "n_docs": n_docs,
         "build_sec": round(build_sec, 3),
-        "build_iters": iters,
+        "build_iters": timed,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "query_batch_sec": round(query_sec, 3),
         "terms_fingerprint": [int(fp_row["n"]), int(fp_row["s"])],
@@ -148,10 +148,12 @@ def main() -> None:
                          "pair yields a scaling-efficiency entry")
     ap.add_argument("--run-cores", type=int)
     ap.add_argument("--input")
+    ap.add_argument("--iters", type=int, default=3,
+                    help="timed build iterations per level (min reported)")
     args = ap.parse_args()
 
     if args.run_cores:
-        child(args.run_cores, args.input)
+        child(args.run_cores, args.input, args.iters)
         return
 
     levels = [int(x) for x in args.levels.split(",")]
@@ -162,7 +164,8 @@ def main() -> None:
         env.pop("SPARK_GRAFT_MASTER", None)
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
         cmd = [sys.executable, os.path.abspath(__file__),
-               "--run-cores", str(cores), "--input", path]
+               "--run-cores", str(cores), "--input", path,
+               "--iters", str(args.iters)]
         # pin the child to exactly `cores` CPUs: local[8] on an idle
         # 32-CPU host would otherwise borrow the other 24 for GC, shuffle
         # IO and Python workers, understating the true 8-core time
