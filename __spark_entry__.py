@@ -242,6 +242,25 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg"), slop=2))
 
 
+def q_mlt_topk(spark, sf_dir):
+    from lucene_solr_spark.search.extras import more_like_this
+    docs, _, s = _index(spark, sf_dir)
+    q = more_like_this(s, 7, docs, max_terms=5)
+    raw = s.score_all(q, mode="f64").filter(F.col("doc_id") != 7)
+    return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_dedup_components(spark, sf_dir):
+    pairs = dd.minhash_dedup(_raw_docs(spark, sf_dir), threshold=0.8)
+    res = dd.canonicalize_near_dups(pairs)
+    return (res.select(F.col("doc_id").cast("long"),
+                       F.col("canonical_id").cast("long"),
+                       "is_duplicate")
+            .orderBy("doc_id"))
+
+
 def q_windowed_events(spark, sf_dir):
     from lucene_solr_spark.streaming.windowed import windowed_event_counts
     ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
@@ -772,6 +791,42 @@ FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
+    # MoreLikeThis: top-5 seed-doc terms by tf*ln(N/df) (ties: term asc),
+    # scored as an OR query, seed excluded
+    sql["q_mlt_topk"] = _PRELUDE + """
+, mlt AS (
+  SELECT tf.term FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.doc_id = 7
+  ORDER BY tf.freq * ln(stats.n / dfreq.df) DESC, tf.term LIMIT 5
+)
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc JOIN mlt USING (term)
+WHERE doc_id <> 7
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
+    # connected components of the near-dup pair graph (min-label):
+    # recursive min propagation expressed as a fixpoint CTE
+    sql["q_dedup_components"] = _P2 + _MINHASH_CTES + """
+, prs AS (
+  SELECT doc_a, doc_b FROM jac WHERE j >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM prs
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM prs
+), nodes AS (
+  SELECT DISTINCT u AS doc_id FROM edges
+), lab AS (
+  WITH RECURSIVE walk(src, doc_id) AS (
+    SELECT doc_id AS src, doc_id FROM nodes
+    UNION
+    SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.doc_id
+  )
+  SELECT src AS doc_id, MIN(doc_id) AS component
+  FROM walk GROUP BY src
+)
+SELECT doc_id, component AS canonical_id,
+       doc_id <> component AS is_duplicate
+FROM lab ORDER BY doc_id"""
+
     sql["q_windowed_events"] = """
 SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1194,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regexp_terms": q_regexp_terms,
         "q_suggest_prefix": q_suggest_prefix,
         "q_windowed_events": q_windowed_events,
+        "q_mlt_topk": q_mlt_topk,
+        "q_dedup_components": q_dedup_components,
         "q_highlight_topk": q_highlight_topk,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_match_all_count": q_match_all_count,

@@ -142,6 +142,64 @@ def minhash_dedup(docs: DataFrame, k: int = 3, num_perms: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters: connected components + canonicalization
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph → (doc_id,
+    component) with component = min doc_id in the component.
+
+    Iterative min-label propagation: each round every node takes the min
+    label over itself and its neighbors; converges in O(diameter) rounds
+    (near-dup clusters are shallow — boilerplate families, not long
+    chains). Each round is one join + one aggregation; the frontier
+    shrinks to zero and the loop exits on a zero-changed count, so the
+    cost is bounded by the cluster diameter, never the corpus. (The
+    doubling variants — large-star/small-star — drop in here if a
+    pathological graph ever needs them.)"""
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                       F.col("doc_a").alias("v")))).persist()
+    edges.count()   # pin: the upstream pair pipeline must run ONCE, not
+    # once per propagation round
+    labels = (edges.select(F.col("u").alias("doc_id"))
+              .distinct().withColumn("lbl", F.col("doc_id"))).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["v"] == labels["doc_id"])
+                   .groupBy("u").agg(F.min("lbl").alias("nl")))
+        new_labels = (labels.join(nbr_min, labels["doc_id"] == nbr_min["u"],
+                                  "left")
+                      .select("doc_id",
+                              F.least("lbl", F.coalesce("nl", F.col("lbl")))
+                              .alias("lbl"))).persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # detach from the pinned iteration lineage (stays distributed — no
+    # driver-side collect), then free the intermediates
+    out = (labels.select("doc_id", F.col("lbl").alias("component"))
+           .localCheckpoint())
+    edges.unpersist()
+    labels.unpersist()
+    return out
+
+
+def canonicalize_near_dups(pairs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate) over every doc appearing in a
+    near-dup pair: canonical = min doc_id of its connected component (the
+    keep-first retention policy)."""
+    cc = connected_components(pairs)
+    return (cc.select("doc_id", F.col("component").alias("canonical_id"))
+            .withColumn("is_duplicate",
+                        F.col("doc_id") != F.col("canonical_id")))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

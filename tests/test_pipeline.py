@@ -165,3 +165,40 @@ def test_decode_image_stub_gated(spark, docs):
     if not has_pil:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(bdf)
+
+
+def test_connected_components_and_purge(spark):
+    """Near-dup canonicalization: CC labels = min-of-component, and the
+    delete feedback loop (dedup → tombstone → liveDocs) end to end."""
+    from lucene_solr_spark.pipeline import dedup as dd
+    from lucene_solr_spark.index import IndexBuilder
+    from lucene_solr_spark.index.deletes import delete_docs, live_doc_count
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER
+    from pyspark.sql import functions as F
+
+    # known graph: {1-2, 2-3} ∪ {10-11} ∪ {20-21, 21-22, 22-23} (chain)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long")
+    cc = {r["doc_id"]: r["component"]
+          for r in dd.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20, 23: 20}
+    canon = dd.canonicalize_near_dups(pairs)
+    dups = sorted(r["doc_id"] for r in
+                  canon.filter("is_duplicate").collect())
+    assert dups == [2, 3, 11, 21, 22, 23]
+
+    # feedback into the index: duplicates become tombstones
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(30)],
+        "doc_id long, text string")
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=16).build(spark, docs)
+    purged = delete_docs(spark, idx, canon.filter("is_duplicate"))
+    assert live_doc_count(purged) == 30 - len(dups)
+    s = Searcher(spark, purged)
+    from lucene_solr_spark.search.ast import TermQuery
+    hits = {r["doc_id"] for r in s.match_docs(TermQuery("alpha")).collect()}
+    assert not (hits & set(dups)) and len(hits) == 30 - len(dups)
+    idx.release()
