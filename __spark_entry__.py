@@ -242,6 +242,24 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg"), slop=2))
 
 
+def q_spellcheck(spark, sf_dir):
+    from lucene_solr_spark.search.suggest import spellcheck
+    s = _searcher(spark, sf_dir)
+    return (spellcheck(s.index.terms, "spak", max_edits=2, k=5)
+            .select("term", F.col("distance").cast("long").alias("distance"),
+                    F.col("df").cast("long").alias("df")))
+
+
+def q_numeric_filter_topk(spark, sf_dir):
+    from lucene_solr_spark.search.extras import numeric_range_filter
+    docs, _, s = _index(spark, sf_dir)
+    res = numeric_range_filter(s, TermQuery("merge"), docs, "n_chars",
+                               lo=200, hi=400)
+    return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
 def q_mlt_topk(spark, sf_dir):
     from lucene_solr_spark.search.extras import more_like_this
     docs, _, s = _index(spark, sf_dir)
@@ -791,6 +809,17 @@ FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
+    sql["q_spellcheck"] = _PRELUDE + """
+SELECT term, levenshtein(term, 'spak') AS distance, df
+FROM dfreq WHERE levenshtein(term, 'spak') <= 2
+ORDER BY distance, df DESC, term LIMIT 5"""
+
+    sql["q_numeric_filter_topk"] = _PRELUDE + """
+SELECT sc.doc_id, ROUND(SUM(sc.s), 4) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE sc.term = 'merge' AND d.n_chars BETWEEN 200 AND 400
+GROUP BY sc.doc_id ORDER BY SUM(sc.s) DESC, sc.doc_id LIMIT 10"""
+
     # MoreLikeThis: top-5 seed-doc terms by tf*ln(N/df) (ties: term asc),
     # scored as an OR query, seed excluded
     sql["q_mlt_topk"] = _PRELUDE + """
@@ -1250,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_prefix": q_suggest_prefix,
         "q_windowed_events": q_windowed_events,
         "q_mlt_topk": q_mlt_topk,
+        "q_spellcheck": q_spellcheck,
+        "q_numeric_filter_topk": q_numeric_filter_topk,
         "q_dedup_components": q_dedup_components,
         "q_highlight_topk": q_highlight_topk,
         "q_tokens_per_lang": q_tokens_per_lang,

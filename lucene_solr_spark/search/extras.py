@@ -237,6 +237,25 @@ def fetch_documents(spark, hits, docs: DataFrame,
     return sel
 
 
+def numeric_range_filter(searcher, query, docs: DataFrame, col: str,
+                         lo=None, hi=None, include_lo: bool = True,
+                         include_hi: bool = True) -> DataFrame:
+    """Text query ∧ numeric doc-value range — the PointRangeQuery /
+    IndexOrDocValuesQuery surface (`search/PointRangeQuery.java:47`):
+    the text side runs in the kernel, the numeric side is a Catalyst
+    predicate on the doc table (pushed to the Parquet scan — exactly the
+    doc-values-vs-points choice the reference's IndexOrDocValuesQuery
+    makes, delegated to the optimizer). → (doc_id, score)."""
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= lo if include_lo else F.col(col) > lo)
+    if hi is not None:
+        cond = cond & (F.col(col) <= hi if include_hi else F.col(col) < hi)
+    scored = searcher.score_all(query, mode="f64")
+    rng = docs.filter(cond).select("doc_id")
+    return scored.join(rng, "doc_id")
+
+
 def sort_by_field(searcher, query, docs: DataFrame, field_col: str,
                   ascending: bool = False, k: int = 10) -> DataFrame:
     """TopFieldCollector: hits ordered by a doc-value column (tie: doc_id

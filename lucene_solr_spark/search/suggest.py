@@ -33,6 +33,25 @@ def suggest_terms(terms_df: DataFrame, prefix: str, k: int = 10,
             .select("term", "df"))
 
 
+def spellcheck(terms_df: DataFrame, word: str, max_edits: int = 2,
+               k: int = 5, field: str = DEFAULT_FIELD) -> DataFrame:
+    """Did-you-mean corrections (`suggest/spell/DirectSpellChecker.java:49`
+    semantics: candidates within edit distance from the live dictionary,
+    ranked closest-first then most-frequent) → (term, distance, df).
+
+    Distance filtering runs executor-side (JVM levenshtein behind a
+    pushed-down length pre-filter) exactly like fuzzy expansion — the
+    driver sees only the k suggestions."""
+    cand = (terms_df.filter(
+        (F.col("field") == field)
+        & (F.length("term") >= len(word) - max_edits)
+        & (F.length("term") <= len(word) + max_edits))
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)))
+        .filter(F.col("distance") <= max_edits))
+    return (cand.orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(k).select("term", "distance", "df"))
+
+
 def highlight(docs: DataFrame, term: str, text_col: str = "text",
               radius: int = 30, pre: str = "<b>",
               post: str = "</b>") -> DataFrame:
