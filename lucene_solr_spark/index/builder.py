@@ -394,10 +394,23 @@ class IndexBuilder:
         except Exception:
             pass
         n_inv = _shuffle_n(spark)
-        raw = self.invert(docs.repartition(n_inv), doc_id_col, fields=flds)
+        # THE one wide shuffle of the build moves the DOCUMENTS, keyed by
+        # grid cell (whole cells per partition — equal bucket values can
+        # never split across range partitions), BEFORE inversion. The
+        # invert output is then already bucket-partitioned, so the pack
+        # stage needs only a partition-local sort — no second shuffle of
+        # the (larger) raw-postings stream. This also decouples invert
+        # parallelism from the input file layout, and the doc-range key
+        # bounds skew structurally exactly like the old postings shuffle.
+        docs_b = (docs.select(doc_id_col, *flds)
+                  .withColumn("__cell", F.expr(f"{doc_id_col} div {self.grid}"))
+                  .repartitionByRange(n_inv, "__cell"))
+        raw = self.invert(docs_b, doc_id_col, fields=flds)
         # One logical pass feeds three aggregations; cache the (much smaller
         # than the corpus) raw postings to avoid re-running the analyzer.
         # At cluster scale this is a checkpoint table instead (catalog.py).
+        # The cache preserves the bucket partitioning (all ops below are
+        # narrow).
         raw = raw.persist()
         raw.count()
         timings["invert_sec"] = round(_time.perf_counter() - t0, 3)
@@ -447,27 +460,26 @@ class IndexBuilder:
         timings["dict_norms_stats_sec"] = round(_time.perf_counter() - t0, 3)
         t0 = _time.perf_counter()
 
-        # --- pack: ONE shuffle, directly into the final doc-sharded layout.
-        # Range-partition by grid cell (whole cells per partition — the
-        # Solr shard model, QueryComponent.java:810 mergeIds), JVM-sort by
-        # (bucket, field, term, doc_id), then a narrow mapInPandas walks
+        # --- pack: NARROW, directly into the final doc-sharded layout.
+        # The docs shuffle above already placed whole grid cells per
+        # partition (the Solr shard model, QueryComponent.java:810
+        # mergeIds), so packing is a partition-local JVM sort by
+        # (bucket, field, term, doc_id) + a narrow mapInPandas that walks
         # the sorted runs and emits 128-posting blocks. Head-term skew is
         # handled STRUCTURALLY: a term's postings are split at grid-cell
-        # boundaries, so no per-term list ever exceeds `grid` docs — this
-        # is the salted split (salt == doc range) taken to its limit, and
-        # it preserves docID order by construction. Query-time kernels
-        # need NO shuffle: filter(term) is narrow and every cell's blocks
-        # are contiguous; Parquet row-group stats on the (bucket, field,
+        # boundaries, so no per-term list ever exceeds `grid` docs — the
+        # salted split (salt == doc range) taken to its limit, preserving
+        # docID order by construction. Query-time kernels need NO
+        # shuffle: filter(term) is narrow and every cell's blocks are
+        # contiguous; Parquet row-group stats on the (bucket, field,
         # term) sort order still prune term lookups on disk.
         grid = self.grid
-        n_part = _shuffle_n(spark)
         with_pos = self.with_positions
 
         def pack(batches):
             yield from pack_partition(batches, grid, with_pos)
 
         postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
-                    .repartitionByRange(n_part, "bucket")
                     .sortWithinPartitions("bucket", "field", "term", "doc_id")
                     .mapInPandas(pack, schema=POSTINGS_SCHEMA))
 
