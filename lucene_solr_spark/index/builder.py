@@ -2,27 +2,32 @@
 
 Pipeline (Spark restatement of the reference's indexing chain,
 `index/IndexingChain.java:464,506,887` → `FreqProxTermsWriter.java:79` →
-`codecs/lucene84/Lucene84PostingsWriter.java:218-375`):
+`codecs/lucene84/Lucene84PostingsWriter.java:218-375`) — ONE wide
+shuffle end to end:
 
-  stage 1 (narrow, no shuffle)   docs --mapInPandas--> (doc_id, field,
+  stage 0 (THE wide shuffle)     docs repartitionByRange(grid cell) —
+                                 whole cells per partition; moves the
+                                 corpus text once, before any Python
+  stage 1 (narrow)               docs --mapInPandas--> (doc_id, field,
                                  term, freq, norm[, pos_blob])
                                  — the per-doc term hash (TermsHashPerField
                                  .add), VECTORIZED: pandas/numpy batch
                                  tokenize→lower→stop→group, no per-token
-                                 Python (north-rule "no per-row Python")
-  stage 2 (shuffle #1, partial agg) groupBy(field, term) → df/ttf +
+                                 Python (north-rule "no per-row Python");
+                                 output inherits the cell partitioning
+  stage 2 (partial-agg shuffle)  groupBy(field, term) → df/ttf +
                                  singleton pulsing — the per-field term
                                  dictionary (BlockTreeTermsWriter; Terms
                                  are (field, text) pairs, `index/Term.
-                                 java:69`, FieldInfos.java:40)
-  stage 3 (shuffle #2)           repartitionByRange(bucket) → JVM sort
-                                 (bucket, field, term, doc_id) → narrow
-                                 mapInPandas pack — flush+merge
-                                 (FreqProxTermsWriter/SegmentMerger):
-                                 128-posting Δ+FOR/PFOR blocks, VByte
-                                 tails, inline norm bytes, competitive-
-                                 impact skylines — emitted DIRECTLY in
-                                 the final doc-sharded layout
+                                 java:69`, FieldInfos.java:40); map-side
+                                 combined, tiny payload
+  stage 3 (narrow)               partition-local JVM sort (bucket, field,
+                                 term, doc_id) → mapInPandas pack —
+                                 flush+merge (FreqProxTermsWriter/
+                                 SegmentMerger): 128-posting Δ+FOR/PFOR
+                                 blocks, VByte tails, inline norm bytes,
+                                 competitive-impact skylines — emitted
+                                 DIRECTLY in the final doc-sharded layout
 
 Skew (north rule): head-term posting lists are split EXPLICITLY at
 grid-cell boundaries — the shuffle key is the doc-range cell, never the
