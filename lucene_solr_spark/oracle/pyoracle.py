@@ -145,9 +145,14 @@ class OracleIndex:
 
     def _dismax_scores(self, children, tie: float,
                        boost: float = 1.0) -> dict[int, np.float32]:
-        """DisjunctionMaxQuery.java:51 — max + tie × (sum − max), f32."""
+        """DisjunctionMaxQuery.java:51 — max + tie × (sum − max), f32.
+        (Legacy term-children surface; _leaf_scores generalizes.)"""
         per = [self._term_scores(t, boost=boost * ch_boost, field=f)
                for (f, t), ch_boost in children]
+        return self._dismax_combine(per, tie)
+
+    @staticmethod
+    def _dismax_combine(per: list[dict], tie: float) -> dict[int, np.float32]:
         out: dict[int, np.float32] = {}
         docs = set()
         for p in per:
@@ -163,6 +168,91 @@ class OracleIndex:
             out[d] = np.float32(mx + np.float32(tie) * np.float32(sm - mx))
         return out
 
+    def _leaf_scores(self, c, boost_mult: float = 1.0) -> dict[int, np.float32]:
+        """Score a term/phrase/dismax clause dict (kernel plan leaves);
+        dismax disjuncts may be any leaf kind — same semantics as
+        executor._eval_leaf."""
+        if c["kind"] == "term":
+            f, t = c["key"]
+            return self._term_scores(t, boost=c["boost"] * boost_mult, field=f)
+        if c["kind"] == "phrase":
+            return self._phrase_scores(c["keys"], c["slop"],
+                                       c["boost"] * boost_mult)
+        per = [self._leaf_scores(ch, boost_mult * c.get("boost", 1.0))
+               for ch in c["children"]]
+        return self._dismax_combine(per, c["tie"])
+
+    # ------------------------------------------------------------------
+    # recursive tree-plan interpreter (executor._eval_tree mirror)
+    # ------------------------------------------------------------------
+    def _eval_tree_node(self, node, scoring: bool = True):
+        """→ (match_set, {doc: float32 score, restricted to matches}).
+
+        Mirrors the Spark kernel's recursive evaluation exactly —
+        including float32 accumulation order (MUST children in
+        appearance order, then SHOULD children) — so engine and oracle
+        agree bit-for-bit on nested plans."""
+        kind = node["kind"]
+        if kind in ("term", "phrase"):
+            sc = self._leaf_scores(node)
+            return set(sc), (sc if scoring else {})
+        if kind == "dismax":
+            per = [self._eval_tree_node(ch, scoring)
+                   for ch in node["children"]]
+            docs = set()
+            for m, _ in per:
+                docs |= m
+            if not scoring:
+                return docs, {}
+            out = {}
+            for d in docs:
+                mx = np.float32(0.0)
+                sm = np.float32(0.0)
+                for m, s in per:
+                    if d in m:
+                        v = s.get(d, np.float32(0.0))
+                        sm = np.float32(sm + v)
+                        mx = max(mx, v)
+                out[d] = np.float32(
+                    mx + np.float32(node["tie"]) * np.float32(sm - mx))
+            return docs, out
+        # bool node
+        acc: dict[int, np.float32] = {}
+
+        def add(sc):
+            for d, s in sc.items():
+                acc[d] = np.float32(acc.get(d, np.float32(0.0)) + s)
+
+        req = None
+        for ch in node["must"]:
+            m, s = self._eval_tree_node(ch, scoring)
+            req = m if req is None else (req & m)
+            if scoring:
+                add(s)
+        for ch in node["filter"]:
+            m, _ = self._eval_tree_node(ch, False)
+            req = m if req is None else (req & m)
+        cnt: dict[int, int] = {}
+        for ch in node["should"]:
+            m, s = self._eval_tree_node(ch, scoring)
+            for d in m:
+                cnt[d] = cnt.get(d, 0) + 1
+            if scoring:
+                add(s)
+        if req is not None:
+            docs = req
+            if node["msm"] > 0:
+                docs = {d for d in docs if cnt.get(d, 0) >= node["msm"]}
+        else:
+            need = max(1, node["msm"])
+            docs = {d for d, n in cnt.items() if n >= need}
+        for ch in node["must_not"]:
+            m, _ = self._eval_tree_node(ch, False)
+            docs = docs - m
+        if not scoring:
+            return docs, {}
+        return docs, {d: acc.get(d, np.float32(0.0)) for d in docs}
+
     # ------------------------------------------------------------------
     # AST interpreter (same clause plan as the Spark kernel)
     # ------------------------------------------------------------------
@@ -175,17 +265,15 @@ class OracleIndex:
         if plan == "ALL":
             docs = sorted(self.all_docs)[:k]
             return [(d, np.float32(1.0)) for d in docs]
+        if "tree" in plan:
+            docs, sc = self._eval_tree_node(plan["tree"], scoring=True)
+            return self._topk(
+                {d: sc.get(d, np.float32(0.0)) for d in docs}, k)
         clauses, must_not = plan["clauses"], plan["must_not"]
         msm, n_groups = plan["msm"], plan["n_groups"]
 
         def eval_clause(c) -> dict[int, np.float32]:
-            if c["kind"] == "term":
-                f, t = c["key"]
-                return self._term_scores(t, boost=c["boost"], field=f)
-            if c["kind"] == "phrase":
-                return self._phrase_scores(c["keys"], c["slop"], c["boost"])
-            children = [(ch["key"], ch["boost"]) for ch in c["children"]]
-            return self._dismax_scores(children, c["tie"], c["boost"])
+            return self._leaf_scores(c)
 
         acc: dict[int, np.float32] = {}
         group_matched: list[set[int]] = [set() for _ in range(n_groups)]

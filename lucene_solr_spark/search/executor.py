@@ -152,23 +152,12 @@ class Searcher:
 
     # ------------------------------------------------------------------
     def _clause_keys(self, c) -> list[tuple[str, str]]:
-        if c["kind"] == "term":
-            return [c["key"]]
-        if c["kind"] == "phrase":
-            return list(c["keys"])
-        return [ch["key"] for ch in c["children"]]
+        return _leaf_keys(c)
 
-    def _spec_for_plan(self, plan, mode, k, prune, collect_all=False):
-        """→ (spec, live_keys, dead). Computes per-clause weights from
-        per-field collection stats (IndexSearcher.java:914-933) and drops
-        clauses that cannot match (df == 0), propagating deadness."""
-        clauses, must_not, msm = plan["clauses"], plan["must_not"], plan["msm"]
-        all_keys = []
-        for c in clauses + must_not:
-            all_keys.extend(self._clause_keys(c))
-        all_keys = list(dict.fromkeys(all_keys))
+    def _stat_env(self, all_keys):
+        """Shared per-query stat environment: term stats, per-field BM25
+        caches and idf weights (IndexSearcher.java:914-933)."""
         st = self.term_stats(all_keys)
-
         fields = sorted({f for f, _ in all_keys})
         fstats = {f: self.field_stats(f) for f in fields}
         cache32 = {f: bm25.norm_inverse_cache(
@@ -193,61 +182,47 @@ class Searcher:
                 weights[key] = {"df": st[key][0],
                                 "idf32": float(idf32(key)),
                                 "idf64": idf64(key)}
+        return st, cache32, avgdl64, weights
+
+    def _spec_for_plan(self, plan, mode, k, prune, collect_all=False):
+        """→ (spec, live_keys, dead). Computes per-clause weights from
+        per-field collection stats (IndexSearcher.java:914-933) and drops
+        clauses that cannot match (df == 0), propagating deadness.
+        Dispatches to the recursive-tree spec for nested plans."""
+        if "tree" in plan:
+            return self._spec_for_tree(plan, mode, k, prune, collect_all)
+        clauses, must_not, msm = plan["clauses"], plan["must_not"], plan["msm"]
+        all_keys = []
+        for c in clauses + must_not:
+            all_keys.extend(self._clause_keys(c))
+        all_keys = list(dict.fromkeys(all_keys))
+        st, cache32, avgdl64, weights = self._stat_env(all_keys)
 
         n_groups = plan["n_groups"]
         group_alive = [False] * n_groups
         live_clauses = []
         n_should_alive = 0
         for c in clauses:
-            keys = self._clause_keys(c)
-            if c["kind"] == "phrase":
-                alive = all(k in st for k in keys)
-                if alive:
-                    w32 = float(np.float32(
-                        np.float32(c["boost"]) * np.float32(
-                            sum(np.float32(weights[k]["idf32"]) for k in keys))))
-                    w64 = c["boost"] * sum(weights[k]["idf64"] for k in keys)
-                    c = dict(c, w32=w32, w64=w64)
-            elif c["kind"] == "term":
-                alive = keys[0] in st
-                if alive:
-                    w = weights[keys[0]]
-                    c = dict(c, w32=float(np.float32(
-                        np.float32(c["boost"]) * np.float32(w["idf32"]))),
-                        w64=c["boost"] * w["idf64"])
-            else:  # dismax — outer boost folds into each child weight
-                children = []
-                for ch in c["children"]:
-                    if ch["key"] in st:
-                        w = weights[ch["key"]]
-                        b = ch["boost"] * c["boost"]
-                        children.append(dict(
-                            ch,
-                            w32=float(np.float32(
-                                np.float32(b) * np.float32(w["idf32"]))),
-                            w64=b * w["idf64"]))
-                alive = bool(children)
-                if alive:
-                    c = dict(c, children=children)
-            if alive:
-                live_clauses.append(c)
-                if c["group"] is not None:
-                    group_alive[c["group"]] = True
-                elif c["should"]:
+            ann = _annotate_leaf(c, st, weights)
+            if ann is not None:
+                live_clauses.append(ann)
+                if ann["group"] is not None:
+                    group_alive[ann["group"]] = True
+                elif ann["should"]:
                     n_should_alive += 1
         dead = (n_groups > 0 and not all(group_alive)) or not live_clauses
         if n_groups == 0:
             dead = dead or n_should_alive == 0
         dead = dead or (msm > 0 and msm > n_should_alive)
 
-        # renumber groups to the alive set (dead groups kill the query)
+        # MUST_NOT leaves are match-only (weights still annotated so the
+        # same eval kernels run); a dismax under MUST_NOT excludes the
+        # UNION of its disjuncts' matches — previously silently dropped
         live_mn = []
         for c in must_not:
-            keys = self._clause_keys(c)
-            if c["kind"] == "term" and keys[0] in st:
-                live_mn.append(c)
-            elif c["kind"] == "phrase" and all(k in st for k in keys):
-                live_mn.append(dict(c, w32=0.0, w64=0.0))  # match-only
+            ann = _annotate_leaf(c, st, weights)
+            if ann is not None:
+                live_mn.append(ann)
 
         deleted = getattr(self.index, "deleted_array", None)
         spec = dict(
@@ -262,6 +237,24 @@ class Searcher:
         )
         live = [k for k in all_keys if k in st]
         return spec, live, dead
+
+    def _spec_for_tree(self, plan, mode, k, prune, collect_all=False):
+        """Tree-plan spec: same stat environment, recursive annotation.
+        Pruning on tree plans is bucket-level only (conservative tree
+        upper bound); per-block skipping stays a flat-plan optimization."""
+        root = plan["tree"]
+        all_keys = list(dict.fromkeys(_tree_keys(root)))
+        st, cache32, avgdl64, weights = self._stat_env(all_keys)
+        root = _annotate_tree(root, st, weights)
+        deleted = getattr(self.index, "deleted_array", None)
+        spec = dict(
+            tree=root, deleted=deleted, cache32=cache32, avgdl64=avgdl64,
+            k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
+            collect_all=collect_all, prune=prune and not collect_all,
+            with_positions=self.index.with_positions,
+        )
+        live = [key for key in all_keys if key in st]
+        return spec, live, root is None
 
     # ------------------------------------------------------------------
     def _run_kernel(self, plan, mode="f32", collect_all=False, k=10,
@@ -393,16 +386,34 @@ class Searcher:
 
 
 def flatten_plan(query):
-    """Normalize a REWRITTEN AST into a clause-keyed kernel plan.
+    """Normalize a REWRITTEN AST into a kernel plan.
+
+    Flat plans (the common shapes — one nesting level of MUST/FILTER/
+    MUST_NOT over pure-OR groups, leaf dismax) keep the clause-keyed
+    {"clauses", "must_not", "msm", "n_groups"} form with per-block
+    pruning. Any deeper composition — `(a AND b) OR (c AND d)`, MUST of
+    a mixed phrase/term group, nested minShouldMatch, dismax over
+    booleans — falls through to the recursive tree plan
+    ({"tree": node}), the Boolean2ScorerSupplier.java:100-127 recursive
+    scorer composition restated as nested mask/score reduction.
+
+    → None (MatchNo), "ALL" (MatchAll), a flat plan, or a tree plan.
+    Shared with the pure-Python oracle so clause ordering — and
+    therefore float32 accumulation order — agrees by construction.
+    """
+    try:
+        return _flat_plan(query)
+    except ValueError:
+        return {"tree": build_tree(query)}
+
+
+def _flat_plan(query):
+    """The one-nesting-level clause-keyed plan (raises ValueError on
+    shapes it cannot express; flatten_plan then builds a tree plan).
 
     Clauses are kept per-CLAUSE (not per-term): Lucene's BooleanWeight
     builds one scorer per clause, so `+spark spark` scores the term
-    twice (`search/BooleanQuery.java` clause model). Shared with the
-    pure-Python oracle so engine and oracle agree by construction on
-    clause ordering (the float32 accumulation order).
-
-    → None (MatchNo), "ALL" (MatchAll), or
-      {"clauses": [...], "must_not": [...], "msm": int, "n_groups": int}
+    twice (`search/BooleanQuery.java` clause model).
     """
     if isinstance(query, MatchNoQuery):
         return None
@@ -435,9 +446,9 @@ def flatten_plan(query):
             children = []
             for d in q.disjuncts:
                 c = leaf_clause(d, 1.0)
-                if c["kind"] != "term":
-                    raise ValueError(
-                        "dismax disjuncts must be term queries in v1")
+                if c["kind"] not in ("term", "phrase"):
+                    # dismax of nested booleans → recursive tree plan
+                    raise ValueError("flat dismax disjuncts must be leaves")
                 children.append(c)
             return {"kind": "dismax", "children": children,
                     "tie": float(q.tie_breaker), "boost": boost}
@@ -502,6 +513,147 @@ def flatten_plan(query):
             "n_groups": len(groups)}
 
 
+def build_tree(query, boost: float = 1.0):
+    """AST → recursive kernel plan node (arbitrary boolean nesting).
+
+    The reference composes scorers recursively
+    (`search/Boolean2ScorerSupplier.java:100-127`); here every node
+    evaluates to a (match mask, score array) pair over the bucket grid:
+    bool nodes AND their MUST/FILTER masks, count SHOULD matches against
+    minShouldMatch, and subtract MUST_NOT. Boosts distribute
+    multiplicatively into leaf weights (BM25 scores are linear in the
+    leaf weight and dismax is positively homogeneous, so the fold is
+    exact — `search/BoostQuery.java:34`).
+
+    Node kinds: the same term/phrase leaf dicts the flat plan uses,
+    dismax nodes whose children may be ANY node, and
+    {"kind": "bool", "must": [...], "filter": [...], "should": [...],
+     "must_not": [...], "msm": int}.
+    """
+    if isinstance(query, BoostQuery):
+        return build_tree(query.query, boost * query.boost)
+    if isinstance(query, TermQuery):
+        return {"kind": "term", "key": (query.field, query.term),
+                "boost": boost}
+    if isinstance(query, PhraseQuery):
+        return {"kind": "phrase",
+                "keys": [(query.field, t) for t in query.terms],
+                "slop": int(query.slop), "boost": boost}
+    if isinstance(query, DisjunctionMaxQuery):
+        return {"kind": "dismax",
+                "children": [build_tree(d, boost) for d in query.disjuncts],
+                "tie": float(query.tie_breaker)}
+    if isinstance(query, BooleanQuery):
+        node = {"kind": "bool", "must": [], "filter": [], "should": [],
+                "must_not": [], "msm": int(query.min_should_match)}
+        slot = {Occur.MUST: "must", Occur.FILTER: "filter",
+                Occur.SHOULD: "should", Occur.MUST_NOT: "must_not"}
+        for cl in query.clauses:
+            b = boost if cl.occur in (Occur.MUST, Occur.SHOULD) else 1.0
+            node[slot[cl.occur]].append(build_tree(cl.query, b))
+        return node
+    raise ValueError(f"unsupported query in nested plan: {query!r}")
+
+
+def _leaf_keys(c) -> list:
+    """All (field, term) keys under a leaf clause (dismax recurses)."""
+    if c["kind"] == "term":
+        return [c["key"]]
+    if c["kind"] == "phrase":
+        return list(c["keys"])
+    out = []
+    for ch in c["children"]:
+        out.extend(_leaf_keys(ch))
+    return out
+
+
+def _tree_keys(node) -> list:
+    """All (field, term) keys under a tree node (including MUST_NOT)."""
+    if node["kind"] != "bool":
+        return _leaf_keys(node) if node["kind"] != "dismax" else [
+            k for ch in node["children"] for k in _tree_keys(ch)]
+    out = []
+    for part in ("must", "filter", "should", "must_not"):
+        for ch in node[part]:
+            out.extend(_tree_keys(ch))
+    return out
+
+
+def _annotate_leaf(c, st, weights, outer_boost: float = 1.0):
+    """Attach f32/f64 weights to a term/phrase/dismax leaf, or return
+    None if a required key has df == 0 (the clause cannot match). An
+    outer boost folds multiplicatively into the weight — exact, because
+    scores are linear in the weight and dismax is positively
+    homogeneous (BoostQuery.java:34)."""
+    kind = c["kind"]
+    if kind == "term":
+        key = c["key"]
+        if key not in st:
+            return None
+        b = c["boost"] * outer_boost
+        w = weights[key]
+        return dict(c, w32=float(np.float32(
+            np.float32(b) * np.float32(w["idf32"]))),
+            w64=b * w["idf64"])
+    if kind == "phrase":
+        keys = c["keys"]
+        if not all(k in st for k in keys):
+            return None
+        b = c["boost"] * outer_boost
+        w32 = float(np.float32(np.float32(b) * np.float32(
+            sum(np.float32(weights[k]["idf32"]) for k in keys))))
+        w64 = b * sum(weights[k]["idf64"] for k in keys)
+        return dict(c, w32=w32, w64=w64)
+    # dismax — the outer boost folds into each disjunct's weight
+    children = []
+    for ch in c["children"]:
+        ann = _annotate_leaf(ch, st, weights, c.get("boost", 1.0) * outer_boost)
+        if ann is not None:
+            children.append(ann)
+    if not children:
+        return None
+    return dict(c, children=children)
+
+
+def _annotate_tree(node, st, weights):
+    """Weight-annotate a tree plan; → annotated node or None (the node
+    cannot match: a required child is dead, or msm exceeds the live
+    SHOULD count — the stats-level analog of the rewrite rules)."""
+    kind = node["kind"]
+    if kind in ("term", "phrase"):
+        return _annotate_leaf(node, st, weights)
+    if kind == "dismax":
+        kids = [_annotate_tree(ch, st, weights) for ch in node["children"]]
+        kids = [x for x in kids if x is not None]
+        if not kids:
+            return None
+        return dict(node, children=kids)
+    must, filt, should, mn = [], [], [], []
+    for ch in node["must"]:
+        a = _annotate_tree(ch, st, weights)
+        if a is None:
+            return None
+        must.append(a)
+    for ch in node["filter"]:
+        a = _annotate_tree(ch, st, weights)
+        if a is None:
+            return None
+        filt.append(a)
+    for ch in node["should"]:
+        a = _annotate_tree(ch, st, weights)
+        if a is not None:
+            should.append(a)
+    for ch in node["must_not"]:
+        a = _annotate_tree(ch, st, weights)
+        if a is not None:
+            mn.append(a)
+    if not must and not filt and not should:
+        return None
+    if node["msm"] > len(should):
+        return None
+    return dict(node, must=must, filter=filt, should=should, must_not=mn)
+
+
 def _key_filter(keys: list[tuple[str, str]]):
     """Pushed-down Parquet predicate for a set of (field, term) keys:
     OR of per-field (field = f AND term IN (...)) conjunctions."""
@@ -548,6 +700,12 @@ def _bucket_kernel(batches, spec):
         out, threshold = _score_bucket(buf, spec, threshold, heap)
         if out is not None:
             yield out
+    # top-k mode: ONE flush of the partition heap — the driver receives
+    # at most partitions × k rows, never buckets × k (scale posture)
+    if not spec["collect_all"]:
+        out = _flush_heap(heap)
+        if out is not None:
+            yield out
 
 
 def _bucket_kernel_multi(batches, specs):
@@ -583,6 +741,14 @@ def _bucket_kernel_multi(batches, specs):
                 yield from run_bucket(grp)
     if buf is not None and len(buf):
         yield from run_bucket(buf)
+    # one heap flush per query: driver receives ≤ partitions × k × queries
+    for qi, spec in enumerate(specs):
+        if spec["collect_all"]:
+            continue
+        out = _flush_heap(states[qi]["heap"])
+        if out is not None:
+            out.insert(0, "query_id", np.int32(qi))
+            yield out
 
 
 def _push_heap(heap, k, scores, docs, threshold):
@@ -675,6 +841,8 @@ class _BucketData:
 
 
 def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
+    if "tree" in spec:
+        return _score_bucket_tree(grp, spec, threshold, heap)
     grid = spec["grid"]
     bucket = int(grp["bucket"].iloc[0])
     off = bucket * grid
@@ -756,20 +924,19 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
             excl = np.zeros(grid, dtype=bool)
             excl[deleted[lo:hi] - off] = True
     for c in spec["must_not"]:
+        # MUST_NOT excludes the clause's full match set — term, phrase,
+        # or dismax (union of disjunct matches; previously dismax under
+        # MUST_NOT was silently dropped)
         if c["kind"] == "term":
             d = data.decode(c["key"])
-            if d is None:
-                continue
-            if excl is None:
-                excl = np.zeros(grid, dtype=bool)
-            excl[d[0] - off] = True
+            res = None if d is None else (d[0] - off, None)
         else:
-            res = _eval_phrase(c, data, spec, dtype)
-            if res is None or len(res[0]) == 0:
-                continue
-            if excl is None:
-                excl = np.zeros(grid, dtype=bool)
-            excl[res[0]] = True
+            res = _eval_leaf(c, data, spec, dtype, grid)
+        if res is None or len(res[0]) == 0:
+            continue
+        if excl is None:
+            excl = np.zeros(grid, dtype=bool)
+        excl[res[0]] = True
 
     # ---- combine masks ----------------------------------------------------
     if n_groups:
@@ -783,19 +950,177 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
     hit = np.flatnonzero(mask)
     if len(hit) == 0:
         return None, threshold
+    return _emit_hits(hit, score, off, spec, threshold, heap)
+
+
+def _emit_hits(hit, score, off, spec, threshold, heap):
+    """Shared result emission: exhaustive mode returns the bucket's rows;
+    top-k mode only feeds the PARTITION-level heap (nothing is emitted
+    per bucket — the kernel flushes the heap once at partition
+    exhaustion, bounding driver input to partitions × k rows)."""
     docs_out = hit + off
     scores_out = score[hit]
     if spec["collect_all"]:
         return pd.DataFrame({"doc_id": docs_out,
                              "score": scores_out.astype(np.float64)}), threshold
-    # per-bucket top-k (score desc, doc asc)
+    # per-bucket top-k (score desc, doc asc) before the heap push
     k = spec["k"]
     if len(hit) > k:
         sel = np.lexsort((docs_out, -scores_out))[:k]
         docs_out, scores_out = docs_out[sel], scores_out[sel]
     threshold = _push_heap(heap, k, scores_out, docs_out, threshold)
-    return pd.DataFrame({"doc_id": docs_out,
-                         "score": scores_out.astype(np.float64)}), threshold
+    return None, threshold
+
+
+def _flush_heap(heap):
+    """Partition top-k heap → one output frame (or None if empty)."""
+    if not heap:
+        return None
+    return pd.DataFrame({
+        "doc_id": np.array([-nd for _, nd in heap], dtype=np.int64),
+        "score": np.array([s for s, _ in heap], dtype=np.float64)})
+
+
+def _eval_leaf(c, data: "_BucketData", spec, dtype, grid):
+    """Evaluate a term/phrase/dismax leaf → (idxs, scores) or None."""
+    if c["kind"] == "term":
+        return _eval_term(c, data, spec, dtype)
+    if c["kind"] == "phrase":
+        return _eval_phrase(c, data, spec, dtype)
+    return _eval_dismax(c, data, spec, dtype, grid)
+
+
+def _score_bucket_tree(grp: pd.DataFrame, spec, threshold, heap):
+    """Recursive-plan variant of _score_bucket: evaluate the annotated
+    tree to a (mask, score) pair over the bucket grid. Pruning is
+    bucket-level only (conservative tree upper bound from the block-max
+    skylines); per-block skipping inside nested plans is not attempted —
+    correctness-safe, costs only pruning efficiency on deep plans."""
+    grid = spec["grid"]
+    bucket = int(grp["bucket"].iloc[0])
+    off = bucket * grid
+    dtype = np.float32 if spec["mode"] == "f32" else np.float64
+    data = _BucketData(grp, spec, off)
+    root = spec["tree"]
+    if not _tree_present(root, data):
+        return None, threshold
+    if spec["prune"] and not spec["collect_all"]:
+        ub = _tree_ub(root, data, spec, dtype) * (1.0 + _UB_EPS) + _UB_EPS
+        if ub < threshold:
+            return None, threshold
+    mask, score = _eval_tree(root, data, spec, dtype, grid, scoring=True)
+    deleted = spec.get("deleted")
+    if deleted is not None and len(deleted):
+        lo = int(np.searchsorted(deleted, off))
+        hi = int(np.searchsorted(deleted, off + grid))
+        if hi > lo:
+            mask = mask.copy()
+            mask[deleted[lo:hi] - off] = False
+    hit = np.flatnonzero(mask)
+    if len(hit) == 0:
+        return None, threshold
+    return _emit_hits(hit, score, off, spec, threshold, heap)
+
+
+def _tree_present(node, data: "_BucketData") -> bool:
+    """Cheap dictionary-presence check: can the node match in-bucket?"""
+    kind = node["kind"]
+    if kind in ("term", "phrase"):
+        return _clause_present(node, data)
+    if kind == "dismax":
+        return any(_tree_present(ch, data) for ch in node["children"])
+    for ch in node["must"] + node["filter"]:
+        if not _tree_present(ch, data):
+            return False
+    if node["should"]:
+        n_present = sum(1 for ch in node["should"] if _tree_present(ch, data))
+        if node["msm"] > 0 and n_present < node["msm"]:
+            return False
+        if not node["must"] and not node["filter"] and n_present == 0:
+            return False
+    elif not node["must"] and not node["filter"]:
+        return False
+    return True
+
+
+def _tree_ub(node, data: "_BucketData", spec, dtype) -> float:
+    """Conservative max-score upper bound of a tree node in the bucket
+    (block-max skylines; FILTER/MUST_NOT contribute nothing)."""
+    kind = node["kind"]
+    if kind in ("term", "phrase", "dismax"):
+        return _leaf_ub(node, data, spec, dtype)
+    return (sum(_tree_ub(ch, data, spec, dtype) for ch in node["must"])
+            + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"]))
+
+
+def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
+               scoring: bool = True):
+    """Recursive evaluation → (mask bool[grid], score dtype[grid]);
+    score is zeroed outside the mask, so a parent may blindly add it.
+    f32 accumulation order (children in appearance order, MUST before
+    SHOULD) is replicated by the pure-Python oracle's tree interpreter."""
+    kind = node["kind"]
+    if kind in ("term", "phrase"):
+        res = (_eval_term(node, data, spec, dtype) if kind == "term"
+               else _eval_phrase(node, data, spec, dtype))
+        mask = np.zeros(grid, dtype=bool)
+        score = np.zeros(grid, dtype=dtype)
+        if res is not None and len(res[0]):
+            idxs, s = res
+            mask[idxs] = True
+            if scoring:
+                score[idxs] = s.astype(dtype, copy=False)
+        return mask, score
+    if kind == "dismax":
+        # max + tie × (sum − max) over matching children (any node kind)
+        mx = np.zeros(grid, dtype=dtype)
+        sm = np.zeros(grid, dtype=dtype)
+        mask = np.zeros(grid, dtype=bool)
+        for ch in node["children"]:
+            m, s = _eval_tree(ch, data, spec, dtype, grid, scoring)
+            mask |= m
+            if scoring:
+                sm += s                       # s is zero outside m
+                np.maximum(mx, s, out=mx)     # scores are >= 0
+        score = np.zeros(grid, dtype=dtype)
+        if scoring and mask.any():
+            idxs = np.flatnonzero(mask)
+            tie = dtype(node["tie"])
+            score[idxs] = mx[idxs] + tie * (sm[idxs] - mx[idxs])
+        return mask, score
+    # bool node
+    score = np.zeros(grid, dtype=dtype)
+    req = None
+    for ch in node["must"]:
+        m, s = _eval_tree(ch, data, spec, dtype, grid, scoring)
+        req = m if req is None else (req & m)
+        if scoring:
+            score += s
+    for ch in node["filter"]:
+        m, _ = _eval_tree(ch, data, spec, dtype, grid, False)
+        req = m if req is None else (req & m)
+    cnt = None
+    if node["should"]:
+        cnt = np.zeros(grid, dtype=np.int16)
+        for ch in node["should"]:
+            m, s = _eval_tree(ch, data, spec, dtype, grid, scoring)
+            cnt += m
+            if scoring:
+                score += s
+    if req is not None:
+        mask = req
+        if node["msm"] > 0 and cnt is not None:
+            mask = mask & (cnt >= node["msm"])
+    elif cnt is not None:
+        mask = cnt >= max(1, node["msm"])
+    else:
+        mask = np.zeros(grid, dtype=bool)
+    for ch in node["must_not"]:
+        m, _ = _eval_tree(ch, data, spec, dtype, grid, False)
+        mask = mask & ~m
+    if scoring:
+        score[~mask] = 0
+    return mask, score
 
 
 def _clause_present(c, data: _BucketData) -> bool:
@@ -803,7 +1128,7 @@ def _clause_present(c, data: _BucketData) -> bool:
         return c["key"] in data.by_key
     if c["kind"] == "phrase":
         return all(k in data.by_key for k in c["keys"])
-    return any(ch["key"] in data.by_key for ch in c["children"])
+    return any(_clause_present(ch, data) for ch in c["children"])
 
 
 def _term_w(c, spec, dtype):
@@ -833,9 +1158,16 @@ def _max_impact(imp_freqs, imp_norms, w, field, spec, dtype):
 
 
 def _clause_bucket_ub(c, data: _BucketData, spec) -> float:
-    """Float64 upper bound of the clause's max contribution in the bucket
-    (from the per-block competitive-impact skylines)."""
+    """Float64 upper bound of a FLAT clause's max contribution in the
+    bucket (per-block competitive-impact skylines); 0 for non-scoring."""
+    if not c.get("scoring", True):
+        return 0.0
     dtype = np.float32 if spec["mode"] == "f32" else np.float64
+    return _leaf_ub(c, data, spec, dtype)
+
+
+def _leaf_ub(c, data: _BucketData, spec, dtype) -> float:
+    """Upper bound of a term/phrase/dismax leaf (recursing disjuncts)."""
     if c["kind"] == "term":
         g = data.by_key.get(c["key"])
         if g is None:
@@ -844,9 +1176,9 @@ def _clause_bucket_ub(c, data: _BucketData, spec) -> float:
         m = 0.0
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
             m = max(m, _max_impact(fr, no, w, c["key"][0], spec, dtype))
-        return m if c["scoring"] else 0.0
+        return m
     if c["kind"] == "phrase":
-        if not _clause_present(c, data) or not c["scoring"]:
+        if not _clause_present(c, data):
             return 0.0
         # phrase freq <= min term freq in doc; bound by the phrase weight
         # applied at the max min-term impact (cheap, safe bound)
@@ -857,21 +1189,15 @@ def _clause_bucket_ub(c, data: _BucketData, spec) -> float:
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
             m = max(m, _max_impact(fr, no, w, field, spec, dtype))
         return m
+    if c["kind"] == "bool":        # dismax child may be a nested bool
+        return _tree_ub(c, data, spec, dtype)
     # dismax: max_child_ub + tie * (sum_others_ub)
-    ubs = []
-    for ch in c["children"]:
-        g = data.by_key.get(ch["key"])
-        if g is None:
-            continue
-        w = np.float32(ch["w32"]) if dtype is np.float32 else ch["w64"]
-        m = 0.0
-        for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
-            m = max(m, _max_impact(fr, no, w, ch["key"][0], spec, dtype))
-        ubs.append(m)
+    ubs = [_leaf_ub(ch, data, spec, dtype) for ch in c["children"]]
+    ubs = [u for u in ubs if u > 0.0]
     if not ubs:
         return 0.0
     mx, sm = max(ubs), sum(ubs)
-    return (mx + c["tie"] * (sm - mx)) if c["scoring"] else 0.0
+    return mx + c["tie"] * (sm - mx)
 
 
 def _eval_term(c, data: _BucketData, spec, dtype, skip=False,
@@ -983,13 +1309,14 @@ def _eval_phrase(c, data: _BucketData, spec, dtype):
 
 def _eval_dismax(c, data: _BucketData, spec, dtype, grid):
     """DisjunctionMaxQuery: score = max + tie × (sum − max) over matching
-    disjuncts (DisjunctionMaxQuery.java:51,61)."""
+    disjuncts (DisjunctionMaxQuery.java:51,61). Disjuncts may be any
+    leaf kind — term, phrase, or nested dismax."""
     mx = np.zeros(grid, dtype=dtype)
     sm = np.zeros(grid, dtype=dtype)
     matched = np.zeros(grid, dtype=bool)
     any_child = False
     for ch in c["children"]:
-        res = _eval_term({**ch, "kind": "term"}, data, spec, dtype)
+        res = _eval_leaf(ch, data, spec, dtype, grid)
         if res is None:
             continue
         idxs, s = res

@@ -83,6 +83,20 @@ def explain(searcher, query, doc_ids: list[int], mode: str = "f32") -> dict:
         return {int(d): {"match": True, "value": 1.0,
                          "details": [{"description": "MatchAllDocsQuery",
                                       "value": 1.0}]} for d in doc_ids}
+    if "tree" in plan:
+        # Nested (recursive) plans: per-clause decomposition is not
+        # attempted — recompute match + total via the kernel itself
+        # (bit-exact by construction) and emit one summary detail.
+        rows = (searcher.score_all(query, mode=mode)
+                .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+                .collect())
+        vals = {int(r["doc_id"]): float(r["score"]) for r in rows}
+        return {int(d): {
+            "match": int(d) in vals,
+            "value": vals.get(int(d), 0.0),
+            "details": [{"description": "nested boolean (tree plan)",
+                         "value": vals.get(int(d), 0.0)}]
+            if int(d) in vals else []} for d in doc_ids}
     spec, live, dead = searcher._spec_for_plan(plan, mode, k=10, prune=False,
                                                collect_all=True)
     if dead:
