@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -35,6 +36,81 @@ from ..analysis.analyzer import StandardAnalyzer
 from .builder import IndexBuilder, InvertedIndex
 
 MANIFEST = "MANIFEST.json"
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def _is_hadoop_path(path: str) -> bool:
+    return bool(_SCHEME_RE.match(path))
+
+
+class _FS:
+    """Filesystem seam for the tiny control files (MANIFEST / LATEST) —
+    the `store/Directory.java:50` role. Index TABLES always go through
+    Spark writers (any Hadoop scheme works for free); the JSON manifest
+    and the LATEST pointer previously used local ``open``/``os.replace``
+    and silently broke on ``hdfs://`` / ``s3a://`` paths. This class
+    routes them through the Hadoop FileSystem API (via the session JVM)
+    whenever the path carries a scheme, keeping plain local paths on the
+    cheap ``os`` fast path.
+
+    Commit atomicity: local = ``os.replace``; HDFS = atomic rename;
+    object stores rename non-atomically, but visibility is still gated
+    on the single manifest file, so a torn write can at worst hide a
+    generation, never expose a torn one."""
+
+    def __init__(self, spark: SparkSession | None, path: str):
+        self.hadoop = _is_hadoop_path(path)
+        if self.hadoop:
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"an active SparkSession is required for {path!r}")
+            self._jvm = spark._jvm
+            self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._jpath(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        if not self.hadoop:
+            return os.path.exists(path)
+        return self._fs(path).exists(self._jpath(path))
+
+    def read_text(self, path: str) -> str:
+        if not self.hadoop:
+            with open(path) as f:
+                return f.read()
+        stm = self._fs(path).open(self._jpath(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stm, "UTF-8")
+        finally:
+            stm.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """tmp + rename — the two-phase commit point."""
+        tmp = f"{path}.tmp"
+        if not self.hadoop:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+            return
+        fs = self._fs(path)
+        out = fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(self._jpath(path)):
+            fs.delete(self._jpath(path), False)
+        if not fs.rename(self._jpath(tmp), self._jpath(path)):
+            raise IOError(f"rename {tmp} -> {path} failed")
 
 
 def _input_fingerprint(docs: DataFrame) -> dict:
@@ -121,17 +197,14 @@ def save(idx: InvertedIndex, path: str, builder: IndexBuilder,
         "timings": timings or {},
         "save_sec": round(time.perf_counter() - t0, 3),
     }
-    tmp = f"{path}/{MANIFEST}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, f"{path}/{MANIFEST}")       # atomic commit point
+    _FS(spark, path).write_text_atomic(
+        f"{path}/{MANIFEST}", json.dumps(manifest, indent=2))
     return manifest
 
 
 def load(spark: SparkSession, path: str,
          analyzer: StandardAnalyzer | None = None) -> InvertedIndex:
-    with open(f"{path}/{MANIFEST}") as f:
-        manifest = json.load(f)
+    manifest = json.loads(_FS(spark, path).read_text(f"{path}/{MANIFEST}"))
     kwargs = {}
     if analyzer is not None:
         kwargs["analyzer"] = analyzer
@@ -160,13 +233,15 @@ def load(spark: SparkSession, path: str,
     return idx
 
 
-def latest_generation(path: str) -> str | None:
-    """Key of the committed generation the LATEST pointer names, if any."""
+def latest_generation(path: str,
+                      spark: SparkSession | None = None) -> str | None:
+    """Key of the committed generation the LATEST pointer names, if any.
+    Hadoop-scheme paths resolve through the active SparkSession's JVM."""
+    fs = _FS(spark, path)
     lpath = f"{path}/LATEST"
-    if not os.path.exists(lpath):
+    if not fs.exists(lpath):
         return None
-    with open(lpath) as f:
-        return f.read().strip()
+    return fs.read_text(lpath).strip()
 
 
 def build_or_resume(spark: SparkSession, docs: DataFrame,
@@ -182,9 +257,9 @@ def build_or_resume(spark: SparkSession, docs: DataFrame,
     key = generation_key(docs, builder)
     gen_dir = f"{path}/gen-{key}"
     mpath = f"{gen_dir}/{MANIFEST}"
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            manifest = json.load(f)
+    fs = _FS(spark, path)
+    if fs.exists(mpath):
+        manifest = json.loads(fs.read_text(mpath))
         if manifest.get("key") == key:
             return load(spark, gen_dir, analyzer=builder.analyzer), manifest
     t0 = time.perf_counter()
@@ -194,9 +269,5 @@ def build_or_resume(spark: SparkSession, docs: DataFrame,
     manifest = save(idx, gen_dir, builder, docs, timings={
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(n_docs / build_sec, 1)})
-    os.makedirs(path, exist_ok=True)
-    tmp = f"{path}/LATEST.tmp"
-    with open(tmp, "w") as f:
-        f.write(key)
-    os.replace(tmp, f"{path}/LATEST")
+    fs.write_text_atomic(f"{path}/LATEST", key)
     return load(spark, gen_dir, analyzer=builder.analyzer), manifest

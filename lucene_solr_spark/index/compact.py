@@ -90,9 +90,17 @@ def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
                 .repartitionByRange(n_part, "bucket")
                 .sortWithinPartitions("bucket", "field", "term", "doc_id")
                 .mapInPandas(pack, schema=POSTINGS_SCHEMA))
-    return InvertedIndex(postings=postings, terms=idx.terms, norms=idx.norms,
-                         stats=dict(idx.stats), analyzer=idx.analyzer,
-                         with_positions=with_pos)
+    out = InvertedIndex(postings=postings, terms=idx.terms, norms=idx.norms,
+                        stats=dict(idx.stats), analyzer=idx.analyzer,
+                        with_positions=with_pos)
+    # tombstones survive compaction unchanged (doc_ids are stable): a
+    # layout-only rewrite must not resurrect deleted docs — the
+    # 'every query result preserved' contract includes liveDocs
+    dels = getattr(idx, "deletes", None)
+    if dels is not None:
+        out.deletes = dels
+        out.deleted_array = idx.deleted_array
+    return out
 
 
 def needs_compaction(idx: InvertedIndex, max_blocks_per_run: int = 4) -> bool:

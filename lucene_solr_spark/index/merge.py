@@ -103,6 +103,14 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
     # index unpersists them (ADVICE: repeated appends leaked the delta's
     # cached raw table; the merged postings are lazy over it, so it can't
     # be released any earlier than the merged index itself)
-    return InvertedIndex(postings=postings, terms=terms, norms=norms,
-                         stats=stats, analyzer=builder.analyzer,
-                         with_positions=idx.with_positions, raw=delta.raw)
+    out = InvertedIndex(postings=postings, terms=terms, norms=norms,
+                        stats=stats, analyzer=builder.analyzer,
+                        with_positions=idx.with_positions, raw=delta.raw)
+    # base-index tombstones carry over: appended docs have ids above
+    # max_doc, so the base's liveDocs set stays valid verbatim — an
+    # append must not resurrect deleted docs
+    dels = getattr(idx, "deletes", None)
+    if dels is not None:
+        out.deletes = dels
+        out.deleted_array = idx.deleted_array
+    return out

@@ -102,3 +102,35 @@ def test_query_cache_lru(spark, base):
     assert len(qc._entries) == 2
     qc.clear()
     assert not qc._entries
+
+
+def test_compact_and_append_preserve_tombstones(spark, docs, base):
+    """Layout-only compaction and segment append must carry liveDocs —
+    neither may resurrect deleted docs (ADVICE r2: compact()/append()
+    previously dropped the tombstone attributes)."""
+    from lucene_solr_spark.index.compact import compact
+    from lucene_solr_spark.index.merge import append
+
+    s0 = Searcher(spark, base)
+    victims = s0.top_k(TermQuery("spark"), k=5)["doc_id"].astype(int).tolist()
+    idx = delete_docs(spark, base, victims)
+    s1 = Searcher(spark, idx)
+    expect = s1.top_k(TermQuery("spark"), k=10)
+
+    comp = compact(spark, idx)
+    comp.postings = comp.postings.cache()
+    got = Searcher(spark, comp).top_k(TermQuery("spark"), k=10)
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    assert not (set(got["doc_id"].astype(int)) & set(victims))
+    assert live_doc_count(comp) == live_doc_count(idx)
+
+    hi = idx.stats["max_doc"]
+    new = spark.createDataFrame(
+        [(hi + 1 + i, "spark spark table merge") for i in range(8)],
+        "doc_id long, text string")
+    merged = append(spark, idx, new, _builder())
+    got2 = Searcher(spark, merged).match_docs(TermQuery("spark")).collect()
+    got2_ids = {int(r["doc_id"]) for r in got2}
+    assert not (got2_ids & set(victims))          # still hidden
+    assert hi + 1 in got2_ids                     # new docs visible
+    comp.postings.unpersist()

@@ -4,6 +4,7 @@ build, and checkpoint/resume semantics (north-rule resumability)."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
 
 import pytest
@@ -110,3 +111,28 @@ def test_manifest_is_atomic_commit_point(spark, docs, tmp_path_factory):
     # lineage fields present
     assert on_disk["input"]["n_rows"] == docs.count()
     assert set(on_disk["stages"]) == {"postings", "terms", "norms"}
+
+
+def test_checkpoint_on_hadoop_scheme(spark, docs, tmp_path_factory):
+    """save/load/build_or_resume on a NON-file:// scheme: the manifest
+    and LATEST pointer must route through the Hadoop FileSystem API
+    (`store/Directory.java:50` seam), not local open()/os.replace —
+    exercised by registering a custom scheme backed by the local Hadoop
+    FS implementation (VERDICT r2 #7)."""
+    local = str(tmp_path_factory.mktemp("idxhdfs"))
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.lsstest.link./idx", f"file:{local}")
+    path = "viewfs://lsstest/idx"
+    small = docs.filter(F.col("doc_id") < 100)
+    b = _builder()
+    idx1, m1 = catalog.build_or_resume(spark, small, b, path)
+    assert catalog.latest_generation(path, spark) == m1["key"]
+    # the manifest physically landed via the Hadoop FS (local backing)
+    assert os.path.exists(f"{local}/gen-{m1['key']}/{catalog.MANIFEST}")
+    assert not os.path.exists(f"{local}/gen-{m1['key']}/{catalog.MANIFEST}.tmp")
+    # resume path reads the manifest back through the same seam
+    idx2, m2 = catalog.build_or_resume(spark, small, b, path)
+    assert m2["generation"] == m1["generation"]
+    s = Searcher(spark, idx2.cache())
+    assert len(s.top_k(parse_query(QUERIES[0], ENGLISH_ANALYZER), k=5)) > 0
+    idx2.release()
