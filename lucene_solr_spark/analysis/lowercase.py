@@ -22,22 +22,29 @@ from functools import lru_cache
 
 @lru_cache(maxsize=1)
 def _multi_char_exceptions() -> dict[str, str]:
-    """Codepoints whose str.lower() is multi-char → Java simple mapping.
+    """Codepoints whose str.lower() differs from Java's simple mapping →
+    the Java simple mapping. Two classes:
 
-    Java's simple mapping for these is: use the single-codepoint lowercase
-    from UnicodeData.txt if one exists, else the character itself
-    (e.g. U+00DF ß, U+FB00 ﬀ stay as-is under simple mapping — they only
-    change under full case *folding*, which the reference does not use).
+    - multi-char full mappings (SpecialCasing.txt): Java's simple mapping
+      is the single-codepoint lowercase from UnicodeData.txt if one
+      exists, else the character itself (e.g. U+00DF ß, U+FB00 ﬀ stay
+      as-is under simple mapping — they only change under full case
+      *folding*, which the reference does not use);
+    - CONTEXT-SENSITIVE mappings: U+03A3 GREEK CAPITAL SIGMA lowers to
+      final sigma ς word-finally under Python's full mapping but always
+      to σ under Java's context-free Character.toLowerCase — forcing it
+      through the exception table keeps per-char semantics AND routes
+      Σ-bearing documents to the exact per-doc path in the vectorized
+      inverter (index/builder.py _fallback_re).
     """
     exc = {}
     for cp in range(sys.maxunicode + 1):
         ch = chr(cp)
         low = ch.lower()
         if len(low) > 1:
-            # UnicodeData simple mappings that exist despite a multi-char
-            # full mapping:
             simple = {0x0130: "i"}.get(cp, ch)
             exc[ch] = simple
+    exc[chr(0x03A3)] = "σ"        # Σ → σ, never context-dependent ς
     return exc
 
 

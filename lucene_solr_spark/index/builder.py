@@ -391,13 +391,34 @@ class IndexBuilder:
         # kernels amortize per-batch fixed costs (regex setup, factorize,
         # buffer concat) — 10k-row default batches are too fine-grained
         # for posting-row streams. 50k docs ≈ 30 MB of web text per batch.
+        # The session value is RESTORED in the finally below (ADVICE r2:
+        # never leak config onto unrelated jobs); the invert stage — the
+        # expensive Python one — materializes inside this scope, so it
+        # gets the wide batches; the lazy pack stage runs under the
+        # caller's own setting.
+        prev_batch = None
         try:
-            cur = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-            if int(cur) < 50000:
+            prev_batch = spark.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch")
+            if int(prev_batch) < 50000:
                 spark.conf.set(
                     "spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+            else:
+                prev_batch = None    # nothing changed, nothing to restore
         except Exception:
-            pass
+            prev_batch = None
+        try:
+            return self._build_inner(spark, docs, doc_id_col, flds, timings)
+        finally:
+            if prev_batch is not None:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch",
+                    prev_batch)
+
+    def _build_inner(self, spark: SparkSession, docs: DataFrame,
+                     doc_id_col, flds, timings) -> InvertedIndex:
+        import time as _time
+        t0 = _time.perf_counter()
         n_inv = _shuffle_n(spark)
         # THE one wide shuffle of the build moves the DOCUMENTS, keyed by
         # grid cell (whole cells per partition — equal bucket values can

@@ -174,8 +174,10 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.45,
                   vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine near-dup: (vec_a, vec_b, cos >= threshold).
 
-    O(n^2) — the small-side correctness baseline; the scale path blocks
-    with hyperplane_lsh_buckets first (see lsh_neardup_pairs)."""
+    O(n^2) crossJoin — a TEST-ONLY differential baseline for the LSH
+    paths (pytest recall gates); deliberately NOT reachable from any
+    gated query surface. The corpus-scale near-dup operator is
+    :func:`banded_lsh_neardup_pairs`."""
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     pairs = (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
@@ -197,6 +199,55 @@ def hyperplane_buckets(emb: DataFrame, planes: DataFrame,
     return bits.groupBy("vec_id").agg(
         F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pid")).cast("long"))
         .cast("long").alias("bucket"))
+
+
+def banded_lsh_buckets(emb: DataFrame, planes: DataFrame, band_size: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """OR-amplified (banded) hyperplane LSH: planes carry pid
+    0..L*band_size-1; band i uses planes [i*band_size, (i+1)*band_size).
+    → (vec_id, band, bucket), one row per vector per band."""
+    j = emb.crossJoin(F.broadcast(planes))     # planes table is tiny/bounded
+    bits = j.select(
+        F.col(id_col).alias("vec_id"),
+        (F.col("pid") / band_size).cast("long").alias("band"),
+        (F.col("pid") % band_size).alias("bit_pos"),
+        F.when(dot(F.col(vec_col), F.col("pvec")) > 0, 1).otherwise(0)
+        .alias("bit"))
+    return bits.groupBy("vec_id", "band").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("bit_pos"))
+              .cast("long")).cast("long").alias("bucket"))
+
+
+def banded_lsh_neardup_pairs(emb: DataFrame, planes: DataFrame,
+                             band_size: int = 2, threshold: float = 0.45,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Banded-LSH near-dup: a pair is a CANDIDATE if it shares a bucket
+    in ANY band (collision prob 1−(1−p^r)^L, r=band_size, L=#bands),
+    then verified with exact cosine — precision 1.0 by construction;
+    recall set by the plane/band budget and pinned differentially on the
+    gated fixture (tests/test_pipeline.py: equal to the exhaustive
+    all-pairs baseline, i.e. recall 1.0 at the chosen budget).
+
+    This is the ONLY corpus-scale near-dup surface: pair generation is
+    an equi-join on (band, bucket) — never a cartesian product — and the
+    exact O(n²) `neardup_pairs` baseline stays a test-only differential
+    tool. 100-TB posture: candidates ≈ Σ_band Σ_bucket |bucket|²/2,
+    bounded by bucket granularity, and the verify join is semi-bounded
+    by the deduplicated candidate set."""
+    bk = banded_lsh_buckets(emb, planes, band_size, id_col, vec_col)
+    a = bk.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos"))
 
 
 def lsh_neardup_pairs(emb: DataFrame, planes: DataFrame,

@@ -78,3 +78,15 @@ def test_analyze_series_vectorized():
     s = pd.Series(["Hello World", None, "the and a"])
     out = analyze_series(s, ENGLISH_ANALYZER)
     assert out.tolist() == [["hello", "world"], [], []]
+
+
+def test_sigma_context_insensitive():
+    """U+03A3 GREEK CAPITAL SIGMA: Java's Character.toLowerCase is
+    context-free (always σ); Python full str.lower() yields final
+    sigma ς word-finally. The exception table must force σ so the
+    batch and per-doc paths agree (ADVICE r2)."""
+    from lucene_solr_spark.analysis.lowercase import (simple_lowercase,
+                                                      _multi_char_exceptions)
+    assert simple_lowercase("ΑΣ") == "ασ"
+    assert simple_lowercase("ΣΟΦΙΑΣ") == "σοφιασ"
+    assert "Σ" in _multi_char_exceptions()

@@ -202,3 +202,25 @@ def test_connected_components_and_purge(spark):
     hits = {r["doc_id"] for r in s.match_docs(TermQuery("alpha")).collect()}
     assert not (hits & set(dups)) and len(hits) == 30 - len(dups)
     idx.release()
+
+
+def test_banded_lsh_recall_one_on_fixture(spark, emb):
+    """The gated near-dup surface (banded LSH, 8 bands x 2 planes) must
+    EQUAL the test-only exhaustive all-pairs baseline on the fixture —
+    recall 1.0 at the chosen plane budget, precision 1.0 by construction
+    (VERDICT r2 #9: no crossJoin reachable from queries())."""
+    planes = (emb.filter("vec_id >= 1 AND vec_id <= 16")
+              .select((F.col("vec_id") - 1).alias("pid"),
+                      F.col("embedding").alias("pvec")))
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.neardup_pairs(emb, 0.45).collect()}
+    banded = {(r["vec_a"], r["vec_b"]) for r in
+              similarity.banded_lsh_neardup_pairs(
+                  emb, planes, band_size=2, threshold=0.45).collect()}
+    assert banded == exact
+
+    # pair generation is an equi-join on (band, bucket): the physical
+    # plan contains no cartesian product of the embedding table
+    plan = (similarity.banded_lsh_neardup_pairs(emb, planes, 2, 0.45)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
