@@ -41,6 +41,7 @@ QUERY_SET = [
     ("q_phrase", '"key agg"'),
     ("q_sloppy", '"key agg"~2'),
     ("q_nested", "(spark OR merge) AND fast"),
+    ("q_deep", "(spark AND table) OR (merge AND fast)"),  # tree-plan path
     ("q_not", "spark NOT dup"),
     ("q_wide_or", "batch part line column order small sort"),
 ]
