@@ -623,6 +623,25 @@ def q_dismax_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_span_near_topk(spark, sf_dir):
+    """Ordered span-near key...agg within slop 3 (SpanNearQuery.java:63
+    in_order=true): later terms chain to their FIRST occurrence after
+    the previous link; 1/(1+matchLength) span freq."""
+    from lucene_solr_spark.search.ast import SpanNearQuery
+    q = SpanNearQuery(("key", "agg"), slop=3)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_edismax_topk(spark, sf_dir):
+    """DisMax handler surface (qf={text:1, title:2}, tie=0.3): each
+    query term scores as max-over-fields + tie x rest
+    (DisMaxQParser.java:184-192)."""
+    from lucene_solr_spark.search.dismax import dismax_query
+    q = dismax_query("part merge", ENGLISH_ANALYZER,
+                     qf={"text": 1.0, "title": 2.0}, tie=0.3)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_prefix_topterms_topk(spark, sf_dir):
     """Prefix s* under a top-terms cap of 4: expansion keeps the 4
     highest-df matches (ties term asc) instead of raising — the
@@ -905,6 +924,52 @@ SELECT doc_id,
 FROM u
 ORDER BY GREATEST(sp, sm) + 0.3 * (sp + sm - GREATEST(sp, sm)) DESC, doc_id
 LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # ordered span-near key...agg, slop 3: per 'key' position, the FIRST
+    # 'agg' strictly after it; gap = bp-ap-1 <= 3 contributes 1/(1+gap)
+    sql["q_span_near_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), chain AS (
+  SELECT a.doc_id, a.p AS ap, MIN(b.p) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id, a.p
+), pf AS (
+  SELECT doc_id, SUM(1.0 / (1 + (bp - ap - 1))) AS pf
+  FROM chain WHERE bp - ap - 1 <= 3 GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # edismax qf={text:1,title:2} tie=0.3 over terms (part, merge):
+    # per term, dismax of the per-field BM25 partials; sum over terms
+    sql["q_edismax_topk"] = _PRELUDE + _TITLE_CTES + """
+, u AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.term, b.term) AS term,
+         COALESCE(a.s, 0) AS st, COALESCE(b.s, 0) AS stt
+  FROM (SELECT doc_id, term, s FROM sc WHERE term IN ('part', 'merge')) a
+  FULL OUTER JOIN
+       (SELECT doc_id, term, 2 * s AS s FROM tsc
+        WHERE term IN ('part', 'merge')) b
+    ON a.doc_id = b.doc_id AND a.term = b.term)
+SELECT doc_id,
+  ROUND(SUM(GREATEST(st, stt) + 0.3 * (st + stt - GREATEST(st, stt))), 4)
+    AS score
+FROM u GROUP BY doc_id
+ORDER BY SUM(GREATEST(st, stt) + 0.3 * (st + stt - GREATEST(st, stt))) DESC,
+         doc_id
+LIMIT 10"""
 
     # top-terms rewrite: keep the 4 highest-df s* terms (ties term asc)
     sql["q_prefix_topterms_topk"] = _PRELUDE + """
@@ -1423,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_edismax_topk": q_edismax_topk,
+        "q_span_near_topk": q_span_near_topk,
         # formerly positions 51-55 (absent from CORRECTNESS_r02)
         "q_search_after": q_search_after,
         "q_boosted_or_topk": q_boosted_or_topk,

@@ -518,6 +518,33 @@ class IndexBuilder:
         return idx
 
 
+_PACK_MIN_ROWS = 50_000
+
+
+def _rebatch(batches, min_rows: int = _PACK_MIN_ROWS):
+    """Coalesce small Arrow batches to >= min_rows before processing.
+
+    The pack kernel's per-batch fixed costs (concat, numpy run
+    detection, buffer setup) want wide batches, but the stage is LAZY —
+    it may materialize after build() has restored the caller's
+    spark.sql.execution.arrow.maxRecordsPerBatch (often the 10k
+    default). Re-batching inside the iterator makes pack throughput
+    independent of the session's Arrow batch setting entirely."""
+    hold, n = [], 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        hold.append(pdf)
+        n += len(pdf)
+        if n >= min_rows:
+            yield (pd.concat(hold, ignore_index=True)
+                   if len(hold) > 1 else hold[0])
+            hold, n = [], 0
+    if hold:
+        yield (pd.concat(hold, ignore_index=True)
+               if len(hold) > 1 else hold[0])
+
+
 def pack_partition(batches, grid: int, with_pos: bool):
     """Pack a bucket-range partition of sorted raw postings into block rows.
 
@@ -529,7 +556,7 @@ def pack_partition(batches, grid: int, with_pos: bool):
     continue in the next batch.
     """
     buf = None
-    for pdf in batches:
+    for pdf in _rebatch(batches):
         if buf is not None:
             pdf = pd.concat([buf, pdf], ignore_index=True)
             buf = None

@@ -143,6 +143,51 @@ class OracleIndex:
                     w - w / (np.float32(1.0) + np.float32(pf) * ni))
         return out
 
+    def _span_scores(self, keys, slop: int,
+                     boost: float = 1.0) -> dict[int, np.float32]:
+        """Ordered span-near (executor._eval_span spec): per occurrence
+        p0 of the first term, chain each later term to its FIRST
+        occurrence strictly after the previous link; matchLength =
+        (p_last − p0) − (n−1) ≤ slop contributes 1/(1+matchLength)."""
+        field = keys[0][0]
+        terms = [t for _, t in keys]
+        fpos = self.positions.get(field, {})
+        if any(t not in fpos for t in terms):
+            return {}
+        cand = set(fpos[terms[0]])
+        for t in terms[1:]:
+            cand &= set(fpos[t])
+        if not cand:
+            return {}
+        idf_sum = np.float32(sum(
+            np.float32(bm25.idf(self.df(t, field),
+                                self.field_doc_count[field]))
+            for t in terms))
+        w = np.float32(np.float32(boost) * idf_sum)
+        avgdl = bm25.avg_field_length(self.field_sum_ttf[field],
+                                      self.field_doc_count[field])
+        cache = bm25.norm_inverse_cache(avgdl)
+        out: dict[int, np.float32] = {}
+        for d in cand:
+            pf = 0.0
+            for p0 in fpos[terms[0]][d]:
+                cur, ok = p0, True
+                for t in terms[1:]:
+                    nxt = [p for p in fpos[t][d] if p > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = nxt[0]
+                if ok:
+                    ml = (cur - p0) - (len(terms) - 1)
+                    if ml <= slop:
+                        pf += 1.0 / (1.0 + ml)
+            if pf > 0:
+                ni = cache[self.norms[field][d]]
+                out[d] = np.float32(
+                    w - w / (np.float32(1.0) + np.float32(pf) * ni))
+        return out
+
     def _dismax_scores(self, children, tie: float,
                        boost: float = 1.0) -> dict[int, np.float32]:
         """DisjunctionMaxQuery.java:51 — max + tie × (sum − max), f32.
@@ -178,6 +223,9 @@ class OracleIndex:
         if c["kind"] == "phrase":
             return self._phrase_scores(c["keys"], c["slop"],
                                        c["boost"] * boost_mult)
+        if c["kind"] == "span":
+            return self._span_scores(c["keys"], c["slop"],
+                                     c["boost"] * boost_mult)
         per = [self._leaf_scores(ch, boost_mult * c.get("boost", 1.0))
                for ch in c["children"]]
         return self._dismax_combine(per, c["tie"])
@@ -193,7 +241,7 @@ class OracleIndex:
         appearance order, then SHOULD children) — so engine and oracle
         agree bit-for-bit on nested plans."""
         kind = node["kind"]
-        if kind in ("term", "phrase"):
+        if kind in ("term", "phrase", "span"):
             sc = self._leaf_scores(node)
             return set(sc), (sc if scoring else {})
         if kind == "dismax":

@@ -59,6 +59,23 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class SpanNearQuery:
+    """Ordered span-near (`search/spans/SpanNearQuery.java:63`,
+    `NearSpansOrdered.java:36`): terms must appear IN ORDER with total
+    gap ≤ slop. Engine spec (exactly shared with oracle + SQL gate):
+    for every occurrence p0 of the first term, greedily chain each later
+    term to its FIRST occurrence after the previous one; the anchor
+    matches when matchLength = (p_last − p0) − (n−1) ≤ slop,
+    contributing 1/(1+matchLength) to the span freq. (Lucene enumerates
+    minimal spans rather than one candidate per first-term occurrence —
+    same matches for 2-term spans, may differ in *freq* on overlapping
+    3+-term repeats; divergence pinned in tests.)"""
+    terms: tuple
+    slop: int = 0
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class BoostQuery:
     """BoostQuery.java:34 — multiplies the wrapped query's score."""
     query: object
@@ -244,7 +261,7 @@ def collect_terms(q) -> list[tuple[str, str]]:
     def walk(n):
         if isinstance(n, TermQuery):
             add(n.field, n.term)
-        elif isinstance(n, PhraseQuery):
+        elif isinstance(n, (PhraseQuery, SpanNearQuery)):
             for t in n.terms:
                 add(n.field, t)
         elif isinstance(n, BooleanQuery):

@@ -65,7 +65,8 @@ from ..index.builder import (InvertedIndex, decode_positions_flat,
 from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, BooleanQuery, BoostQuery,
                   Clause, DisjunctionMaxQuery, FuzzyQuery, MatchAllQuery,
                   MatchNoQuery, Occur, PhraseQuery, PrefixQuery, RegexpQuery,
-                  TermQuery, TermRangeQuery, WildcardQuery, rewrite)
+                  SpanNearQuery, TermQuery, TermRangeQuery, WildcardQuery,
+                  rewrite)
 
 KERNEL_SCHEMA = "doc_id long, score double"
 
@@ -442,6 +443,10 @@ def _flat_plan(query):
             return {"kind": "phrase",
                     "keys": [(q.field, t) for t in q.terms],
                     "slop": int(q.slop), "boost": boost}
+        if isinstance(q, SpanNearQuery):
+            return {"kind": "span",
+                    "keys": [(q.field, t) for t in q.terms],
+                    "slop": int(q.slop), "boost": boost}
         if isinstance(q, DisjunctionMaxQuery):
             children = []
             for d in q.disjuncts:
@@ -477,7 +482,7 @@ def _flat_plan(query):
             m.update(scoring=scoring, group=gi, should=False)
         groups.append(members)
 
-    if isinstance(query, (TermQuery, PhraseQuery, BoostQuery,
+    if isinstance(query, (TermQuery, PhraseQuery, SpanNearQuery, BoostQuery,
                           DisjunctionMaxQuery)):
         c = leaf_clause(query, boost_all)
         c.update(scoring=True, group=None, should=True)
@@ -539,6 +544,10 @@ def build_tree(query, boost: float = 1.0):
         return {"kind": "phrase",
                 "keys": [(query.field, t) for t in query.terms],
                 "slop": int(query.slop), "boost": boost}
+    if isinstance(query, SpanNearQuery):
+        return {"kind": "span",
+                "keys": [(query.field, t) for t in query.terms],
+                "slop": int(query.slop), "boost": boost}
     if isinstance(query, DisjunctionMaxQuery):
         return {"kind": "dismax",
                 "children": [build_tree(d, boost) for d in query.disjuncts],
@@ -559,7 +568,7 @@ def _leaf_keys(c) -> list:
     """All (field, term) keys under a leaf clause (dismax recurses)."""
     if c["kind"] == "term":
         return [c["key"]]
-    if c["kind"] == "phrase":
+    if c["kind"] in ("phrase", "span"):
         return list(c["keys"])
     out = []
     for ch in c["children"]:
@@ -595,7 +604,7 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0):
         return dict(c, w32=float(np.float32(
             np.float32(b) * np.float32(w["idf32"]))),
             w64=b * w["idf64"])
-    if kind == "phrase":
+    if kind in ("phrase", "span"):
         keys = c["keys"]
         if not all(k in st for k in keys):
             return None
@@ -620,7 +629,7 @@ def _annotate_tree(node, st, weights):
     cannot match: a required child is dead, or msm exceeds the live
     SHOULD count — the stats-level analog of the rewrite rules)."""
     kind = node["kind"]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "span"):
         return _annotate_leaf(node, st, weights)
     if kind == "dismax":
         kids = [_annotate_tree(ch, st, weights) for ch in node["children"]]
@@ -900,6 +909,8 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
                              threshold=threshold)
         elif c["kind"] == "phrase":
             res = _eval_phrase(c, data, spec, dtype)
+        elif c["kind"] == "span":
+            res = _eval_span(c, data, spec, dtype)
         else:
             res = _eval_dismax(c, data, spec, dtype, grid)
         if res is None:
@@ -982,11 +993,13 @@ def _flush_heap(heap):
 
 
 def _eval_leaf(c, data: "_BucketData", spec, dtype, grid):
-    """Evaluate a term/phrase/dismax leaf → (idxs, scores) or None."""
+    """Evaluate a term/phrase/span/dismax leaf → (idxs, scores) or None."""
     if c["kind"] == "term":
         return _eval_term(c, data, spec, dtype)
     if c["kind"] == "phrase":
         return _eval_phrase(c, data, spec, dtype)
+    if c["kind"] == "span":
+        return _eval_span(c, data, spec, dtype)
     return _eval_dismax(c, data, spec, dtype, grid)
 
 
@@ -1025,7 +1038,7 @@ def _score_bucket_tree(grp: pd.DataFrame, spec, threshold, heap):
 def _tree_present(node, data: "_BucketData") -> bool:
     """Cheap dictionary-presence check: can the node match in-bucket?"""
     kind = node["kind"]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "span"):
         return _clause_present(node, data)
     if kind == "dismax":
         return any(_tree_present(ch, data) for ch in node["children"])
@@ -1047,7 +1060,7 @@ def _tree_ub(node, data: "_BucketData", spec, dtype) -> float:
     """Conservative max-score upper bound of a tree node in the bucket
     (block-max skylines; FILTER/MUST_NOT contribute nothing)."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "dismax"):
+    if kind in ("term", "phrase", "span", "dismax"):
         return _leaf_ub(node, data, spec, dtype)
     return (sum(_tree_ub(ch, data, spec, dtype) for ch in node["must"])
             + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"]))
@@ -1060,9 +1073,13 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
     f32 accumulation order (children in appearance order, MUST before
     SHOULD) is replicated by the pure-Python oracle's tree interpreter."""
     kind = node["kind"]
-    if kind in ("term", "phrase"):
-        res = (_eval_term(node, data, spec, dtype) if kind == "term"
-               else _eval_phrase(node, data, spec, dtype))
+    if kind in ("term", "phrase", "span"):
+        if kind == "term":
+            res = _eval_term(node, data, spec, dtype)
+        elif kind == "phrase":
+            res = _eval_phrase(node, data, spec, dtype)
+        else:
+            res = _eval_span(node, data, spec, dtype)
         mask = np.zeros(grid, dtype=bool)
         score = np.zeros(grid, dtype=dtype)
         if res is not None and len(res[0]):
@@ -1126,7 +1143,7 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
 def _clause_present(c, data: _BucketData) -> bool:
     if c["kind"] == "term":
         return c["key"] in data.by_key
-    if c["kind"] == "phrase":
+    if c["kind"] in ("phrase", "span"):
         return all(k in data.by_key for k in c["keys"])
     return any(_clause_present(ch, data) for ch in c["children"])
 
@@ -1177,10 +1194,10 @@ def _leaf_ub(c, data: _BucketData, spec, dtype) -> float:
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
             m = max(m, _max_impact(fr, no, w, c["key"][0], spec, dtype))
         return m
-    if c["kind"] == "phrase":
+    if c["kind"] in ("phrase", "span"):
         if not _clause_present(c, data):
             return 0.0
-        # phrase freq <= min term freq in doc; bound by the phrase weight
+        # phrase/span freq <= min term freq in doc; bound by the weight
         # applied at the max min-term impact (cheap, safe bound)
         w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
         field = c["keys"][0][0]
@@ -1290,6 +1307,71 @@ def _eval_phrase(c, data: _BucketData, spec, dtype):
     if slop == 0:
         pf = np.round(pf)       # integral counts, exact
     # norms of matched docs from term0's postings
+    norm_grid = np.zeros(spec["grid"], dtype=np.int64)
+    norm_grid[d0 - data.off] = n0
+    norms = norm_grid[idxs]
+    w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
+    field = keys[0][0]
+    if dtype is np.float32:
+        ni = spec["cache32"][field][norms & 0xFF]
+        f = pf.astype(np.float32)
+        s = (np.float32(w) - np.float32(w) / (np.float32(1.0) + f * ni))
+    else:
+        dl = LENGTH_TABLE[norms & 0xFF].astype(np.float64)
+        f = pf.astype(np.float64)
+        k1, b = spec["k1"], spec["b"]
+        s = w * f / (f + k1 * (1.0 - b + b * dl / spec["avgdl64"][field]))
+    return idxs, s
+
+
+def _eval_span(c, data: _BucketData, spec, dtype):
+    """Vectorized ordered span-near (the NearSpansOrdered.java:36 role).
+
+    One candidate span per occurrence p0 of the FIRST term: each later
+    term chains (searchsorted) to its first occurrence STRICTLY AFTER
+    the previous link within the same doc; the anchor matches when
+    matchLength = (p_last - p0) - (n-1) <= slop, contributing
+    1/(1+matchLength) to the span freq (SpanWeight sloppy weight). No
+    per-doc Python. Spec shared with pyoracle._span_scores and the SQL
+    oracle; divergence from Lucene's minimal-span enumeration on
+    overlapping repeats is pinned in tests."""
+    if not spec["with_positions"]:
+        raise ValueError("span query requires an index built with positions")
+    keys = c["keys"]
+    slop = c.get("slop", 0)
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype))
+    per = []
+    for k in keys:
+        r = data.decode_positions(k)
+        if r is None:
+            return empty
+        per.append(r)
+    d0, f0, n0, fd0, fp0 = per[0]
+    if len(fd0) == 0:
+        return empty
+    base = (fd0 << _POS_SHIFT) + fp0 + _POS_PAD
+    cur = base.copy()
+    alive = np.ones(len(cur), dtype=bool)
+    for i in range(1, len(keys)):
+        _, _, _, fdi, fpi = per[i]
+        if len(fdi) == 0:
+            return empty
+        arr = (fdi << _POS_SHIFT) + fpi + _POS_PAD
+        j = np.searchsorted(arr, cur + 1, side="left")
+        jr = np.minimum(j, len(arr) - 1)
+        ok = (j < len(arr)) & ((arr[jr] >> _POS_SHIFT)
+                               == (cur >> _POS_SHIFT))
+        alive &= ok
+        cur = np.where(ok, arr[jr], cur)
+    ml = (cur - base).astype(np.float64) - (len(keys) - 1)
+    match = alive & (ml <= slop)
+    if not match.any():
+        return empty
+    wts = 1.0 / (1.0 + ml[match])
+    docs_m = fd0[match]
+    pf_grid = np.bincount(docs_m, weights=wts, minlength=spec["grid"])
+    idxs = np.flatnonzero(pf_grid > 0)
+    pf = pf_grid[idxs]
     norm_grid = np.zeros(spec["grid"], dtype=np.int64)
     norm_grid[d0 - data.off] = n0
     norms = norm_grid[idxs]
