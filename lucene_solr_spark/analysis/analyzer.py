@@ -69,6 +69,23 @@ class StandardAnalyzer:
             tp.setdefault(t, []).append(p)
         return tp
 
+    def term_occurrences(self, text: str) -> dict[str, list[tuple]]:
+        """{term: [(position, start, end)]} — positions as in
+        :meth:`term_positions` plus character offsets into ``text``
+        (the OffsetAttribute surface, for offsets-enabled indexes)."""
+        from .tokenizer import tokenize_raw_spans
+        if not text:
+            return {}
+        out: dict[str, list[tuple]] = {}
+        p = 0
+        for t, s, e in tokenize_raw_spans(text):
+            if len(t) <= self.max_token_length:
+                low = simple_lowercase(t)
+                if low not in self.stop_words:
+                    out.setdefault(low, []).append((p, s, e))
+            p += 1
+        return out
+
 
 ENGLISH_ANALYZER = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
 

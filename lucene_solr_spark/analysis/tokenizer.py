@@ -59,11 +59,35 @@ def tokenize_raw(text: str) -> list[str]:
     return out
 
 
+def tokenize_raw_spans(text: str) -> list[tuple[str, int, int]]:
+    """Like :func:`tokenize_raw` but with character offsets:
+    [(token, start, end)] — the OffsetAttribute of the reference's
+    token stream (`analysis/tokenattributes/OffsetAttribute.java:25`).
+    Offsets index the input string exactly as given."""
+    out = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if (_HAS_IDEO_RE.search(tok) and len(tok) > 1
+                and not _HAS_IDEO_RE.fullmatch(tok[0])):
+            base = m.start()
+            for part, s, e in _split_mixed_spans(tok):
+                out.append((part, base + s, base + e))
+        else:
+            out.append((tok, m.start(), m.end()))
+    return out
+
+
 def _split_mixed(tok: str) -> list[str]:
     parts = []
     for m in re.finditer(rf"[{_IDEO}]|[{_KANA}]+|[^{_IDEO}{_KANA}]+", tok):
         parts.append(m.group(0))
     return parts
+
+
+def _split_mixed_spans(tok: str) -> list[tuple[str, int, int]]:
+    return [(m.group(0), m.start(), m.end())
+            for m in re.finditer(rf"[{_IDEO}]|[{_KANA}]+|[^{_IDEO}{_KANA}]+",
+                                 tok)]
 
 
 def tokenize_with_positions(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):

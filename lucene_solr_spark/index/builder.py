@@ -66,7 +66,7 @@ from ..functions.impacts import skyline
 from ..functions.smallfloat import int_to_byte4
 
 RAW_SCHEMA = ("doc_id long, field string, term string, freq int, norm int, "
-              "pos_blob binary")
+              "pos_blob binary, off_blob binary")
 
 DEFAULT_FIELD = "text"
 
@@ -76,7 +76,8 @@ _NORM_LUT = int_to_byte4(np.arange(1 << 16)).astype(np.uint8)
 POSTINGS_SCHEMA = (
     "field string, term string, bucket long, block_id long, doc_count int, "
     "last_doc long, doc_blob binary, freq_blob binary, norm_blob binary, "
-    "imp_freqs array<int>, imp_norms array<int>, pos_blob binary"
+    "imp_freqs array<int>, imp_norms array<int>, pos_blob binary, "
+    "off_blob binary"
 )
 
 _FALLBACK_RE = None  # built lazily (scans the unicode table once/process)
@@ -111,7 +112,8 @@ def _vbyte_positions(pos) -> bytes:
 
 
 def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
-                        analyzer: StandardAnalyzer, with_pos: bool):
+                        analyzer: StandardAnalyzer, with_pos: bool,
+                        with_off: bool = False):
     """Vectorized single-field inversion of one Arrow batch.
 
     → None, or dict of parallel arrays (doc_id, term, freq, norm
@@ -134,9 +136,11 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
                      dtype=bool, count=len(arr))
     parts = []
     if not fb.all():
-        parts.append(_invert_vec(doc_ids[~fb], arr[~fb], analyzer, with_pos))
+        parts.append(_invert_vec(doc_ids[~fb], arr[~fb], analyzer, with_pos,
+                                 with_off))
     if fb.any():
-        parts.append(_invert_exact(doc_ids[fb], arr[fb], analyzer, with_pos))
+        parts.append(_invert_exact(doc_ids[fb], arr[fb], analyzer, with_pos,
+                                   with_off))
     parts = [p for p in parts if p is not None]
     if not parts:
         return None
@@ -146,20 +150,43 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
            for k in ("doc_id", "term", "freq", "norm")}
     if with_pos:
         out["pos_blob"] = parts[0]["pos_blob"] + parts[1]["pos_blob"]
+    if with_off:
+        out["off_blob"] = parts[0]["off_blob"] + parts[1]["off_blob"]
     return out
 
 
-def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
-    """Batch inversion of fallback-free rows (the web-text fast path)."""
+def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
+                with_off: bool = False):
+    """Batch inversion of fallback-free rows (the web-text fast path).
+    Offsets mode swaps findall for finditer (same C regex engine) to
+    carry each token's (start, end) — fallback-free rows lowercase 1:1,
+    so offsets on the lowered text index the original exactly."""
     if len(arr) == 0:
         return None
-    findall = _TOKEN_RE.findall
-    lists = [findall(t.lower()) for t in arr]
-    counts = np.fromiter(map(len, lists), dtype=np.int64, count=len(lists))
-    total = int(counts.sum())
-    if total == 0:
-        return None
-    flat = list(chain.from_iterable(lists))
+    flat_s = flat_e = None
+    if with_off:
+        spans = [[(m.group(0), m.start(), m.end())
+                  for m in _TOKEN_RE.finditer(t.lower())] for t in arr]
+        lists = [[x[0] for x in sp] for sp in spans]
+        counts = np.fromiter(map(len, lists), dtype=np.int64,
+                             count=len(lists))
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        flat = [x[0] for sp in spans for x in sp]
+        flat_s = np.fromiter((x[1] for sp in spans for x in sp),
+                             dtype=np.int64, count=total)
+        flat_e = np.fromiter((x[2] for sp in spans for x in sp),
+                             dtype=np.int64, count=total)
+    else:
+        findall = _TOKEN_RE.findall
+        lists = [findall(t.lower()) for t in arr]
+        counts = np.fromiter(map(len, lists), dtype=np.int64,
+                             count=len(lists))
+        total = int(counts.sum())
+        if total == 0:
+            return None
+        flat = list(chain.from_iterable(lists))
     local = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
     cum0 = np.zeros(len(arr), dtype=np.int64)
     np.cumsum(counts[:-1], out=cum0[1:])
@@ -177,6 +204,8 @@ def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
     did_k = local[keep]
     term_k = flat[keep]
     pos_k = pos[keep]
+    if with_off:
+        s_k, e_k = flat_s[keep], flat_e[keep]
 
     dl = np.bincount(did_k, minlength=len(arr))
     nb = _NORM_LUT[np.minimum(dl, len(_NORM_LUT) - 1)].astype(np.int64)
@@ -203,15 +232,34 @@ def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
         buf, off = codec.vbyte_encode_batch(delta)
         out["pos_blob"] = [buf[off[s]:off[e]].tobytes()
                            for s, e in zip(run_starts, run_ends)]
+    if with_off:
+        # interleaved [Δstart, length] per occurrence; Δstart resets per
+        # (doc, term) run (first value absolute), mirroring pos streams
+        s_s, e_s = s_k[order], e_k[order]
+        ds = s_s.copy()
+        ds[1:] = s_s[1:] - s_s[:-1]
+        ds[run_starts] = s_s[run_starts]
+        inter = np.empty(2 * len(s_s), dtype=np.int64)
+        inter[0::2] = ds
+        inter[1::2] = e_s - s_s
+        obuf, ooff = codec.vbyte_encode_batch(inter)
+        out["off_blob"] = [obuf[ooff[2 * s]:ooff[2 * e]].tobytes()
+                           for s, e in zip(run_starts, run_ends)]
     return out
 
 
-def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
+def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
+                  with_off: bool = False):
     """Per-doc reference path for rows the batch path can't handle
     (mixed CJK scripts / exceptional lowercase)."""
-    rows_doc, rows_term, rows_freq, rows_norm, rows_pos = [], [], [], [], []
+    rows_doc, rows_term, rows_freq, rows_norm = [], [], [], []
+    rows_pos, rows_off = [], []
     for did, text in zip(np.asarray(doc_ids), arr):
-        tp = analyzer.term_positions(text or "")
+        if with_off:
+            occ = analyzer.term_occurrences(text or "")
+            tp = {t: [p for p, _, _ in v] for t, v in occ.items()}
+        else:
+            tp = analyzer.term_positions(text or "")
         if not tp:
             continue
         dl = sum(len(v) for v in tp.values())
@@ -224,6 +272,14 @@ def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
             rows_norm.append(nbyte)
             if with_pos:
                 rows_pos.append(_vbyte_positions(ps))
+            if with_off:
+                inter = []
+                prev = 0
+                for _, st, en in occ[term]:
+                    inter.append(st - prev)
+                    inter.append(en - st)
+                    prev = st
+                rows_off.append(_vbyte_values(inter))
     if not rows_doc:
         return None
     out = {
@@ -234,7 +290,20 @@ def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool):
     }
     if with_pos:
         out["pos_blob"] = rows_pos
+    if with_off:
+        out["off_blob"] = rows_off
     return out
+
+
+def _vbyte_values(vals) -> bytes:
+    """Plain VByte of a list of non-negative ints (no delta applied)."""
+    out = bytearray()
+    for d in vals:
+        while d > 0x7F:
+            out.append((d & 0x7F) | 0x80)
+            d >>= 7
+        out.append(d)
+    return bytes(out)
 
 
 @dataclass
@@ -247,6 +316,7 @@ class InvertedIndex:
     stats: dict            # doc_count, sum_ttf, sum_df, max_doc, grid, fields
     analyzer: StandardAnalyzer = field(default_factory=lambda: ENGLISH_ANALYZER)
     with_positions: bool = False
+    with_offsets: bool = False       # char offsets per occurrence stored
     raw: DataFrame | None = None     # persisted intermediate; release()-able
     timings: dict = field(default_factory=dict)   # per-stage build seconds
 
@@ -314,7 +384,8 @@ class IndexBuilder:
     def __init__(self, analyzer: StandardAnalyzer = ENGLISH_ANALYZER,
                  grid: int = 1 << 17, head_df: int = 4096,
                  salt_target: int = 4096, with_positions: bool = False,
-                 fields: tuple = (DEFAULT_FIELD,)):
+                 fields: tuple = (DEFAULT_FIELD,),
+                 with_offsets: bool = False):
         """grid: doc-range cell size blocks never cross — the query shard
         unit AND the skew bound (no term contributes more than `grid`
         postings to any pack task). head_df / salt_target are retained
@@ -327,7 +398,10 @@ class IndexBuilder:
         self.grid = grid
         self.head_df = head_df
         self.salt_target = salt_target
-        self.with_positions = with_positions
+        # offsets (IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+        # index/IndexOptions.java:25-53) imply positions
+        self.with_offsets = with_offsets
+        self.with_positions = with_positions or with_offsets
         self.fields = tuple(fields)
 
     # ------------------------------------------------------------------
@@ -339,6 +413,7 @@ class IndexBuilder:
         flds = self._resolve_fields(text_col, fields)
         analyzer = self.analyzer
         with_pos = self.with_positions
+        with_off = self.with_offsets
 
         def invert_batches(batches):
             for pdf in batches:
@@ -346,7 +421,7 @@ class IndexBuilder:
                 frames = []
                 for fld in flds:
                     arrs = invert_field_arrays(dids, pdf[fld], analyzer,
-                                               with_pos)
+                                               with_pos, with_off)
                     if arrs is None:
                         continue
                     n = len(arrs["doc_id"])
@@ -358,6 +433,8 @@ class IndexBuilder:
                         "norm": pd.Series(arrs["norm"], dtype="int32"),
                         "pos_blob": pd.Series(
                             arrs.get("pos_blob", [None] * n), dtype="object"),
+                        "off_blob": pd.Series(
+                            arrs.get("off_blob", [None] * n), dtype="object"),
                     }))
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
@@ -501,9 +578,10 @@ class IndexBuilder:
         # term) sort order still prune term lookups on disk.
         grid = self.grid
         with_pos = self.with_positions
+        with_off = self.with_offsets
 
         def pack(batches):
-            yield from pack_partition(batches, grid, with_pos)
+            yield from pack_partition(batches, grid, with_pos, with_off)
 
         postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                     .sortWithinPartitions("bucket", "field", "term", "doc_id")
@@ -513,7 +591,8 @@ class IndexBuilder:
         # pack/layout stage is lazy; callers time its materialization
         idx = InvertedIndex(postings=postings, terms=terms, norms=norms,
                             stats=stats, analyzer=self.analyzer,
-                            with_positions=self.with_positions, raw=raw,
+                            with_positions=self.with_positions,
+                            with_offsets=self.with_offsets, raw=raw,
                             timings=timings)
         return idx
 
@@ -545,7 +624,8 @@ def _rebatch(batches, min_rows: int = _PACK_MIN_ROWS):
                if len(hold) > 1 else hold[0])
 
 
-def pack_partition(batches, grid: int, with_pos: bool):
+def pack_partition(batches, grid: int, with_pos: bool,
+                   with_off: bool = False):
     """Pack a bucket-range partition of sorted raw postings into block rows.
 
     Input arrives sorted by (bucket, field, term, doc_id); every (bucket,
@@ -571,15 +651,16 @@ def pack_partition(batches, grid: int, with_pos: bool):
         buf = pdf.iloc[start_last:]
         head = pdf.iloc[:start_last]
         if len(head):
-            yield _pack_frame(head, grid, with_pos)
+            yield _pack_frame(head, grid, with_pos, with_off)
     if buf is not None and len(buf):
-        yield _pack_frame(buf, grid, with_pos)
+        yield _pack_frame(buf, grid, with_pos, with_off)
 
 
 _TAIL_TAG = bytes([codec._TAG_VBYTE])
 
 
-def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
+def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool,
+                with_off: bool = False) -> pd.DataFrame:
     """Vectorized run→block packing: doc deltas and VByte tails are
     computed for the whole frame in batch numpy passes; per-block Python
     is reduced to buffer slicing plus FOR/PFOR encodes for full blocks."""
@@ -591,6 +672,7 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
     freqs = pdf["freq"].to_numpy().astype(np.int64)
     norms_u8 = pdf["norm"].to_numpy().astype(np.uint8)
     poss = pdf["pos_blob"].to_numpy() if with_pos else None
+    offs = pdf["off_blob"].to_numpy() if with_off else None
 
     change = np.r_[True, (buckets[1:] != buckets[:-1])
                    | (terms_arr[1:] != terms_arr[:-1])
@@ -617,7 +699,7 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
 
     full = codec.BLOCK_SIZE
     doc_blobs, freq_blobs, norm_blobs = [], [], []
-    imp_f, imp_n, pos_blobs = [], [], []
+    imp_f, imp_n, pos_blobs, off_blobs = [], [], [], []
     for i in range(total_blocks):
         s, e = int(b_start[i]), int(b_end[i])
         if b_len[i] == full:
@@ -658,6 +740,10 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
             pos_blobs.append(b"".join(poss[s:e]))
         else:
             pos_blobs.append(None)
+        if with_off:
+            off_blobs.append(b"".join(offs[s:e]))
+        else:
+            off_blobs.append(None)
 
     return pd.DataFrame({
         "field": pd.Series(fields_arr[b_start], dtype="object"),
@@ -672,6 +758,7 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool) -> pd.DataFrame:
         "imp_freqs": pd.Series(imp_f, dtype="object"),
         "imp_norms": pd.Series(imp_n, dtype="object"),
         "pos_blob": pd.Series(pos_blobs, dtype="object"),
+        "off_blob": pd.Series(off_blobs, dtype="object"),
     })
 
 
@@ -694,6 +781,24 @@ def decode_positions_blob(pos_blob: bytes, freqs: np.ndarray) -> list[np.ndarray
         outs.append(np.cumsum(flat[off:off + f]))
         off += f
     return outs
+
+
+def decode_offsets_flat(off_blob: bytes, freqs: np.ndarray):
+    """(starts, ends) flat arrays for a block's packed offsets blob —
+    interleaved [Δstart, length] per occurrence, Δstart delta-from-zero
+    per doc stream (vectorized segmented cumsum, like positions)."""
+    f = np.asarray(freqs, dtype=np.int64)
+    total = int(f.sum())
+    flat = codec.vbyte_decode(bytes(off_blob), 2 * total)
+    if total == 0:
+        return flat, flat
+    ds, ln = flat[0::2], flat[1::2]
+    csum = np.cumsum(ds)
+    starts0 = np.zeros(len(f), dtype=np.int64)
+    np.cumsum(f[:-1], out=starts0[1:])
+    base = np.repeat(csum[starts0 - 1] * (starts0 > 0), f)
+    starts = csum - base
+    return starts, starts + ln
 
 
 def decode_positions_flat(pos_blob: bytes, freqs: np.ndarray) -> np.ndarray:

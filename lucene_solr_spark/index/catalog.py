@@ -146,6 +146,7 @@ def _params(builder: IndexBuilder) -> dict:
     return {"grid": builder.grid, "head_df": builder.head_df,
             "salt_target": builder.salt_target,
             "with_positions": builder.with_positions,
+            "with_offsets": getattr(builder, "with_offsets", False),
             "fields": list(builder.fields),
             "stop_words": sorted(builder.analyzer.stop_words),
             "max_token_length": builder.analyzer.max_token_length}
@@ -213,7 +214,13 @@ def load(spark: SparkSession, path: str,
     # files at row-group boundaries or coalesce small ones, either of
     # which could tear a bucket across partitions. One shuffle at load
     # time, amortized over every query against this generation.
-    postings = (spark.read.parquet(f"{path}/postings")
+    postings = spark.read.parquet(f"{path}/postings")
+    if "off_blob" not in postings.columns:
+        # pre-offsets generation: align to the current schema so unions
+        # (append) and the unpack paths keep working
+        postings = postings.withColumn("off_blob",
+                                       F.lit(None).cast("binary"))
+    postings = (postings
                 .repartitionByRange(
                     max(4, spark.sparkContext.defaultParallelism), "bucket")
                 .sortWithinPartitions("bucket", "field", "term", "block_id"))
@@ -223,6 +230,7 @@ def load(spark: SparkSession, path: str,
         norms=spark.read.parquet(f"{path}/norms"),
         stats=dict(manifest["stats"]),
         with_positions=manifest["params"]["with_positions"],
+        with_offsets=manifest["params"].get("with_offsets", False),
         **kwargs)
     if manifest.get("has_deletes"):
         import numpy as np

@@ -45,11 +45,11 @@ def _split_pos_blob(pos_blob: bytes, freqs: np.ndarray) -> list[bytes]:
     return [b[s:e] for s, e in zip(starts, stops)]
 
 
-def _unpack_blocks(batches, with_pos: bool):
+def _unpack_blocks(batches, with_pos: bool, with_off: bool = False):
     """postings block rows → raw posting rows (the pack inverse)."""
     for pdf in batches:
         out_doc, out_field, out_term = [], [], []
-        out_freq, out_norm, out_pos = [], [], []
+        out_freq, out_norm, out_pos, out_off = [], [], [], []
         for row in pdf.itertuples(index=False):
             r = row._asdict()
             docs, freqs, norms = decode_postings_block(r)
@@ -63,6 +63,11 @@ def _unpack_blocks(batches, with_pos: bool):
                 out_pos.extend(_split_pos_blob(r["pos_blob"], freqs))
             else:
                 out_pos.extend([None] * n)
+            if with_off:
+                # each doc's offsets stream holds 2*freq VByte values
+                out_off.extend(_split_pos_blob(r["off_blob"], 2 * freqs))
+            else:
+                out_off.extend([None] * n)
         if not out_doc:
             continue
         yield pd.DataFrame({
@@ -72,19 +77,21 @@ def _unpack_blocks(batches, with_pos: bool):
             "freq": np.concatenate(out_freq).astype("int32"),
             "norm": np.concatenate(out_norm).astype("int32"),
             "pos_blob": pd.Series(out_pos, dtype="object"),
+            "off_blob": pd.Series(out_off, dtype="object"),
         })
 
 
 def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     """Rewrite postings into fresh 128-aligned blocks (layout-only)."""
     with_pos = idx.with_positions
+    with_off = getattr(idx, "with_offsets", False)
     grid = idx.stats["grid"]
     raw = idx.postings.mapInPandas(
-        lambda it: _unpack_blocks(it, with_pos), schema=RAW_SCHEMA)
+        lambda it: _unpack_blocks(it, with_pos, with_off), schema=RAW_SCHEMA)
     n_part = _shuffle_n(spark)
 
     def pack(batches):
-        yield from pack_partition(batches, grid, with_pos)
+        yield from pack_partition(batches, grid, with_pos, with_off)
 
     postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                 .repartitionByRange(n_part, "bucket")
@@ -92,7 +99,7 @@ def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
                 .mapInPandas(pack, schema=POSTINGS_SCHEMA))
     out = InvertedIndex(postings=postings, terms=idx.terms, norms=idx.norms,
                         stats=dict(idx.stats), analyzer=idx.analyzer,
-                        with_positions=with_pos)
+                        with_positions=with_pos, with_offsets=with_off)
     # tombstones survive compaction unchanged (doc_ids are stable): a
     # layout-only rewrite must not resurrect deleted docs — the
     # 'every query result preserved' contract includes liveDocs

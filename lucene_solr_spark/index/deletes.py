@@ -80,9 +80,10 @@ def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     if dels is None:
         return idx
     with_pos = idx.with_positions
+    with_off = getattr(idx, "with_offsets", False)
     grid = idx.stats["grid"]
     raw = idx.postings.mapInPandas(
-        lambda it: _unpack_blocks(it, with_pos), schema=RAW_SCHEMA)
+        lambda it: _unpack_blocks(it, with_pos, with_off), schema=RAW_SCHEMA)
     raw = raw.join(F.broadcast(dels), "doc_id", "left_anti").persist()
 
     terms = (raw.groupBy("field", "term")
@@ -124,7 +125,7 @@ def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     n_part = _shuffle_n(spark)
 
     def pack(batches):
-        yield from pack_partition(batches, grid, with_pos)
+        yield from pack_partition(batches, grid, with_pos, with_off)
 
     postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                 .repartitionByRange(n_part, "bucket")
@@ -132,4 +133,5 @@ def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
                 .mapInPandas(pack, schema=POSTINGS_SCHEMA))
     return InvertedIndex(postings=postings, terms=terms, norms=norms,
                          stats=stats, analyzer=idx.analyzer,
-                         with_positions=with_pos, raw=raw)
+                         with_positions=with_pos, with_offsets=with_off,
+                         raw=raw)

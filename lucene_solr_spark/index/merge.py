@@ -86,6 +86,8 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
         raise ValueError("append must use the same doc-grid as the base index")
     if builder.with_positions != idx.with_positions:
         raise ValueError("append must match the base index's positions mode")
+    if builder.with_offsets != getattr(idx, "with_offsets", False):
+        raise ValueError("append must match the base index's offsets mode")
     delta = builder.build(spark, new_docs, doc_id_col, text_col)
 
     n_part = max(4, spark.sparkContext.defaultParallelism)
@@ -105,7 +107,9 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
     # be released any earlier than the merged index itself)
     out = InvertedIndex(postings=postings, terms=terms, norms=norms,
                         stats=stats, analyzer=builder.analyzer,
-                        with_positions=idx.with_positions, raw=delta.raw)
+                        with_positions=idx.with_positions,
+                        with_offsets=getattr(idx, "with_offsets", False),
+                        raw=delta.raw)
     # base-index tombstones carry over: appended docs have ids above
     # max_doc, so the base's liveDocs set stays valid verbatim — an
     # append must not resurrect deleted docs

@@ -267,6 +267,7 @@ class Searcher:
         blocks = self.index.postings.filter(_key_filter(live))
         if not self.index.with_positions:
             blocks = blocks.drop("pos_blob")
+        blocks = blocks.drop("off_blob")   # kernels never read offsets
 
         def kernel(batches):
             yield from _bucket_kernel(batches, spec)
@@ -310,6 +311,7 @@ class Searcher:
             blocks = self.index.postings.filter(_key_filter(live_union))
             if not self.index.with_positions:
                 blocks = blocks.drop("pos_blob")
+            blocks = blocks.drop("off_blob")
 
             def kernel(batches):
                 yield from _bucket_kernel_multi(batches, specs)

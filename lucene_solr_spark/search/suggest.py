@@ -52,6 +52,66 @@ def spellcheck(terms_df: DataFrame, word: str, max_edits: int = 2,
             .limit(k).select("term", "distance", "df"))
 
 
+def highlight_by_offsets(searcher, terms: list[str],
+                         doc_texts: dict[int, str],
+                         field: str = DEFAULT_FIELD, radius: int = 30,
+                         pre: str = "<b>", post: str = "</b>") -> dict:
+    """Token-accurate highlighting from INDEXED character offsets — the
+    real highlighter's input (`index/IndexOptions.java:25-53`
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS; the unified highlighter's
+    offsets-from-postings mode). Requires an index built with
+    ``IndexBuilder(with_offsets=True)``.
+
+    Unlike :func:`highlight` (substring windows), spans come from the
+    analyzer's OffsetAttribute as stored in the postings, so querying
+    ``cat`` never tags the ``cat`` inside ``category``.
+
+    → {doc_id: snippet or None}. Driver-side per-doc surface (like
+    explain): the postings fetch is a pushed-down (field, term) scan
+    restricted to the requested terms."""
+    import numpy as np
+
+    from ..index.builder import decode_offsets_flat, decode_postings_block
+    from .executor import _key_filter
+
+    if not getattr(searcher.index, "with_offsets", False):
+        raise ValueError(
+            "highlight_by_offsets requires IndexBuilder(with_offsets=True)")
+    keys = [(field, t) for t in terms]
+    rows = (searcher.index.postings.filter(_key_filter(keys))
+            .select("block_id", "doc_count", "doc_blob", "freq_blob",
+                    "norm_blob", "off_blob").collect())
+    docset = set(int(d) for d in doc_texts)
+    spans: dict[int, list] = {d: [] for d in docset}
+    for r in rows:
+        docs, freqs, _ = decode_postings_block(r)
+        if not docset.intersection(int(d) for d in docs):
+            continue
+        starts, ends = decode_offsets_flat(r["off_blob"], freqs)
+        flat_doc = np.repeat(docs, freqs)
+        for d, s, e in zip(flat_doc, starts, ends):
+            if int(d) in docset:
+                spans[int(d)].append((int(s), int(e)))
+    out: dict[int, str | None] = {}
+    for d, text in doc_texts.items():
+        sp = sorted(set(spans[int(d)]))
+        if not sp:
+            out[int(d)] = None
+            continue
+        s0, e0 = sp[0]
+        lo, hi = max(0, s0 - radius), min(len(text), e0 + radius)
+        pieces, cur = [], lo
+        for s, e in sp:
+            if s < lo or e > hi:
+                continue
+            pieces.append(text[cur:s])
+            pieces.append(pre + text[s:e] + post)
+            cur = e
+        pieces.append(text[cur:hi])
+        out[int(d)] = "".join(pieces)
+    return out
+
+
 class SpellChecker:
     """Candidate-pruned spellcheck — the `DirectSpellChecker.java:49`
     posture (Levenshtein automaton ∩ FST touches a tiny dictionary

@@ -127,6 +127,8 @@ def load_segments(spark: SparkSession, path: str,
     for s in segs:
         d = f"{path}/{s['name']}"
         p = spark.read.parquet(f"{d}/postings")
+        if "off_blob" not in p.columns:    # pre-offsets segment
+            p = p.withColumn("off_blob", F.lit(None).cast("binary"))
         t = spark.read.parquet(f"{d}/terms")
         n = spark.read.parquet(f"{d}/norms")
         post = p if post is None else post.unionByName(p)
@@ -141,6 +143,56 @@ def load_segments(spark: SparkSession, path: str,
                   .sortWithinPartitions("bucket", "field", "term", "block_id")),
         terms=terms, norms=norms, stats=stats, analyzer=analyzer,
         with_positions=with_positions)
+
+
+def maintain_segments(spark: SparkSession, path: str,
+                      analyzer: StandardAnalyzer,
+                      max_blocks_per_run: int = 4) -> bool:
+    """Auto-compaction trigger for the NRT segment list — the background
+    TieredMergePolicy role (`index/TieredMergePolicy.java:88-103` chooses
+    merges when segment counts pass a tier threshold; here the trigger is
+    ``needs_compaction``'s fragmented-run test over the merged view).
+
+    When repeated micro-batches have fragmented any (field, term,
+    bucket) run into more short blocks than a packed layout needs, the
+    whole committed set is rewritten as ONE consolidated segment
+    (``compact`` layout pass — logical postings unchanged) and
+    SEGMENTS.json swaps atomically to point at it. Readers holding the
+    old view keep working: old segment directories are never touched
+    (delete them out-of-band once no reader needs that point in time).
+
+    Call it from the ingestion loop after every N batches, or wire it as
+    the foreachBatch epilogue. Returns True iff a merge ran."""
+    from ..index.compact import compact, needs_compaction
+
+    seglist = _read_segments(path)
+    if len(seglist["segments"]) <= 1:
+        return False
+    idx = load_segments(spark, path, analyzer)
+    if not needs_compaction(idx, max_blocks_per_run):
+        return False
+    segs = seglist["segments"]
+    lo = min(s["min_doc"] for s in segs)
+    hi = max(s["max_doc"] for s in segs)
+    n = sum(s["n_docs"] for s in segs)
+    last_batch = max(s["batch_id"] for s in segs)
+    name = f"merged-{last_batch:06d}"
+    seg_dir = f"{path}/{name}"
+    t0 = time.perf_counter()
+    comp = compact(spark, idx)
+    comp.postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
+    idx.terms.write.mode("overwrite").parquet(f"{seg_dir}/terms")
+    idx.norms.write.mode("overwrite").parquet(f"{seg_dir}/norms")
+    entry = {"name": name, "batch_id": last_batch, "min_doc": lo,
+             "max_doc": hi, "n_docs": n, "stats": idx.stats,
+             "with_positions": idx.with_positions,
+             "stop_words": sorted(analyzer.stop_words),
+             "max_token_length": analyzer.max_token_length,
+             "merged_from": [s["name"] for s in segs],
+             "build_sec": round(time.perf_counter() - t0, 3)}
+    _write_segments(path, {"format_version": seglist["format_version"],
+                           "segments": [entry]})
+    return True
 
 
 def stream_index(spark: SparkSession, input_path: str, index_path: str,

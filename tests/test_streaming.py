@@ -77,3 +77,38 @@ def test_commit_segment_idempotent_and_overlap(spark, docs, tmp_path_factory):
     # empty batch is a no-op
     assert nrt.commit_segment(spark, docs.filter(F.col("doc_id") < 0),
                               _builder(), path, batch_id=2) is None
+
+
+def test_maintain_segments_auto_compaction(spark, docs, tmp_path_factory):
+    """TieredMergePolicy-role trigger: after enough fragmented
+    micro-batch segments, maintain_segments consolidates the list into
+    ONE merged segment with identical query results; a second call is a
+    no-op (the merged layout passes needs_compaction)."""
+    path = str(tmp_path_factory.mktemp("nrt_maint"))
+    b = IndexBuilder(ENGLISH_ANALYZER, grid=128, with_positions=True)
+    sub = docs.limit(300).collect()
+    # 6 tiny segments over the same vocabulary → fragmented runs
+    for i in range(6):
+        batch = spark.createDataFrame(sub[i * 50:(i + 1) * 50],
+                                      docs.schema)
+        nrt.commit_segment(spark, batch, b, path, i)
+    before = nrt.load_segments(spark, path, ENGLISH_ANALYZER)
+    s0 = Searcher(spark, before)
+    q = parse_query("spark merge", ENGLISH_ANALYZER)
+    want = s0.top_k(q, k=10)
+
+    # 6×50-doc segments over grid=128 → ~3 blocks per common-term run in
+    # bucket 0; trigger at >2 blocks/run for the test corpus size
+    assert nrt.maintain_segments(spark, path, ENGLISH_ANALYZER,
+                                 max_blocks_per_run=2) is True
+    seglist = nrt._read_segments(path)
+    assert len(seglist["segments"]) == 1
+    assert seglist["segments"][0]["name"].startswith("merged-")
+    assert seglist["segments"][0]["n_docs"] == 300
+    after = nrt.load_segments(spark, path, ENGLISH_ANALYZER)
+    got = Searcher(spark, after).top_k(q, k=10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    # idempotent: a packed single segment needs no further merging
+    assert nrt.maintain_segments(spark, path, ENGLISH_ANALYZER,
+                                 max_blocks_per_run=2) is False
