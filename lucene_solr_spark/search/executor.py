@@ -36,7 +36,18 @@ Clause kinds the kernel scores:
            contributing sloppyWeight = 1/(1+matchLength) to the phrase
            freq — the reference's sloppy weight formula; the matcher is
            fully vectorized, no per-doc Python)
-  dismax   DisjunctionMaxQuery.java:45,51 — max + tie×(sum−max)
+  span     ordered SpanNearQuery (NearSpansOrdered.java:36 role):
+           greedy first-term-anchored chain to each later term's first
+           occurrence after the previous link, matchLength ≤ slop
+  dismax   DisjunctionMaxQuery.java:45,51 — max + tie×(sum−max), over
+           ARBITRARY disjuncts (term/phrase/span/nested boolean)
+
+Plans come in two shapes: the FLAT clause-keyed plan (one nesting
+level — per-block skipping, the fast common path) and the RECURSIVE
+tree plan for arbitrary boolean composition (`build_tree`, evaluated
+as nested mask/score reduction with bucket-level pruning); both emit
+per-PARTITION top-k heaps flushed once at iterator exhaustion, so the
+driver merge reads at most partitions × k rows.
 
 Scoring modes:
   f32 — Lucene-exact float32 (BM25Similarity.java:222-235 order of ops)
