@@ -86,11 +86,26 @@ _UB_EPS = 1e-6
 
 
 class Searcher:
+    """similarity: "bm25" (default; the float32 rank-identity path),
+    "classic" (TFIDFSimilarity/ClassicSimilarity.java:39-63 — score =
+    (ln((docCount+1)/(df+1))+1) × √freq × boost / √dl), or
+    "lmdirichlet" (LMDirichletSimilarity.java:73-77 — boost ×
+    (ln(1 + freq/(μ·cp)) + ln(μ/(dl+μ))) clamped at 0, cp =
+    (ttf+1)/(sumTotalTermFreq+1), LMSimilarity.java:155). Non-BM25
+    similarities run in f64 mode over TERM clauses and their boolean
+    compositions (the pluggable-Similarity surface); phrase/span leaves
+    remain BM25-only."""
+
     def __init__(self, spark: SparkSession, index: InvertedIndex,
-                 k1: float = 1.2, b: float = 0.75):
+                 k1: float = 1.2, b: float = 0.75,
+                 similarity: str = "bm25", mu: float = 2000.0):
+        if similarity not in ("bm25", "classic", "lmdirichlet"):
+            raise ValueError(f"unknown similarity {similarity!r}")
         self.spark = spark
         self.index = index
         self.k1, self.b = k1, b
+        self.sim = similarity
+        self.mu = float(mu)
         self.stats = index.stats
         # driver-side stats cache keyed by (field, term): the index is
         # immutable, queries repeat terms, and each miss costs a (tiny but
@@ -191,9 +206,18 @@ class Searcher:
         weights = {}
         for key in all_keys:
             if key in st:
-                weights[key] = {"df": st[key][0],
-                                "idf32": float(idf32(key)),
-                                "idf64": idf64(key)}
+                f = key[0]
+                n = fstats[f]["doc_count"]
+                df, ttf = st[key]
+                weights[key] = {
+                    "df": df,
+                    "idf32": float(idf32(key)),
+                    "idf64": idf64(key),
+                    # ClassicSimilarity.idf (ClassicSimilarity.java:61-63)
+                    "cidf64": math.log((n + 1) / (df + 1.0)) + 1.0,
+                    # LM collection probability (LMSimilarity.java:155)
+                    "cp64": (ttf + 1.0) / (fstats[f]["sum_ttf"] + 1.0),
+                }
         return st, cache32, avgdl64, weights
 
     def _spec_for_plan(self, plan, mode, k, prune, collect_all=False):
@@ -215,7 +239,7 @@ class Searcher:
         live_clauses = []
         n_should_alive = 0
         for c in clauses:
-            ann = _annotate_leaf(c, st, weights)
+            ann = _annotate_leaf(c, st, weights, sim=self.sim)
             if ann is not None:
                 live_clauses.append(ann)
                 if ann["group"] is not None:
@@ -232,7 +256,7 @@ class Searcher:
         # UNION of its disjuncts' matches — previously silently dropped
         live_mn = []
         for c in must_not:
-            ann = _annotate_leaf(c, st, weights)
+            ann = _annotate_leaf(c, st, weights, sim=self.sim)
             if ann is not None:
                 live_mn.append(ann)
 
@@ -243,7 +267,8 @@ class Searcher:
             deleted=deleted,
             cache32={f: c for f, c in cache32.items()},
             avgdl64=avgdl64,
-            k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
+            k1=self.k1, b=self.b, sim=self.sim, mu=self.mu,
+            grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
         )
@@ -257,11 +282,12 @@ class Searcher:
         root = plan["tree"]
         all_keys = list(dict.fromkeys(_tree_keys(root)))
         st, cache32, avgdl64, weights = self._stat_env(all_keys)
-        root = _annotate_tree(root, st, weights)
+        root = _annotate_tree(root, st, weights, sim=self.sim)
         deleted = getattr(self.index, "deleted_array", None)
         spec = dict(
             tree=root, deleted=deleted, cache32=cache32, avgdl64=avgdl64,
-            k1=self.k1, b=self.b, grid=self.stats["grid"], mode=mode, k=k,
+            k1=self.k1, b=self.b, sim=self.sim, mu=self.mu,
+            grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
         )
@@ -299,6 +325,8 @@ class Searcher:
         and thresholds. → list of pandas DataFrames (rank, doc_id,
         score), parallel to `queries`. The throughput mode for query
         logs (the benchmark harness shape, ReadTask.java:54)."""
+        if self.sim != "bm25":
+            mode = "f64"      # non-BM25 similarities are f64-only
         empty = pd.DataFrame({"rank": [], "doc_id": [], "score": []})
         results: dict[int, pd.DataFrame] = {}
         specs, live_union, qids = [], [], []
@@ -347,6 +375,8 @@ class Searcher:
 
     def top_k(self, query, k: int = 10, mode: str = "f32", prune: bool = True):
         """→ pandas DataFrame (rank, doc_id, score) — TopDocs.merge analog."""
+        if self.sim != "bm25":
+            mode = "f64"      # non-BM25 similarities are f64-only
         plan = self._plan(query)
         if plan is None:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
@@ -375,6 +405,8 @@ class Searcher:
     def score_all(self, query, mode: str = "f64") -> DataFrame:
         """All matching docs with scores, as a Spark DataFrame (exhaustive,
         ScoreMode.COMPLETE analog). Used by the DuckDB-oracle queries."""
+        if self.sim != "bm25":
+            mode = "f64"      # non-BM25 similarities are f64-only
         plan = self._plan(query)
         if plan is None:
             return self.spark.createDataFrame([], KERNEL_SCHEMA)
@@ -601,12 +633,14 @@ def _tree_keys(node) -> list:
     return out
 
 
-def _annotate_leaf(c, st, weights, outer_boost: float = 1.0):
+def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
+                   sim: str = "bm25"):
     """Attach f32/f64 weights to a term/phrase/dismax leaf, or return
     None if a required key has df == 0 (the clause cannot match). An
     outer boost folds multiplicatively into the weight — exact, because
     scores are linear in the weight and dismax is positively
-    homogeneous (BoostQuery.java:34)."""
+    homogeneous (BoostQuery.java:34). Non-BM25 similarities carry their
+    own per-key values (classic idf / LM collection probability)."""
     kind = c["kind"]
     if kind == "term":
         key = c["key"]
@@ -614,10 +648,17 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0):
             return None
         b = c["boost"] * outer_boost
         w = weights[key]
+        if sim == "classic":
+            return dict(c, w32=None, w64=b * w["cidf64"])
+        if sim == "lmdirichlet":
+            return dict(c, w32=None, w64=b, cp64=w["cp64"])
         return dict(c, w32=float(np.float32(
             np.float32(b) * np.float32(w["idf32"]))),
             w64=b * w["idf64"])
     if kind in ("phrase", "span"):
+        if sim != "bm25":
+            raise ValueError(
+                "phrase/span clauses support the BM25 similarity only")
         keys = c["keys"]
         if not all(k in st for k in keys):
             return None
@@ -629,7 +670,8 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0):
     # dismax — the outer boost folds into each disjunct's weight
     children = []
     for ch in c["children"]:
-        ann = _annotate_leaf(ch, st, weights, c.get("boost", 1.0) * outer_boost)
+        ann = _annotate_leaf(ch, st, weights,
+                             c.get("boost", 1.0) * outer_boost, sim)
         if ann is not None:
             children.append(ann)
     if not children:
@@ -637,36 +679,37 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0):
     return dict(c, children=children)
 
 
-def _annotate_tree(node, st, weights):
+def _annotate_tree(node, st, weights, sim: str = "bm25"):
     """Weight-annotate a tree plan; → annotated node or None (the node
     cannot match: a required child is dead, or msm exceeds the live
     SHOULD count — the stats-level analog of the rewrite rules)."""
     kind = node["kind"]
     if kind in ("term", "phrase", "span"):
-        return _annotate_leaf(node, st, weights)
+        return _annotate_leaf(node, st, weights, sim=sim)
     if kind == "dismax":
-        kids = [_annotate_tree(ch, st, weights) for ch in node["children"]]
+        kids = [_annotate_tree(ch, st, weights, sim)
+                for ch in node["children"]]
         kids = [x for x in kids if x is not None]
         if not kids:
             return None
         return dict(node, children=kids)
     must, filt, should, mn = [], [], [], []
     for ch in node["must"]:
-        a = _annotate_tree(ch, st, weights)
+        a = _annotate_tree(ch, st, weights, sim)
         if a is None:
             return None
         must.append(a)
     for ch in node["filter"]:
-        a = _annotate_tree(ch, st, weights)
+        a = _annotate_tree(ch, st, weights, sim)
         if a is None:
             return None
         filt.append(a)
     for ch in node["should"]:
-        a = _annotate_tree(ch, st, weights)
+        a = _annotate_tree(ch, st, weights, sim)
         if a is not None:
             should.append(a)
     for ch in node["must_not"]:
-        a = _annotate_tree(ch, st, weights)
+        a = _annotate_tree(ch, st, weights, sim)
         if a is not None:
             mn.append(a)
     if not must and not filt and not should:
@@ -1165,8 +1208,27 @@ def _term_w(c, spec, dtype):
     return np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
 
 
-def _score_freqs(freqs, norms, w, field, spec, dtype):
-    """BM25 on decoded (freq, norm byte) arrays with clause weight w."""
+def _score_freqs(freqs, norms, w, field, spec, dtype, cp=None):
+    """Similarity scoring on decoded (freq, norm byte) arrays with
+    clause weight w. BM25 in f32 (Lucene-exact order) or f64; classic
+    TF-IDF and LMDirichlet in f64 (doc length = decoded norm byte,
+    exactly the SimilarityBase norm table)."""
+    sim = spec.get("sim", "bm25")
+    if sim != "bm25":
+        if dtype is np.float32:
+            raise ValueError(
+                f"similarity {sim!r} supports f64 mode only")
+        dl = LENGTH_TABLE[np.asarray(norms, dtype=np.int64)
+                          & 0xFF].astype(np.float64)
+        f = np.asarray(freqs, dtype=np.float64)
+        if sim == "classic":
+            # tf(f)=sqrt(f) × queryWeight × 1/sqrt(dl)
+            # (TFIDFSimilarity.java:562-566, ClassicSimilarity.java:39-47)
+            return w * np.sqrt(f) / np.sqrt(dl)
+        mu = spec["mu"]
+        # LMDirichletSimilarity.java:73-77, clamped at 0
+        sc = w * (np.log(1.0 + f / (mu * cp)) + np.log(mu / (dl + mu)))
+        return np.maximum(sc, 0.0)
     if dtype is np.float32:
         w = np.float32(w)
         ni = spec["cache32"][field][np.asarray(norms, dtype=np.int64) & 0xFF]
@@ -1178,12 +1240,12 @@ def _score_freqs(freqs, norms, w, field, spec, dtype):
     return w * f / (f + k1 * (1.0 - b + b * dl / spec["avgdl64"][field]))
 
 
-def _max_impact(imp_freqs, imp_norms, w, field, spec, dtype):
+def _max_impact(imp_freqs, imp_norms, w, field, spec, dtype, cp=None):
     if len(imp_freqs) == 0:
         return 0.0
     s = _score_freqs(np.asarray(imp_freqs, dtype=np.int64),
                      np.asarray(imp_norms, dtype=np.int64),
-                     w, field, spec, dtype)
+                     w, field, spec, dtype, cp=cp)
     return float(np.max(s))
 
 
@@ -1205,7 +1267,8 @@ def _leaf_ub(c, data: _BucketData, spec, dtype) -> float:
         w = _term_w(c, spec, dtype)
         m = 0.0
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
-            m = max(m, _max_impact(fr, no, w, c["key"][0], spec, dtype))
+            m = max(m, _max_impact(fr, no, w, c["key"][0], spec, dtype,
+                                   cp=c.get("cp64")))
         return m
     if c["kind"] in ("phrase", "span"):
         if not _clause_present(c, data):
@@ -1245,12 +1308,13 @@ def _eval_term(c, data: _BucketData, spec, dtype, skip=False,
         for row in g.itertuples(index=False):
             r = row._asdict()
             bm = _max_impact(r["imp_freqs"], r["imp_norms"], w, field,
-                             spec, dtype)
+                             spec, dtype, cp=c.get("cp64"))
             if (bm + ub_other) * (1.0 + _UB_EPS) + _UB_EPS < threshold:
                 continue
             d, f, n = decode_postings_block(r)
             idx_l.append(d - data.off)
-            s_l.append(_score_freqs(f, n, w, field, spec, dtype))
+            s_l.append(_score_freqs(f, n, w, field, spec, dtype,
+                                    cp=c.get("cp64")))
         if not idx_l:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
         return np.concatenate(idx_l), np.concatenate(s_l)
@@ -1258,7 +1322,8 @@ def _eval_term(c, data: _BucketData, spec, dtype, skip=False,
     if d is None:
         return None
     docs, freqs, norms = d
-    return docs - data.off, _score_freqs(freqs, norms, w, field, spec, dtype)
+    return docs - data.off, _score_freqs(freqs, norms, w, field, spec, dtype,
+                                         cp=c.get("cp64"))
 
 
 _POS_SHIFT = np.int64(33)

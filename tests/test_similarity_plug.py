@@ -1,0 +1,162 @@
+"""Pluggable similarities — Classic TF-IDF and LMDirichlet vs an
+in-test numpy oracle.
+
+The reference makes scoring pluggable per-searcher
+(`search/IndexSearcher.java:310` setSimilarity;
+`search/similarities/ClassicSimilarity.java:39-63`,
+`search/similarities/LMDirichletSimilarity.java:73-77`,
+`search/similarities/LMSimilarity.java:150-158`). Our engine runs
+non-BM25 similarities in f64 over TERM clauses and their boolean
+compositions; doc length is the decoded norm byte (the SmallFloat
+table), exactly as SimilarityBase reads it. The oracle here recomputes
+both formulas directly from the OracleIndex postings:
+
+  classic:      score = boost · (ln((N+1)/(df+1)) + 1) · √freq / √dl
+  lmdirichlet:  score = max(0, boost · (ln(1 + freq/(μ·cp))
+                                        + ln(μ/(dl+μ))))
+                cp = (ttf+1)/(sumTotalTermFreq+1)
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER
+from lucene_solr_spark.functions.smallfloat import LENGTH_TABLE
+from lucene_solr_spark.index.builder import IndexBuilder
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search import Searcher, parse_query
+from lucene_solr_spark.search.ast import (BooleanQuery, Clause, Occur,
+                                          PhraseQuery, TermQuery)
+
+from conftest import SF_DIR
+
+K = 10
+MU = 2000.0
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas()
+    oracle = OracleIndex(ENGLISH_ANALYZER)
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        oracle.add(int(d), t)
+    builder = IndexBuilder(ENGLISH_ANALYZER, grid=64, head_df=50,
+                           salt_target=64, with_positions=True)
+    idx = builder.build(spark, docs).cache()
+    return docs, oracle, idx
+
+
+def _dl(oracle, field, d):
+    """Doc length as the engine sees it: decoded norm byte."""
+    return float(LENGTH_TABLE[oracle.norms[field][d] & 0xFF])
+
+
+def _classic_scores(oracle, term, boost=1.0, field="text"):
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    n = oracle.field_doc_count[field]
+    idf = math.log((n + 1) / (len(plist) + 1.0)) + 1.0
+    return {d: boost * idf * math.sqrt(f) / math.sqrt(_dl(oracle, field, d))
+            for d, f in plist.items()}
+
+
+def _lm_scores(oracle, term, boost=1.0, field="text", mu=MU):
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    ttf = sum(plist.values())
+    cp = (ttf + 1.0) / (oracle.field_sum_ttf[field] + 1.0)
+    out = {}
+    for d, f in plist.items():
+        dl = _dl(oracle, field, d)
+        s = boost * (math.log(1.0 + f / (mu * cp)) + math.log(mu / (dl + mu)))
+        out[d] = max(s, 0.0)
+    return out
+
+
+def _top_terms(oracle, n=6):
+    post = oracle.postings["text"]
+    return sorted(post, key=lambda t: (-len(post[t]), t))[:n]
+
+
+def _expect_topk(acc, k=K):
+    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return items[:k]
+
+
+def _check(pdf, expect):
+    assert list(pdf["doc_id"].astype(int)) == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        np.asarray(pdf["score"], dtype=np.float64),
+        np.array([s for _, s in expect]), rtol=1e-12)
+
+
+def test_classic_single_term(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="classic")
+    t = _top_terms(oracle)[0]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_classic_scores(oracle, t)))
+
+
+def test_lmdirichlet_single_term(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="lmdirichlet", mu=MU)
+    t = _top_terms(oracle)[2]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_lm_scores(oracle, t)))
+
+
+@pytest.mark.parametrize("sim,fn", [("classic", _classic_scores),
+                                    ("lmdirichlet", _lm_scores)])
+def test_boolean_composition(spark, corpus, sim, fn):
+    """MUST t0 SHOULD t1 t2 — scores sum across clauses; matches are the
+    MUST set (ReqOptSumScorer), identical boolean semantics to BM25."""
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity=sim)
+    t0, t1, t2 = _top_terms(oracle)[:3]
+    q = BooleanQuery((Clause(Occur.MUST, TermQuery(t0)),
+                      Clause(Occur.SHOULD, TermQuery(t1)),
+                      Clause(Occur.SHOULD, TermQuery(t2))))
+    per = [fn(oracle, t) for t in (t0, t1, t2)]
+    acc = {d: per[0][d] + per[1].get(d, 0.0) + per[2].get(d, 0.0)
+           for d in per[0]}
+    _check(s.top_k(q, k=K), _expect_topk(acc))
+
+
+def test_classic_boost_and_parse(spark, corpus):
+    """Boost folds multiplicatively; parser-built queries work too."""
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="classic")
+    t = _top_terms(oracle)[1]
+    pdf = s.top_k(parse_query(f"{t}^2.5", ENGLISH_ANALYZER), k=K)
+    _check(pdf, _expect_topk(_classic_scores(oracle, t, boost=2.5)))
+
+
+def test_lm_scores_nonnegative(spark, corpus):
+    """LMDirichlet clamps at 0 (LMDirichletSimilarity.java:76) — common
+    terms in long docs go negative pre-clamp; engine must agree."""
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="lmdirichlet", mu=50.0)
+    t = _top_terms(oracle)[0]
+    all_pdf = s.score_all(TermQuery(t)).toPandas()
+    assert (all_pdf["score"] >= 0).all()
+    exp = _lm_scores(oracle, t, mu=50.0)
+    got = dict(zip(all_pdf["doc_id"].astype(int), all_pdf["score"]))
+    assert got.keys() == exp.keys()
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12)
+
+
+def test_phrase_rejected_and_unknown_sim(spark, corpus):
+    _, oracle, idx = corpus
+    with pytest.raises(ValueError):
+        Searcher(spark, idx, similarity="dfr")
+    s = Searcher(spark, idx, similarity="classic")
+    t0, t1 = _top_terms(oracle)[:2]
+    with pytest.raises(ValueError):
+        s.top_k(PhraseQuery((t0, t1)), k=K)
