@@ -646,6 +646,46 @@ def q_span_near_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_span_or_topk(spark, sf_dir):
+    """SpanOr(key, part) (SpanOrQuery.java:360): union of the two term
+    span streams, each span width 0 → freq = tf(key)+tf(part); one
+    SimScorer over the aggregated stats (SpanWeight.java:100-118), so
+    weight = idf(key)+idf(part)."""
+    from lucene_solr_spark.search.ast import SpanOrQuery, SpanTermQuery
+    q = SpanOrQuery((SpanTermQuery("key"), SpanTermQuery("part")))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_span_unordered_topk(spark, sf_dir):
+    """Unordered span-near key/agg within slop 3
+    (NearSpansUnordered.java:93-96,163): per 'key' position, the 'agg'
+    span NEAREST by start (ties → the right one); window extent − Σ
+    child lengths ≤ slop matches, contributing 1/(1+extent)."""
+    from lucene_solr_spark.search.ast import SpanNearQuery
+    q = SpanNearQuery(("key", "agg"), slop=3, in_order=False)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_span_not_topk(spark, sf_dir):
+    """SpanNot(include=key, exclude=agg, pre=1, post=1)
+    (SpanNotQuery.java:66,180-191): 'key' occurrences with no 'agg'
+    within one position either side; weight from the include term only
+    (SpanNotQuery.java:126-128)."""
+    from lucene_solr_spark.search.ast import SpanNotQuery, SpanTermQuery
+    q = SpanNotQuery(SpanTermQuery("key"), SpanTermQuery("agg"),
+                     pre=1, post=1)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_span_first_topk(spark, sf_dir):
+    """SpanFirst(key, end=10) (SpanFirstQuery.java:38-43): 'key' spans
+    ending at position ≤ 10, i.e. raw token position ≤ 9; freq = count
+    of such occurrences."""
+    from lucene_solr_spark.search.ast import SpanFirstQuery, SpanTermQuery
+    q = SpanFirstQuery(SpanTermQuery("key"), end=10)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_edismax_topk(spark, sf_dir):
     """DisMax handler surface (qf={text:1, title:2}, tie=0.3): each
     query term scores as max-over-fields + tie x rest
@@ -988,6 +1028,77 @@ SELECT pf.doc_id, ROUND(
 FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # shared BM25 scoring tail over a per-doc span freq CTE `pf(doc_id, pf)`
+    # and a term-set idf CTE `idfs(w)`
+    _SPAN_TAIL = """
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    _POS_CTE = """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+)"""
+
+    # span-or(key, part): freq = tf(key) + tf(part), w = idf(key)+idf(part)
+    sql["q_span_or_topk"] = _PRELUDE + """
+, pf AS (
+  SELECT doc_id, SUM(freq)::DOUBLE AS pf FROM tf
+  WHERE term IN ('key', 'part') GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'part')
+)""" + _SPAN_TAIL
+
+    # unordered near key/agg slop 3: per 'key' position, the nearest
+    # 'agg' by |Δstart| (ties → the later one); extent = |Δ|+1 matches
+    # when extent − 2 ≤ 3, contributing 1/(1+extent)
+    sql["q_span_unordered_topk"] = _PRELUDE + _POS_CTE + """
+, chain AS (
+  SELECT a.doc_id, a.p AS ap,
+         arg_min(b.p, abs(b.p - a.p) * 2
+                      + CASE WHEN b.p < a.p THEN 1 ELSE 0 END) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id, a.p
+), pf AS (
+  SELECT doc_id, SUM(1.0 / (1 + abs(bp - ap) + 1)) AS pf
+  FROM chain WHERE abs(bp - ap) + 1 - 2 <= 3 GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+)""" + _SPAN_TAIL
+
+    # span-not(key, agg, pre=1, post=1): keep 'key' at p unless an 'agg'
+    # sits at p−1, p, or p+1; weight from 'key' alone
+    sql["q_span_not_topk"] = _PRELUDE + _POS_CTE + """
+, keep AS (
+  SELECT a.doc_id, a.p FROM pos a
+  WHERE a.term = 'key' AND NOT EXISTS (
+    SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id AND b.term = 'agg'
+      AND b.p BETWEEN a.p - 1 AND a.p + 1)
+), pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pf FROM keep GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
+)""" + _SPAN_TAIL
+
+    # span-first(key, end=10): 'key' occurrences at raw position ≤ 9
+    sql["q_span_first_topk"] = _PRELUDE + _POS_CTE + """
+, pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pf FROM pos
+  WHERE term = 'key' AND p + 1 <= 10 GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
+)""" + _SPAN_TAIL
 
     # edismax qf={text:1,title:2} tie=0.3 over terms (part, merge):
     # per term, dismax of the per-field BM25 partials; sum over terms
@@ -1533,6 +1644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
         "q_edismax_topk": q_edismax_topk,
         "q_span_near_topk": q_span_near_topk,
+        # round-3: composite span queries
+        "q_span_or_topk": q_span_or_topk,
+        "q_span_unordered_topk": q_span_unordered_topk,
+        "q_span_not_topk": q_span_not_topk,
+        "q_span_first_topk": q_span_first_topk,
         # formerly positions 51-55 (absent from CORRECTNESS_r02)
         "q_search_after": q_search_after,
         "q_boosted_or_topk": q_boosted_or_topk,

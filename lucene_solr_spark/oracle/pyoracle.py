@@ -18,6 +18,8 @@ BooleanWeight builds one scorer per clause.
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 from ..analysis.analyzer import StandardAnalyzer
@@ -188,6 +190,111 @@ class OracleIndex:
                     w - w / (np.float32(1.0) + np.float32(pf) * ni))
         return out
 
+    def _span_op_spans(self, op, field: str) -> dict[int, list]:
+        """Interpret a span-op tree → {doc: [(start, end, width), ...]},
+        lists sorted — the per-doc mirror of executor._eval_span_op
+        (same greedy/nearest choices, same width rules)."""
+        o = op["op"]
+        if o == "sterm":
+            fpos = self.positions.get(field, {}).get(op["key"][1], {})
+            return {d: [(p, p + 1, 0) for p in sorted(ps)]
+                    for d, ps in fpos.items()}
+        if o == "sor":
+            out: dict[int, list] = {}
+            for ch in op["children"]:
+                for d, sp in self._span_op_spans(ch, field).items():
+                    out.setdefault(d, []).extend(sp)
+            return {d: sorted(sp) for d, sp in out.items()}
+        if o == "sfirst":
+            inner = self._span_op_spans(op["child"], field)
+            out = {d: [x for x in sp if x[1] <= op["end"]]
+                   for d, sp in inner.items()}
+            return {d: sp for d, sp in out.items() if sp}
+        if o == "snot":
+            inc = self._span_op_spans(op["include"], field)
+            exc = self._span_op_spans(op["exclude"], field)
+            pre, post = op["pre"], op["post"]
+            out = {}
+            for d, sp in inc.items():
+                xs = exc.get(d, [])
+                kept = [x for x in sp
+                        if not any(e2 > x[0] - pre and s2 < x[1] + post
+                                   for s2, e2, _ in xs)]
+                if kept:
+                    out[d] = kept
+            return out
+        # snear
+        kids = [self._span_op_spans(ch, field) for ch in op["children"]]
+        docs = set(kids[0])
+        for k in kids[1:]:
+            docs &= set(k)
+        slop, out = op["slop"], {}
+        for d in sorted(docs):
+            spans = []
+            for s0, e0, _ in kids[0][d]:
+                if op["ordered"]:
+                    cur, width, ok = e0, 0, True
+                    for k in kids[1:]:
+                        nxt = next(((s, e) for s, e, _ in k[d] if s >= cur),
+                                   None)
+                        if nxt is None:
+                            ok = False
+                            break
+                        width += nxt[0] - cur
+                        cur = nxt[1]
+                    if ok and width <= slop:
+                        spans.append((s0, cur, width))
+                else:
+                    win_s, win_e, tot, ok = s0, e0, e0 - s0, True
+                    for k in kids[1:]:
+                        lst = k[d]
+                        j = bisect.bisect_left([x[0] for x in lst], s0)
+                        right = lst[j] if j < len(lst) else None
+                        left = lst[j - 1] if j > 0 else None
+                        if right is None and left is None:
+                            ok = False
+                            break
+                        if (left is not None
+                                and (right is None
+                                     or s0 - left[0] < right[0] - s0)):
+                            pick = left
+                        else:
+                            pick = right
+                        win_s = min(win_s, pick[0])
+                        win_e = max(win_e, pick[1])
+                        tot += pick[1] - pick[0]
+                    if ok and (win_e - win_s - tot) <= slop:
+                        spans.append((win_s, win_e, win_e - win_s))
+            if spans:
+                out[d] = sorted(spans)
+        return out
+
+    def _spantree_scores(self, c, boost_mult: float = 1.0):
+        """Composite span query — freq = Σ 1/(1+width), BM25 weight over
+        the distinct scoring keys (the executor's spantree leaf)."""
+        from ..search.executor import _annotate_span_op, _span_op_keys
+        field = c["field"]
+        st = {(field, t): True for t in self.postings.get(field, {})}
+        root = _annotate_span_op(c["root"], st)
+        if root is None:
+            return {}
+        keys = list(dict.fromkeys(_span_op_keys(root, scoring_only=True)))
+        idf_sum = np.float32(sum(
+            np.float32(bm25.idf(self.df(t, f), self.field_doc_count[f]))
+            for f, t in keys))
+        w = np.float32(np.float32(c["boost"] * boost_mult) * idf_sum)
+        avgdl = bm25.avg_field_length(self.field_sum_ttf[field],
+                                      self.field_doc_count[field])
+        cache = bm25.norm_inverse_cache(avgdl)
+        out: dict[int, np.float32] = {}
+        for d, sp in self._span_op_spans(root, field).items():
+            pf = sum(1.0 / (1.0 + wd) for _, _, wd in sp)
+            if pf > 0:
+                ni = cache[self.norms[field][d]]
+                out[d] = np.float32(
+                    w - w / (np.float32(1.0) + np.float32(pf) * ni))
+        return out
+
     def _dismax_scores(self, children, tie: float,
                        boost: float = 1.0) -> dict[int, np.float32]:
         """DisjunctionMaxQuery.java:51 — max + tie × (sum − max), f32.
@@ -226,6 +333,8 @@ class OracleIndex:
         if c["kind"] == "span":
             return self._span_scores(c["keys"], c["slop"],
                                      c["boost"] * boost_mult)
+        if c["kind"] == "spantree":
+            return self._spantree_scores(c, boost_mult)
         per = [self._leaf_scores(ch, boost_mult * c.get("boost", 1.0))
                for ch in c["children"]]
         return self._dismax_combine(per, c["tie"])
@@ -241,7 +350,7 @@ class OracleIndex:
         appearance order, then SHOULD children) — so engine and oracle
         agree bit-for-bit on nested plans."""
         kind = node["kind"]
-        if kind in ("term", "phrase", "span"):
+        if kind in ("term", "phrase", "span", "spantree"):
             sc = self._leaf_scores(node)
             return set(sc), (sc if scoring else {})
         if kind == "dismax":

@@ -3,7 +3,8 @@
 from .ast import (  # noqa: F401
     BooleanQuery, BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
     MatchAllQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
-    RegexpQuery, TermQuery, TermRangeQuery, WildcardQuery, rewrite,
+    RegexpQuery, SpanFirstQuery, SpanNearQuery, SpanNotQuery, SpanOrQuery,
+    SpanTermQuery, TermQuery, TermRangeQuery, WildcardQuery, rewrite,
 )
 from .cache import QueryCache  # noqa: F401
 from .executor import Searcher  # noqa: F401

@@ -59,20 +59,83 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class SpanTermQuery:
+    """`search/spans/SpanTermQuery.java:39`: each occurrence is a
+    (p, p+1) span of width 0 (`TermSpans.java:110`). As a top-level
+    query it scores like TermQuery (Σ 1/(1+0) = freq); its value is as
+    a building block under the other span compositors."""
+    term: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class SpanNearQuery:
-    """Ordered span-near (`search/spans/SpanNearQuery.java:63`,
-    `NearSpansOrdered.java:36`): terms must appear IN ORDER with total
-    gap ≤ slop. Engine spec (exactly shared with oracle + SQL gate):
-    for every occurrence p0 of the first term, greedily chain each later
-    term to its FIRST occurrence after the previous one; the anchor
-    matches when matchLength = (p_last − p0) − (n−1) ≤ slop,
-    contributing 1/(1+matchLength) to the span freq. (Lucene enumerates
-    minimal spans rather than one candidate per first-term occurrence —
-    same matches for 2-term spans, may differ in *freq* on overlapping
-    3+-term repeats; divergence pinned in tests.)"""
-    terms: tuple
+    """Span-near (`search/spans/SpanNearQuery.java:63`). Children are
+    the `terms` tuple (each a str → SpanTermQuery) or, for composite
+    spans, `clauses` (a tuple of Span*Query nodes — exactly one of
+    `terms`/`clauses` may be non-empty).
+
+    Ordered (`in_order=True`, `NearSpansOrdered.java:100-119`): engine
+    spec (shared with oracle + SQL gate) — for every span s0 of the
+    first child, greedily chain each later child to its FIRST span with
+    start ≥ previous end; matchWidth = Σ (start_i − end_{i−1}) ≤ slop
+    matches, contributing 1/(1+matchWidth) to the span freq
+    (`SpanScorer.java:109`). (Lucene enumerates minimal spans rather
+    than one candidate per first-child span — same matches for 2-term
+    spans, may differ in *freq* on overlapping 3+-term repeats;
+    divergence pinned in tests.)
+
+    Unordered (`in_order=False`, `NearSpansUnordered.java:93-96,163`):
+    engine spec — for every span s0 of the FIRST child, take each other
+    child's span NEAREST by start position; the window [min start,
+    max end) matches when (window − Σ child span lengths) ≤ slop,
+    contributing 1/(1+window) — Lucene's width() for unordered spans is
+    the window EXTENT, not the gap sum. (Lucene enumerates queue
+    windows; one-candidate-per-first-child-span divergence pinned.)"""
+    terms: tuple = ()
     slop: int = 0
     field: str = DEFAULT_FIELD
+    clauses: tuple = ()
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
+class SpanOrQuery:
+    """`search/spans/SpanOrQuery.java:360`: union of the child span
+    streams; each span keeps its own width."""
+    clauses: tuple
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """`search/spans/SpanNotQuery.java:66,180-191`: spans of `include`
+    with no `exclude` span overlapping — an include span [s, e) is
+    rejected iff some exclude span has end > s − pre and
+    start < e + post (pre/post default 0 = pure overlap; negative
+    values allow that much overlap). Scoring weight is built from the
+    INCLUDE terms only (`SpanNotQuery.java:126-128`
+    extractTermStates)."""
+    include: object
+    exclude: object
+    pre: int = 0
+    post: int = 0
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery:
+    """`search/spans/SpanFirstQuery.java:38-43` /
+    `SpanPositionRangeQuery.java`: child spans ending at position
+    ≤ `end` (a position-range check; width passes through,
+    `FilterSpans.java:114`)."""
+    match: object
+    end: int
+    field: str = DEFAULT_FIELD
+
+
+SPAN_NODES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanNotQuery,
+              SpanFirstQuery)
 
 
 @dataclass(frozen=True)
@@ -249,6 +312,26 @@ def _rewrite_once(q):
     return BooleanQuery(tuple(clauses), q.min_should_match)
 
 
+def span_leaf_keys(n) -> list[tuple[str, str]]:
+    """All (field, term) leaf keys under a span node, appearance order
+    (include AND exclude branches — callers needing scoring-only keys
+    walk the compiled plan instead)."""
+    if isinstance(n, SpanTermQuery):
+        return [(n.field, n.term)]
+    if isinstance(n, SpanNearQuery):
+        out = [(n.field, t) for t in n.terms]
+        for ch in n.clauses:
+            out.extend(span_leaf_keys(ch))
+        return out
+    if isinstance(n, SpanOrQuery):
+        return [k for ch in n.clauses for k in span_leaf_keys(ch)]
+    if isinstance(n, SpanNotQuery):
+        return span_leaf_keys(n.include) + span_leaf_keys(n.exclude)
+    if isinstance(n, SpanFirstQuery):
+        return span_leaf_keys(n.match)
+    raise ValueError(f"not a span node: {n!r}")
+
+
 def collect_terms(q) -> list[tuple[str, str]]:
     """All distinct (field, term) pairs in the tree, in appearance order."""
     out, seen = [], set()
@@ -261,9 +344,12 @@ def collect_terms(q) -> list[tuple[str, str]]:
     def walk(n):
         if isinstance(n, TermQuery):
             add(n.field, n.term)
-        elif isinstance(n, (PhraseQuery, SpanNearQuery)):
+        elif isinstance(n, PhraseQuery):
             for t in n.terms:
                 add(n.field, t)
+        elif isinstance(n, SPAN_NODES):
+            for f, t in span_leaf_keys(n):
+                add(f, t)
         elif isinstance(n, BooleanQuery):
             for c in n.clauses:
                 walk(c.query)

@@ -73,11 +73,12 @@ from ..functions import bm25
 from ..functions.smallfloat import LENGTH_TABLE
 from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
-from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, BooleanQuery, BoostQuery,
-                  Clause, DisjunctionMaxQuery, FuzzyQuery, MatchAllQuery,
-                  MatchNoQuery, Occur, PhraseQuery, PrefixQuery, RegexpQuery,
-                  SpanNearQuery, TermQuery, TermRangeQuery, WildcardQuery,
-                  rewrite)
+from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
+                  BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
+                  MatchAllQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
+                  RegexpQuery, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
+                  SpanOrQuery, SpanTermQuery, TermQuery, TermRangeQuery,
+                  WildcardQuery, rewrite)
 
 KERNEL_SCHEMA = "doc_id long, score double"
 
@@ -453,6 +454,64 @@ def flatten_plan(query):
         return {"tree": build_tree(query)}
 
 
+def _span_op(q):
+    """Compile a span AST node → span-op dict (the spantree IR):
+      {"op": "sterm", "key": (f, t)}
+      {"op": "sor",   "children": [...]}
+      {"op": "snear", "children": [...], "slop": int, "ordered": bool}
+      {"op": "snot",  "include": ..., "exclude": ..., "pre": i, "post": i}
+      {"op": "sfirst","child": ..., "end": int}
+    All leaves must share one field (SpanNearQuery.java:73 enforces
+    same-field clauses); validated by the caller via span_leaf_keys."""
+    if isinstance(q, SpanTermQuery):
+        return {"op": "sterm", "key": (q.field, q.term)}
+    if isinstance(q, SpanNearQuery):
+        if bool(q.terms) == bool(q.clauses):
+            raise ValueError(
+                "SpanNearQuery takes exactly one of terms= or clauses=")
+        children = ([{"op": "sterm", "key": (q.field, t)} for t in q.terms]
+                    or [_span_op(ch) for ch in q.clauses])
+        if len(children) < 2:
+            raise ValueError("span-near needs >= 2 children")
+        return {"op": "snear", "children": children, "slop": int(q.slop),
+                "ordered": bool(q.in_order)}
+    if isinstance(q, SpanOrQuery):
+        if not q.clauses:
+            raise ValueError("span-or needs >= 1 child")
+        return {"op": "sor", "children": [_span_op(ch) for ch in q.clauses]}
+    if isinstance(q, SpanNotQuery):
+        return {"op": "snot", "include": _span_op(q.include),
+                "exclude": _span_op(q.exclude),
+                "pre": int(q.pre), "post": int(q.post)}
+    if isinstance(q, SpanFirstQuery):
+        return {"op": "sfirst", "child": _span_op(q.match),
+                "end": int(q.end)}
+    raise ValueError(f"not a span query: {q!r}")
+
+
+def _span_leaf(q, boost: float):
+    """Span AST → kernel leaf clause. A plain ordered term-near keeps the
+    legacy vectorized fast path ({"kind": "span"}); every composite
+    shape compiles to {"kind": "spantree"}."""
+    from .ast import span_leaf_keys
+    if isinstance(q, SpanNearQuery):
+        if bool(q.terms) == bool(q.clauses):
+            raise ValueError(
+                "SpanNearQuery takes exactly one of terms= or clauses=")
+        if len(q.terms or q.clauses) < 2:
+            raise ValueError("span-near needs >= 2 children")
+    if isinstance(q, SpanNearQuery) and q.terms and q.in_order:
+        return {"kind": "span", "keys": [(q.field, t) for t in q.terms],
+                "slop": int(q.slop), "boost": boost}
+    keys = span_leaf_keys(q)
+    fields = {f for f, _ in keys}
+    if len(fields) != 1:
+        raise ValueError(
+            f"span query clauses must share one field, got {sorted(fields)}")
+    return {"kind": "spantree", "root": _span_op(q), "boost": boost,
+            "field": next(iter(fields))}
+
+
 def _flat_plan(query):
     """The one-nesting-level clause-keyed plan (raises ValueError on
     shapes it cannot express; flatten_plan then builds a tree plan).
@@ -488,15 +547,13 @@ def _flat_plan(query):
             return {"kind": "phrase",
                     "keys": [(q.field, t) for t in q.terms],
                     "slop": int(q.slop), "boost": boost}
-        if isinstance(q, SpanNearQuery):
-            return {"kind": "span",
-                    "keys": [(q.field, t) for t in q.terms],
-                    "slop": int(q.slop), "boost": boost}
+        if isinstance(q, SPAN_NODES):
+            return _span_leaf(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             children = []
             for d in q.disjuncts:
                 c = leaf_clause(d, 1.0)
-                if c["kind"] not in ("term", "phrase"):
+                if c["kind"] not in ("term", "phrase", "span", "spantree"):
                     # dismax of nested booleans → recursive tree plan
                     raise ValueError("flat dismax disjuncts must be leaves")
                 children.append(c)
@@ -527,8 +584,8 @@ def _flat_plan(query):
             m.update(scoring=scoring, group=gi, should=False)
         groups.append(members)
 
-    if isinstance(query, (TermQuery, PhraseQuery, SpanNearQuery, BoostQuery,
-                          DisjunctionMaxQuery)):
+    if isinstance(query, (TermQuery, PhraseQuery, BoostQuery,
+                          DisjunctionMaxQuery) + SPAN_NODES):
         c = leaf_clause(query, boost_all)
         c.update(scoring=True, group=None, should=True)
         shoulds.append(c)
@@ -589,10 +646,8 @@ def build_tree(query, boost: float = 1.0):
         return {"kind": "phrase",
                 "keys": [(query.field, t) for t in query.terms],
                 "slop": int(query.slop), "boost": boost}
-    if isinstance(query, SpanNearQuery):
-        return {"kind": "span",
-                "keys": [(query.field, t) for t in query.terms],
-                "slop": int(query.slop), "boost": boost}
+    if isinstance(query, SPAN_NODES):
+        return _span_leaf(query, boost)
     if isinstance(query, DisjunctionMaxQuery):
         return {"kind": "dismax",
                 "children": [build_tree(d, boost) for d in query.disjuncts],
@@ -610,15 +665,85 @@ def build_tree(query, boost: float = 1.0):
 
 
 def _leaf_keys(c) -> list:
-    """All (field, term) keys under a leaf clause (dismax recurses)."""
+    """All (field, term) keys under a leaf clause (dismax recurses;
+    spantree includes exclude-branch keys — their postings are needed
+    for evaluation even though they don't score)."""
     if c["kind"] == "term":
         return [c["key"]]
     if c["kind"] in ("phrase", "span"):
         return list(c["keys"])
+    if c["kind"] == "spantree":
+        return _span_op_keys(c["root"], scoring_only=False)
     out = []
     for ch in c["children"]:
         out.extend(_leaf_keys(ch))
     return out
+
+
+def _span_op_keys(op, scoring_only: bool) -> list:
+    """Leaf keys of a span-op tree, appearance order. With
+    scoring_only=True, snot exclude branches are skipped — the
+    reference builds the SimWeight from include terms only
+    (SpanNotQuery.java:126-128 extractTermStates)."""
+    o = op["op"]
+    if o == "sterm":
+        return [op["key"]]
+    if o in ("sor", "snear"):
+        return [k for ch in op["children"]
+                for k in _span_op_keys(ch, scoring_only)]
+    if o == "snot":
+        out = _span_op_keys(op["include"], scoring_only)
+        if not scoring_only:
+            out += _span_op_keys(op["exclude"], scoring_only)
+        return out
+    return _span_op_keys(op["child"], scoring_only)    # sfirst
+
+
+def _span_required_keys(op) -> list:
+    """Keys that MUST be present for the op to produce any span — the
+    presence/death analysis (sor alternatives contribute none; snot
+    excludes contribute none)."""
+    o = op["op"]
+    if o == "sterm":
+        return [op["key"]]
+    if o == "snear":
+        return [k for ch in op["children"] for k in _span_required_keys(ch)]
+    if o == "sor":
+        return []
+    if o == "snot":
+        return _span_required_keys(op["include"])
+    return _span_required_keys(op["child"])            # sfirst
+
+
+def _annotate_span_op(op, st):
+    """Stats-level simplification of a span-op tree → op or None (the
+    op cannot match anywhere: a required leaf has df == 0). Dead sor
+    children are dropped; a dead snot exclude leaves plain include
+    (SpanNotQuery.java:136-139 — null excludeSpans → includeSpans)."""
+    o = op["op"]
+    if o == "sterm":
+        return op if op["key"] in st else None
+    if o == "snear":
+        kids = [_annotate_span_op(ch, st) for ch in op["children"]]
+        if any(k is None for k in kids):
+            return None
+        return dict(op, children=kids)
+    if o == "sor":
+        kids = [x for x in (_annotate_span_op(ch, st)
+                            for ch in op["children"]) if x is not None]
+        if not kids:
+            return None
+        return dict(op, children=kids)
+    if o == "snot":
+        inc = _annotate_span_op(op["include"], st)
+        if inc is None:
+            return None
+        exc = _annotate_span_op(op["exclude"], st)
+        if exc is None:
+            return inc
+        return dict(op, include=inc, exclude=exc)
+    ch = _annotate_span_op(op["child"], st)             # sfirst
+    return None if ch is None else dict(op, child=ch)
 
 
 def _tree_keys(node) -> list:
@@ -667,6 +792,26 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
             sum(np.float32(weights[k]["idf32"]) for k in keys))))
         w64 = b * sum(weights[k]["idf64"] for k in keys)
         return dict(c, w32=w32, w64=w64)
+    if kind == "spantree":
+        if sim != "bm25":
+            raise ValueError(
+                "phrase/span clauses support the BM25 similarity only")
+        root = _annotate_span_op(c["root"], st)
+        if root is None:
+            return None
+        # SpanWeight.buildSimWeight (SpanWeight.java:100-118): one
+        # SimScorer over the DISTINCT scoring terms' aggregated stats —
+        # weight = boost × Σ idf over distinct include-branch keys
+        keys = list(dict.fromkeys(_span_op_keys(root, scoring_only=True)))
+        keys = [k for k in keys if k in st]
+        if not keys:
+            return None
+        b = c["boost"] * outer_boost
+        w32 = float(np.float32(np.float32(b) * np.float32(
+            sum(np.float32(weights[k]["idf32"]) for k in keys))))
+        w64 = b * sum(weights[k]["idf64"] for k in keys)
+        return dict(c, root=root, w32=w32, w64=w64,
+                    required=_span_required_keys(root))
     # dismax — the outer boost folds into each disjunct's weight
     children = []
     for ch in c["children"]:
@@ -684,7 +829,7 @@ def _annotate_tree(node, st, weights, sim: str = "bm25"):
     cannot match: a required child is dead, or msm exceeds the live
     SHOULD count — the stats-level analog of the rewrite rules)."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span"):
+    if kind in ("term", "phrase", "span", "spantree"):
         return _annotate_leaf(node, st, weights, sim=sim)
     if kind == "dismax":
         kids = [_annotate_tree(ch, st, weights, sim)
@@ -967,6 +1112,8 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
             res = _eval_phrase(c, data, spec, dtype)
         elif c["kind"] == "span":
             res = _eval_span(c, data, spec, dtype)
+        elif c["kind"] == "spantree":
+            res = _eval_spantree(c, data, spec, dtype)
         else:
             res = _eval_dismax(c, data, spec, dtype, grid)
         if res is None:
@@ -1056,6 +1203,8 @@ def _eval_leaf(c, data: "_BucketData", spec, dtype, grid):
         return _eval_phrase(c, data, spec, dtype)
     if c["kind"] == "span":
         return _eval_span(c, data, spec, dtype)
+    if c["kind"] == "spantree":
+        return _eval_spantree(c, data, spec, dtype)
     return _eval_dismax(c, data, spec, dtype, grid)
 
 
@@ -1094,7 +1243,7 @@ def _score_bucket_tree(grp: pd.DataFrame, spec, threshold, heap):
 def _tree_present(node, data: "_BucketData") -> bool:
     """Cheap dictionary-presence check: can the node match in-bucket?"""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span"):
+    if kind in ("term", "phrase", "span", "spantree"):
         return _clause_present(node, data)
     if kind == "dismax":
         return any(_tree_present(ch, data) for ch in node["children"])
@@ -1116,7 +1265,7 @@ def _tree_ub(node, data: "_BucketData", spec, dtype) -> float:
     """Conservative max-score upper bound of a tree node in the bucket
     (block-max skylines; FILTER/MUST_NOT contribute nothing)."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span", "dismax"):
+    if kind in ("term", "phrase", "span", "spantree", "dismax"):
         return _leaf_ub(node, data, spec, dtype)
     return (sum(_tree_ub(ch, data, spec, dtype) for ch in node["must"])
             + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"]))
@@ -1129,13 +1278,15 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
     f32 accumulation order (children in appearance order, MUST before
     SHOULD) is replicated by the pure-Python oracle's tree interpreter."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span"):
+    if kind in ("term", "phrase", "span", "spantree"):
         if kind == "term":
             res = _eval_term(node, data, spec, dtype)
         elif kind == "phrase":
             res = _eval_phrase(node, data, spec, dtype)
-        else:
+        elif kind == "span":
             res = _eval_span(node, data, spec, dtype)
+        else:
+            res = _eval_spantree(node, data, spec, dtype)
         mask = np.zeros(grid, dtype=bool)
         score = np.zeros(grid, dtype=dtype)
         if res is not None and len(res[0]):
@@ -1201,6 +1352,10 @@ def _clause_present(c, data: _BucketData) -> bool:
         return c["key"] in data.by_key
     if c["kind"] in ("phrase", "span"):
         return all(k in data.by_key for k in c["keys"])
+    if c["kind"] == "spantree":
+        # required-leaf presence (sor alternatives / snot excludes are
+        # optional); conservative — never skips a matchable bucket
+        return all(k in data.by_key for k in c["required"])
     return any(_clause_present(ch, data) for ch in c["children"])
 
 
@@ -1282,6 +1437,12 @@ def _leaf_ub(c, data: _BucketData, spec, dtype) -> float:
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
             m = max(m, _max_impact(fr, no, w, field, spec, dtype))
         return m
+    if c["kind"] == "spantree":
+        if not _clause_present(c, data):
+            return 0.0
+        # BM25 is bounded by the clause weight for ANY freq:
+        # f32 w − w/(1+f·ni) < w; f64 w·f/(f+k1(…)) < w — cheap, safe
+        return float(c["w32"] if dtype is np.float32 else c["w64"])
     if c["kind"] == "bool":        # dismax child may be a nested bool
         return _tree_ub(c, data, spec, dtype)
     # dismax: max_child_ub + tie * (sum_others_ub)
@@ -1455,6 +1616,158 @@ def _eval_span(c, data: _BucketData, spec, dtype):
     norms = norm_grid[idxs]
     w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
     field = keys[0][0]
+    if dtype is np.float32:
+        ni = spec["cache32"][field][norms & 0xFF]
+        f = pf.astype(np.float32)
+        s = (np.float32(w) - np.float32(w) / (np.float32(1.0) + f * ni))
+    else:
+        dl = LENGTH_TABLE[norms & 0xFF].astype(np.float64)
+        f = pf.astype(np.float64)
+        k1, b = spec["k1"], spec["b"]
+        s = w * f / (f + k1 * (1.0 - b + b * dl / spec["avgdl64"][field]))
+    return idxs, s
+
+
+_SPAN_EMPTY = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+               np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+
+def _span_lexsort(fd, fs, fe, fw):
+    order = np.lexsort((fe, fs, fd))
+    return fd[order], fs[order], fe[order], fw[order]
+
+
+def _eval_span_op(op, data: _BucketData):
+    """Recursively evaluate a span-op tree within the bucket → flat span
+    arrays (fd local doc, fs start, fe end, fw width), lex-sorted by
+    (fd, fs, fe). Widths follow the reference: 0 for term spans
+    (TermSpans.java:110), pass-through for or/not/first
+    (SpanOrQuery.java:360, FilterSpans.java:114), gap sum for ordered
+    near (NearSpansOrdered.java:100-119), window extent for unordered
+    near (NearSpansUnordered.java:163). Fully vectorized — the same
+    doc<<33|pos encoding as the phrase kernel; no per-doc Python."""
+    o = op["op"]
+    if o == "sterm":
+        r = data.decode_positions(op["key"])
+        if r is None:
+            return _SPAN_EMPTY
+        _, _, _, fdoc, fpos = r
+        return (fdoc, fpos, fpos + 1, np.zeros(len(fpos), np.int64))
+    if o == "sor":
+        parts = [_eval_span_op(ch, data) for ch in op["children"]]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _SPAN_EMPTY
+        if len(parts) == 1:
+            return parts[0]
+        fd = np.concatenate([p[0] for p in parts])
+        fs = np.concatenate([p[1] for p in parts])
+        fe = np.concatenate([p[2] for p in parts])
+        fw = np.concatenate([p[3] for p in parts])
+        return _span_lexsort(fd, fs, fe, fw)
+    if o == "sfirst":
+        fd, fs, fe, fw = _eval_span_op(op["child"], data)
+        m = fe <= op["end"]
+        return fd[m], fs[m], fe[m], fw[m]
+    if o == "snot":
+        fd, fs, fe, fw = _eval_span_op(op["include"], data)
+        if len(fd) == 0:
+            return _SPAN_EMPTY
+        xd, xs, xe, _ = _eval_span_op(op["exclude"], data)
+        if len(xd) == 0:
+            return fd, fs, fe, fw
+        pre, post = op["pre"], op["post"]
+        # reject include span [s,e) iff ∃ exclude with start < e+post AND
+        # end > s−pre (SpanNotQuery.java:180-191). Exclude spans sorted by
+        # (doc, start); the running max of doc<<33|end over that order
+        # stays within the current doc block (earlier docs encode lower),
+        # so one searchsorted + one gather answers the window query.
+        enc_xs = (xd << _POS_SHIFT) + xs
+        runmax_end = np.maximum.accumulate((xd << _POS_SHIFT) + xe)
+        j = np.searchsorted(enc_xs, (fd << _POS_SHIFT) + fe + post,
+                            side="left")
+        thr = (fd << _POS_SHIFT) + np.maximum(fs - pre, 0)
+        jr = np.maximum(j - 1, 0)
+        rejected = (j > 0) & (runmax_end[jr] > thr)
+        keep = ~rejected
+        return fd[keep], fs[keep], fe[keep], fw[keep]
+    # snear
+    kids = [_eval_span_op(ch, data) for ch in op["children"]]
+    if any(len(k[0]) == 0 for k in kids):
+        return _SPAN_EMPTY
+    fd0, fs0, fe0, _ = kids[0]
+    if op["ordered"]:
+        # greedy chain: child i advances to its first span with
+        # start >= previous end (NearSpansOrdered.advancePosition);
+        # matchWidth accumulates the gaps
+        cur_end = fe0.copy()
+        width = np.zeros(len(fd0), np.int64)
+        alive = np.ones(len(fd0), dtype=bool)
+        for fdi, fsi, fei, _ in kids[1:]:
+            enc = (fdi << _POS_SHIFT) + fsi
+            j = np.searchsorted(enc, (fd0 << _POS_SHIFT) + cur_end,
+                                side="left")
+            jr = np.minimum(j, len(enc) - 1)
+            ok = (j < len(enc)) & (fdi[jr] == fd0)
+            alive &= ok
+            width = np.where(ok, width + fsi[jr] - cur_end, width)
+            cur_end = np.where(ok, fei[jr], cur_end)
+        m = alive & (width <= op["slop"])
+        return _span_lexsort(fd0[m], fs0[m], cur_end[m], width[m])
+    # unordered: per anchor span of child 0, each other child
+    # contributes its span NEAREST by start; the window matches when
+    # extent − Σ span lengths ≤ slop (NearSpansUnordered.atMatch);
+    # width = extent (NearSpansUnordered.width)
+    win_s, win_e = fs0.copy(), fe0.copy()
+    total_len = fe0 - fs0
+    alive = np.ones(len(fd0), dtype=bool)
+    enc0 = (fd0 << _POS_SHIFT) + fs0
+    for fdi, fsi, fei, _ in kids[1:]:
+        enc = (fdi << _POS_SHIFT) + fsi
+        j = np.searchsorted(enc, enc0, side="left")
+        jr = np.minimum(j, len(enc) - 1)
+        right_ok = (j < len(enc)) & (fdi[jr] == fd0)
+        right_d = np.where(right_ok, fsi[jr] - fs0, _BIG)
+        jl = np.maximum(j - 1, 0)
+        left_ok = (j > 0) & (fdi[jl] == fd0)
+        left_d = np.where(left_ok, fs0 - fsi[jl], _BIG)
+        take_left = left_d < right_d
+        sel = np.where(take_left, jl, jr)
+        ok = left_ok | right_ok
+        alive &= ok
+        s_i, e_i = fsi[sel], fei[sel]
+        win_s = np.where(ok, np.minimum(win_s, s_i), win_s)
+        win_e = np.where(ok, np.maximum(win_e, e_i), win_e)
+        total_len = np.where(ok, total_len + e_i - s_i, total_len)
+    m = alive & ((win_e - win_s - total_len) <= op["slop"])
+    return _span_lexsort(fd0[m], win_s[m], win_e[m], (win_e - win_s)[m])
+
+
+def _eval_spantree(c, data: _BucketData, spec, dtype):
+    """Composite span query (spantree leaf): evaluate the span-op tree,
+    then score freq(doc) = Σ 1/(1+width) over its spans with the BM25
+    weight over the distinct scoring terms (SpanScorer.java:106-112
+    setFreqCurrentDoc / scoreCurrentDoc)."""
+    if not spec["with_positions"]:
+        raise ValueError("span query requires an index built with positions")
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype))
+    fd, fs, fe, fw = _eval_span_op(c["root"], data)
+    if len(fd) == 0:
+        return empty
+    wts = 1.0 / (1.0 + fw.astype(np.float64))
+    pf_grid = np.bincount(fd, weights=wts, minlength=spec["grid"])
+    idxs = np.flatnonzero(pf_grid > 0)
+    pf = pf_grid[idxs]
+    # norms: every matched doc carries ≥1 leaf term of the same field —
+    # gather from every leaf's postings (same byte per (doc, field))
+    norm_grid = np.zeros(spec["grid"], dtype=np.int64)
+    for key in _span_op_keys(c["root"], scoring_only=False):
+        d = data.decode(key)
+        if d is not None:
+            norm_grid[d[0] - data.off] = d[2]
+    norms = norm_grid[idxs]
+    w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
+    field = c["field"]
     if dtype is np.float32:
         ni = spec["cache32"][field][norms & 0xFF]
         f = pf.astype(np.float32)

@@ -59,8 +59,14 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
            .orderBy("window_start", "event_type").collect())
     exp = (windowed_event_counts(_events(spark), window="30 minutes")
            .orderBy("window_start", "event_type").collect())
-    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
-    assert len(got) > 0
+    # float sums accumulate in micro-batch order on the stream side and
+    # partition order on the batch side — compare value_sum with an ulp
+    # tolerance, everything else exactly
+    assert len(got) == len(exp) and len(got) > 0
+    for g, e in zip(got, exp):
+        tg, te = tuple(g), tuple(e)
+        assert tg[:-1] == te[:-1], (tg, te)
+        assert abs(tg[-1] - te[-1]) <= 1e-9 * max(1.0, abs(te[-1])), (tg, te)
 
 
 def test_running_user_totals_state_across_batches(spark, tmp_path):
