@@ -92,21 +92,27 @@ class Searcher:
     (ln((docCount+1)/(df+1))+1) × √freq × boost / √dl), or
     "lmdirichlet" (LMDirichletSimilarity.java:73-77 — boost ×
     (ln(1 + freq/(μ·cp)) + ln(μ/(dl+μ))) clamped at 0, cp =
-    (ttf+1)/(sumTotalTermFreq+1), LMSimilarity.java:155). Non-BM25
-    similarities run in f64 mode over TERM clauses and their boolean
-    compositions (the pluggable-Similarity surface); phrase/span leaves
-    remain BM25-only."""
+    (ttf+1)/(sumTotalTermFreq+1), LMSimilarity.java:155),
+    "lmjelinekmercer" (LMJelinekMercerSimilarity.java:63-69 — boost ×
+    ln(1 + ((1−λ)·freq/dl)/(λ·cp)), λ = ``lam``), or "boolean"
+    (BooleanSimilarity.java:38 — score == boost, tf/idf/norms ignored).
+    Non-BM25 similarities run in f64 mode over TERM clauses and their
+    boolean compositions (the pluggable-Similarity surface);
+    phrase/span leaves remain BM25-only."""
 
     def __init__(self, spark: SparkSession, index: InvertedIndex,
                  k1: float = 1.2, b: float = 0.75,
-                 similarity: str = "bm25", mu: float = 2000.0):
-        if similarity not in ("bm25", "classic", "lmdirichlet"):
+                 similarity: str = "bm25", mu: float = 2000.0,
+                 lam: float = 0.1):
+        if similarity not in ("bm25", "classic", "lmdirichlet",
+                              "lmjelinekmercer", "boolean"):
             raise ValueError(f"unknown similarity {similarity!r}")
         self.spark = spark
         self.index = index
         self.k1, self.b = k1, b
         self.sim = similarity
         self.mu = float(mu)
+        self.lam = float(lam)
         self.stats = index.stats
         # driver-side stats cache keyed by (field, term): the index is
         # immutable, queries repeat terms, and each miss costs a (tiny but
@@ -268,7 +274,7 @@ class Searcher:
             deleted=deleted,
             cache32={f: c for f, c in cache32.items()},
             avgdl64=avgdl64,
-            k1=self.k1, b=self.b, sim=self.sim, mu=self.mu,
+            k1=self.k1, b=self.b, sim=self.sim, mu=self.mu, lam=self.lam,
             grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
@@ -287,7 +293,7 @@ class Searcher:
         deleted = getattr(self.index, "deleted_array", None)
         spec = dict(
             tree=root, deleted=deleted, cache32=cache32, avgdl64=avgdl64,
-            k1=self.k1, b=self.b, sim=self.sim, mu=self.mu,
+            k1=self.k1, b=self.b, sim=self.sim, mu=self.mu, lam=self.lam,
             grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
@@ -775,8 +781,11 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
         w = weights[key]
         if sim == "classic":
             return dict(c, w32=None, w64=b * w["cidf64"])
-        if sim == "lmdirichlet":
+        if sim in ("lmdirichlet", "lmjelinekmercer"):
             return dict(c, w32=None, w64=b, cp64=w["cp64"])
+        if sim == "boolean":
+            # BooleanSimilarity.java:38 — score == boost, tf/idf ignored
+            return dict(c, w32=None, w64=b)
         return dict(c, w32=float(np.float32(
             np.float32(b) * np.float32(w["idf32"]))),
             w64=b * w["idf64"])
@@ -1380,6 +1389,14 @@ def _score_freqs(freqs, norms, w, field, spec, dtype, cp=None):
             # tf(f)=sqrt(f) × queryWeight × 1/sqrt(dl)
             # (TFIDFSimilarity.java:562-566, ClassicSimilarity.java:39-47)
             return w * np.sqrt(f) / np.sqrt(dl)
+        if sim == "boolean":
+            # BooleanSimilarity.java:38 — constant boost per match
+            return np.full(len(f), w, dtype=np.float64)
+        if sim == "lmjelinekmercer":
+            # LMJelinekMercerSimilarity.java:63-69:
+            # boost × ln(1 + ((1−λ)·freq/dl) / (λ·cp))
+            lam = spec["lam"]
+            return w * np.log(1.0 + ((1.0 - lam) * f / dl) / (lam * cp))
         mu = spec["mu"]
         # LMDirichletSimilarity.java:73-77, clamped at 0
         sc = w * (np.log(1.0 + f / (mu * cp)) + np.log(mu / (dl + mu)))

@@ -1,0 +1,81 @@
+"""Faceting over a match set: field, range, and pivot facets.
+
+References (semantics only):
+- `lucene/facet/src/java/org/apache/lucene/facet/FacetsCollector.java:40`
+  — facets count over the docs matched by a query, not the whole corpus.
+- `facet/SortedSetDocValuesFacetCounts` / Solr `facet.field` — counts
+  per distinct value of a docvalue field.
+- `facet/range/LongRangeFacetCounts.java:40` and `range/LongRange.java`
+  — fixed ranges [min, max) with inclusive/exclusive ends; a doc counts
+  in every range containing its value.
+- Solr `facet.pivot` (org.apache.solr.handler.component.FacetComponent)
+  — hierarchical value1→value2 counts, depth-first, pruned by mincount.
+
+Spark shape: the match set (doc_id) semi-joins the docvalue table, then
+one map-side-combined groupBy per facet — counts never leave the
+executors until the final (tiny) per-value frame. Range membership is a
+CASE expression evaluated in whole-stage codegen, so a range facet costs
+one narrow projection + one agg, independent of range count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _matched(docs: DataFrame, matches: DataFrame | None) -> DataFrame:
+    if matches is None:
+        return docs
+    return docs.join(matches.select("doc_id").distinct(), "doc_id",
+                     "left_semi")
+
+
+def facet_counts(docs: DataFrame, matches: DataFrame | None,
+                 field: str, min_count: int = 1) -> DataFrame:
+    """Per-value doc counts of ``field`` over the match set →
+    (value, count), descending count then value (the facet module's
+    top-children order, FacetResult.labelValues)."""
+    return (_matched(docs, matches)
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), F.asc("value")))
+
+
+def range_facets(docs: DataFrame, matches: DataFrame | None, field: str,
+                 ranges: list[tuple[str, float, float]]) -> DataFrame:
+    """LongRangeFacetCounts analog: ``ranges`` is [(label, lo, hi)) —
+    lo inclusive, hi exclusive (LongRange with minInclusive=true,
+    maxInclusive=false). → (label, count) in the given range order;
+    empty ranges report count 0 (the reference materializes every
+    requested range)."""
+    m = _matched(docs, matches)
+    v = F.col(field)
+    aggs = [F.sum(F.when((v >= F.lit(lo)) & (v < F.lit(hi)), 1)
+                  .otherwise(0)).cast("long").alias(label)
+            for label, lo, hi in ranges]
+    wide = m.agg(*aggs)
+    # unpivot to (label, count), preserving range order
+    pairs = F.array(*[
+        F.struct(F.lit(label).alias("label"), F.col(label).alias("count"),
+                 F.lit(i).alias("_o"))
+        for i, (label, _, _) in enumerate(ranges)])
+    return (wide.select(F.explode(pairs).alias("r"))
+            .select("r.label", "r.count", "r._o")
+            .orderBy("_o").drop("_o"))
+
+
+def pivot_facets(docs: DataFrame, matches: DataFrame | None,
+                 fields: list[str], min_count: int = 1) -> DataFrame:
+    """Solr facet.pivot analog, flattened: one row per leaf path →
+    (``fields``... , count), ordered by the pivot path. A single
+    groupBy on the full path computes every leaf; parent totals are
+    prefix sums the caller can roll up (count is additive), so no
+    second pass over the data is needed."""
+    if not fields:
+        raise ValueError("pivot_facets needs at least one field")
+    return (_matched(docs, matches)
+            .groupBy(*[F.col(f) for f in fields])
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(*[F.asc(f) for f in fields]))

@@ -1,0 +1,64 @@
+"""FunctionScoreQuery / DoubleValuesSource analogs.
+
+References (semantics only):
+- `lucene/queries/src/java/org/apache/lucene/queries/function/
+  FunctionScoreQuery.java:46` — replaces a query's score with a
+  DoubleValuesSource expression; `boostByValue:74` multiplies the
+  wrapped query's score by a per-doc value; `boostByQuery:88` scales by
+  a constant when a second query also matches.
+- `search/DoubleValuesSource.java:60` — per-doc doubles from docvalue
+  fields, constants, and arithmetic over them.
+- Solr function-query surface (`boost=`, `bf=`): multiplicative /
+  additive per-doc boosts over stored numeric fields.
+
+Spark shape: DoubleValuesSource IS a Catalyst expression — any
+`F.expr` over the docvalue columns runs in whole-stage codegen. The
+match set comes from the kernel (`Searcher.score_all`), the boost is a
+narrow broadcast-join + projection; nothing here adds a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def function_score(searcher, query, docs: DataFrame,
+                   value: Column | str,
+                   combine: str = "multiply") -> DataFrame:
+    """FunctionScoreQuery: per-doc re-score of ``query``'s hits →
+    (doc_id, score).
+
+    ``value`` is a Catalyst expression over ``docs``'s docvalue columns
+    (a DoubleValuesSource); ``combine`` is 'multiply'
+    (boostByValue semantics), 'add' (Solr bf), or 'replace'
+    (FunctionScoreQuery.java:46 — the expression IS the score; docs
+    still must match the wrapped query).
+    """
+    v = F.expr(value) if isinstance(value, str) else value
+    hits = searcher.score_all(query, mode="f64")
+    joined = hits.join(docs.select("doc_id", v.cast("double").alias("_fv")),
+                       "doc_id")
+    if combine == "multiply":
+        out = F.col("score") * F.col("_fv")
+    elif combine == "add":
+        out = F.col("score") + F.col("_fv")
+    elif combine == "replace":
+        out = F.col("_fv")
+    else:
+        raise ValueError("combine must be multiply|add|replace")
+    return joined.select("doc_id", out.alias("score"))
+
+
+def boost_by_query(searcher, query, boost_query,
+                   boost: float) -> DataFrame:
+    """FunctionScoreQuery.boostByQuery analog → (doc_id, score): hits of
+    ``query``, scores multiplied by ``boost`` where ``boost_query``
+    also matches (its score is ignored — QueryBoost semantics,
+    FunctionScoreQuery.java:88)."""
+    hits = searcher.score_all(query, mode="f64")
+    bq = (searcher.score_all(boost_query, mode="f64")
+          .select("doc_id", F.lit(True).alias("_bm")))
+    return (hits.join(bq, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("_bm"), F.col("score") * F.lit(boost))
+                    .otherwise(F.col("score")).alias("score")))
