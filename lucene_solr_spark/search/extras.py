@@ -265,3 +265,21 @@ def sort_by_field(searcher, query, docs: DataFrame, field_col: str,
     order = [F.asc(field_col) if ascending else F.desc(field_col),
              F.asc("doc_id")]
     return j.orderBy(*order).limit(k)
+
+
+def term_vectors(searcher, doc_ids, field: str = DEFAULT_FIELD) -> DataFrame:
+    """Per-document term vectors (IndexReader.getTermVectors,
+    `index/IndexReader.java:288-295`; stored by TermVectorsWriter) →
+    (doc_id, term, freq).
+
+    The reference stores an optional per-doc mini-index beside the
+    postings; here the retained raw-postings table (doc_id, field,
+    term, freq) IS that mini-index, so a term vector is a narrow
+    doc_id filter — no decode, no shuffle."""
+    raw = searcher.index.raw
+    if raw is None:
+        raise ValueError("index did not retain raw postings "
+                         "(term vectors unavailable)")
+    return (raw.filter((F.col("field") == field)
+                       & F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("doc_id", "term", "freq"))
