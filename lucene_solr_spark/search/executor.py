@@ -75,7 +75,8 @@ from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
 from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
                   BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
-                  MatchAllQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
+                  MatchAllQuery, MatchNoQuery, MultiPhraseQuery, Occur,
+                  PhraseQuery, PrefixQuery,
                   RegexpQuery, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
                   SpanOrQuery, SpanTermQuery, TermQuery, TermRangeQuery,
                   WildcardQuery, rewrite)
@@ -553,13 +554,19 @@ def _flat_plan(query):
             return {"kind": "phrase",
                     "keys": [(q.field, t) for t in q.terms],
                     "slop": int(q.slop), "boost": boost}
+        if isinstance(q, MultiPhraseQuery):
+            return {"kind": "multiphrase",
+                    "slots": [[(q.field, t) for t in slot]
+                              for slot in q.slots],
+                    "slop": int(q.slop), "boost": boost}
         if isinstance(q, SPAN_NODES):
             return _span_leaf(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             children = []
             for d in q.disjuncts:
                 c = leaf_clause(d, 1.0)
-                if c["kind"] not in ("term", "phrase", "span", "spantree"):
+                if c["kind"] not in ("term", "phrase", "multiphrase",
+                                     "span", "spantree"):
                     # dismax of nested booleans → recursive tree plan
                     raise ValueError("flat dismax disjuncts must be leaves")
                 children.append(c)
@@ -590,8 +597,8 @@ def _flat_plan(query):
             m.update(scoring=scoring, group=gi, should=False)
         groups.append(members)
 
-    if isinstance(query, (TermQuery, PhraseQuery, BoostQuery,
-                          DisjunctionMaxQuery) + SPAN_NODES):
+    if isinstance(query, (TermQuery, PhraseQuery, MultiPhraseQuery,
+                          BoostQuery, DisjunctionMaxQuery) + SPAN_NODES):
         c = leaf_clause(query, boost_all)
         c.update(scoring=True, group=None, should=True)
         shoulds.append(c)
@@ -652,6 +659,11 @@ def build_tree(query, boost: float = 1.0):
         return {"kind": "phrase",
                 "keys": [(query.field, t) for t in query.terms],
                 "slop": int(query.slop), "boost": boost}
+    if isinstance(query, MultiPhraseQuery):
+        return {"kind": "multiphrase",
+                "slots": [[(query.field, t) for t in slot]
+                          for slot in query.slots],
+                "slop": int(query.slop), "boost": boost}
     if isinstance(query, SPAN_NODES):
         return _span_leaf(query, boost)
     if isinstance(query, DisjunctionMaxQuery):
@@ -678,6 +690,8 @@ def _leaf_keys(c) -> list:
         return [c["key"]]
     if c["kind"] in ("phrase", "span"):
         return list(c["keys"])
+    if c["kind"] == "multiphrase":
+        return [k for slot in c["slots"] for k in slot]
     if c["kind"] == "spantree":
         return _span_op_keys(c["root"], scoring_only=False)
     out = []
@@ -801,6 +815,24 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
             sum(np.float32(weights[k]["idf32"]) for k in keys))))
         w64 = b * sum(weights[k]["idf64"] for k in keys)
         return dict(c, w32=w32, w64=w64)
+    if kind == "multiphrase":
+        if sim != "bm25":
+            raise ValueError(
+                "phrase/span clauses support the BM25 similarity only")
+        # MultiPhraseWeight ctor: one SimScorer over ALL terms' stats →
+        # weight = boost × Σ idf, slot-major order (f32 sum order shared
+        # with the pyoracle). Engine spec: df == 0 terms are dropped
+        # from both the weight and matching; an empty slot kills the
+        # clause (pinned in tests/test_multiphrase.py).
+        slots = [[k for k in slot if k in st] for slot in c["slots"]]
+        if any(not slot for slot in slots):
+            return None
+        keys = [k for slot in slots for k in slot]
+        b = c["boost"] * outer_boost
+        w32 = float(np.float32(np.float32(b) * np.float32(
+            sum(np.float32(weights[k]["idf32"]) for k in keys))))
+        w64 = b * sum(weights[k]["idf64"] for k in keys)
+        return dict(c, slots=slots, w32=w32, w64=w64)
     if kind == "spantree":
         if sim != "bm25":
             raise ValueError(
@@ -838,7 +870,7 @@ def _annotate_tree(node, st, weights, sim: str = "bm25"):
     cannot match: a required child is dead, or msm exceeds the live
     SHOULD count — the stats-level analog of the rewrite rules)."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span", "spantree"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
         return _annotate_leaf(node, st, weights, sim=sim)
     if kind == "dismax":
         kids = [_annotate_tree(ch, st, weights, sim)
@@ -1119,6 +1151,8 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
                              threshold=threshold)
         elif c["kind"] == "phrase":
             res = _eval_phrase(c, data, spec, dtype)
+        elif c["kind"] == "multiphrase":
+            res = _eval_multiphrase(c, data, spec, dtype)
         elif c["kind"] == "span":
             res = _eval_span(c, data, spec, dtype)
         elif c["kind"] == "spantree":
@@ -1210,6 +1244,8 @@ def _eval_leaf(c, data: "_BucketData", spec, dtype, grid):
         return _eval_term(c, data, spec, dtype)
     if c["kind"] == "phrase":
         return _eval_phrase(c, data, spec, dtype)
+    if c["kind"] == "multiphrase":
+        return _eval_multiphrase(c, data, spec, dtype)
     if c["kind"] == "span":
         return _eval_span(c, data, spec, dtype)
     if c["kind"] == "spantree":
@@ -1252,7 +1288,7 @@ def _score_bucket_tree(grp: pd.DataFrame, spec, threshold, heap):
 def _tree_present(node, data: "_BucketData") -> bool:
     """Cheap dictionary-presence check: can the node match in-bucket?"""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span", "spantree"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
         return _clause_present(node, data)
     if kind == "dismax":
         return any(_tree_present(ch, data) for ch in node["children"])
@@ -1274,7 +1310,8 @@ def _tree_ub(node, data: "_BucketData", spec, dtype) -> float:
     """Conservative max-score upper bound of a tree node in the bucket
     (block-max skylines; FILTER/MUST_NOT contribute nothing)."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span", "spantree", "dismax"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree",
+                "dismax"):
         return _leaf_ub(node, data, spec, dtype)
     return (sum(_tree_ub(ch, data, spec, dtype) for ch in node["must"])
             + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"]))
@@ -1287,11 +1324,13 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
     f32 accumulation order (children in appearance order, MUST before
     SHOULD) is replicated by the pure-Python oracle's tree interpreter."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "span", "spantree"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
         if kind == "term":
             res = _eval_term(node, data, spec, dtype)
         elif kind == "phrase":
             res = _eval_phrase(node, data, spec, dtype)
+        elif kind == "multiphrase":
+            res = _eval_multiphrase(node, data, spec, dtype)
         elif kind == "span":
             res = _eval_span(node, data, spec, dtype)
         else:
@@ -1361,6 +1400,9 @@ def _clause_present(c, data: _BucketData) -> bool:
         return c["key"] in data.by_key
     if c["kind"] in ("phrase", "span"):
         return all(k in data.by_key for k in c["keys"])
+    if c["kind"] == "multiphrase":
+        return all(any(k in data.by_key for k in slot)
+                   for slot in c["slots"])
     if c["kind"] == "spantree":
         # required-leaf presence (sor alternatives / snot excludes are
         # optional); conservative — never skips a matchable bucket
@@ -1454,7 +1496,7 @@ def _leaf_ub(c, data: _BucketData, spec, dtype) -> float:
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
             m = max(m, _max_impact(fr, no, w, field, spec, dtype))
         return m
-    if c["kind"] == "spantree":
+    if c["kind"] in ("multiphrase", "spantree"):
         if not _clause_present(c, data):
             return 0.0
         # BM25 is bounded by the clause weight for ANY freq:
@@ -1522,7 +1564,6 @@ def _eval_phrase(c, data: _BucketData, spec, dtype):
     if not spec["with_positions"]:
         raise ValueError("phrase query requires an index built with positions")
     keys = c["keys"]
-    slop = c.get("slop", 0)
     per = []
     for k in keys:
         r = data.decode_positions(k)
@@ -1530,12 +1571,64 @@ def _eval_phrase(c, data: _BucketData, spec, dtype):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
         per.append(r)
     d0, f0, n0, fd0, fp0 = per[0]
+    rest = [(p[3], p[4]) for p in per[1:]]
+    return _phrase_chain_score((d0, n0, fd0, fp0), rest, c, data, spec,
+                               dtype, keys[0][0])
+
+
+def _union_slot(rs):
+    """Union a multiphrase slot's decoded postings — (docs, norms,
+    flat_docs, flat_pos), flat pairs sorted by (doc, pos); the
+    UnionPostingsEnum role (each index position holds one term, so the
+    streams are disjoint and the union is a merge, not a dedup)."""
+    if len(rs) == 1:
+        d, _, n, fd, fp = rs[0]
+        return d, n, fd, fp
+    fd = np.concatenate([r[3] for r in rs])
+    fp = np.concatenate([r[4] for r in rs])
+    o = np.lexsort((fp, fd))
+    d = np.concatenate([r[0] for r in rs])
+    n = np.concatenate([r[2] for r in rs])
+    du, ui = np.unique(d, return_index=True)
+    return du, n[ui], fd[o], fp[o]
+
+
+def _eval_multiphrase(c, data: _BucketData, spec, dtype):
+    """MultiPhraseQuery (`search/MultiPhraseQuery.java:58`): per slot,
+    union the alternative terms' position streams (_union_slot), then
+    run the exact/sloppy chain of _eval_phrase unchanged over the
+    unioned streams."""
+    if not spec["with_positions"]:
+        raise ValueError("phrase query requires an index built with positions")
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype))
+    slots = []
+    for slot in c["slots"]:
+        rs = []
+        for k in slot:
+            r = data.decode_positions(k)
+            if r is not None:
+                rs.append(r)
+        if not rs:
+            return empty
+        slots.append(_union_slot(rs))
+    d0, n0, fd0, fp0 = slots[0]
+    rest = [(s[2], s[3]) for s in slots[1:]]
+    return _phrase_chain_score((d0, n0, fd0, fp0), rest, c, data, spec,
+                               dtype, c["slots"][0][0][0])
+
+
+def _phrase_chain_score(slot0, rest, c, data, spec, dtype, field):
+    """Shared exact/sloppy phrase chain + BM25 scoring over per-slot
+    (doc, pos) streams; slot0 = (docs, norms, flat_docs, flat_pos),
+    rest = [(flat_docs, flat_pos), …] for slots 1..n−1."""
+    slop = c.get("slop", 0)
+    d0, n0, fd0, fp0 = slot0
     if len(fd0) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
     base = (fd0 << _POS_SHIFT) + fp0 + _POS_PAD
     tot = np.zeros(len(base), dtype=np.float64)
-    for i in range(1, len(keys)):
-        _, _, _, fdi, fpi = per[i]
+    for i in range(1, len(rest) + 1):
+        fdi, fpi = rest[i - 1]
         if len(fdi) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
         arr = (fdi << _POS_SHIFT) + fpi + _POS_PAD
@@ -1567,7 +1660,6 @@ def _eval_phrase(c, data: _BucketData, spec, dtype):
     norm_grid[d0 - data.off] = n0
     norms = norm_grid[idxs]
     w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
-    field = keys[0][0]
     if dtype is np.float32:
         ni = spec["cache32"][field][norms & 0xFF]
         f = pf.astype(np.float32)
