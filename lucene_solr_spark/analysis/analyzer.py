@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
+from .en import get_stemmer, possessive_strip
 from .lowercase import simple_lowercase
 from .tokenizer import DEFAULT_MAX_TOKEN_LENGTH, tokenize_raw
 
@@ -31,10 +32,33 @@ ENGLISH_STOP_WORDS = frozenset(
 
 @dataclass(frozen=True)
 class StandardAnalyzer:
-    """tokenize → simple-lowercase → stop filter, with position gaps."""
+    """tokenize → simple-lowercase → [possessive] → stop → [stem],
+    with position gaps.
+
+    ``possessive=True`` adds EnglishPossessiveFilter
+    (`en/EnglishPossessiveFilter.java:47-55`); ``stemmer`` adds a final
+    stem step — ``"minimal"`` (`en/EnglishMinimalStemmer.java:29`) or
+    ``"porter"`` (`en/PorterStemmer.java`).  The reference EnglishAnalyzer
+    chain (`en/EnglishAnalyzer.java:107-113`) is tokenizer → possessive →
+    lowercase → stop → porter; our possessive strip runs post-lowercase,
+    which is equivalent (lowercasing maps 'S→'s and never creates or
+    destroys an apostrophe-s tail)."""
 
     stop_words: frozenset = field(default_factory=frozenset)
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+    possessive: bool = False
+    stemmer: str | None = None
+
+    def _finish(self, low: str):
+        """Post-lowercase filter chain: possessive → stop → stem.
+        Returns the final term, or None if stop-filtered (the position
+        still advances — FilteringTokenFilter.java:47-57)."""
+        if self.possessive:
+            low = possessive_strip(low)
+        if low in self.stop_words:
+            return None
+        st = get_stemmer(self.stemmer)
+        return st(low) if st else low
 
     def tokens(self, text: str) -> list[str]:
         """Post-analysis token stream (the norm length is len() of this)."""
@@ -48,9 +72,9 @@ class StandardAnalyzer:
         p = 0
         for t in tokenize_raw(text):
             if len(t) <= self.max_token_length:
-                low = simple_lowercase(t)
-                if low not in self.stop_words:
-                    toks.append(low)
+                out = self._finish(simple_lowercase(t))
+                if out is not None:
+                    toks.append(out)
                     pos.append(p)
             p += 1
         return toks, pos
@@ -80,14 +104,26 @@ class StandardAnalyzer:
         p = 0
         for t, s, e in tokenize_raw_spans(text):
             if len(t) <= self.max_token_length:
-                low = simple_lowercase(t)
-                if low not in self.stop_words:
+                low = self._finish(simple_lowercase(t))
+                if low is not None:
                     out.setdefault(low, []).append((p, s, e))
             p += 1
         return out
 
 
 ENGLISH_ANALYZER = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+
+# The full reference chain (`en/EnglishAnalyzer.java:107-113`):
+# StandardTokenizer → EnglishPossessiveFilter → LowerCaseFilter →
+# StopFilter(English) → PorterStemFilter.
+ENGLISH_STEM_ANALYZER = StandardAnalyzer(
+    stop_words=ENGLISH_STOP_WORDS, possessive=True, stemmer="porter")
+
+# Lighter variant with Harman's S-stemmer (EnglishMinimalStemFilter) —
+# the stem step is ANSI-SQL-expressible, so queries over this analyzer
+# carry full DuckDB oracles.
+ENGLISH_MINIMAL_ANALYZER = StandardAnalyzer(
+    stop_words=ENGLISH_STOP_WORDS, possessive=True, stemmer="minimal")
 
 
 def analyze_series(texts: pd.Series, analyzer: StandardAnalyzer) -> pd.Series:

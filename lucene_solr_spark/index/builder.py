@@ -155,6 +155,27 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
     return out
 
 
+def _vocab_map(uniq, analyzer: StandardAnalyzer):
+    """Apply the post-lowercase filter chain (possessive → stop → stem,
+    `StandardAnalyzer._finish`) to a batch's distinct-term vocabulary.
+    Returns (keep_mask, mapped_terms) aligned with ``uniq``."""
+    from ..analysis.en import get_stemmer, possessive_strip
+    n = len(uniq)
+    keep = np.ones(n, dtype=bool)
+    mapped = np.empty(n, dtype=object)
+    stem = get_stemmer(analyzer.stemmer)
+    sw = analyzer.stop_words
+    for i, t in enumerate(uniq):
+        if analyzer.possessive:
+            t = possessive_strip(t)
+        if t in sw:
+            keep[i] = False
+            mapped[i] = t
+            continue
+        mapped[i] = stem(t) if stem else t
+    return keep, mapped
+
+
 def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
                 with_off: bool = False):
     """Batch inversion of fallback-free rows (the web-text fast path).
@@ -194,13 +215,22 @@ def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
 
     lens = np.fromiter(map(len, flat), dtype=np.int64, count=total)
     keep = lens <= analyzer.max_token_length
-    sw = analyzer.stop_words
-    if sw:
-        keep &= np.fromiter((t not in sw for t in flat),
-                            dtype=bool, count=total)
+    flat = np.asarray(flat, dtype=object)
+    if analyzer.possessive or analyzer.stemmer:
+        # factorize-first: run the possessive/stop/stem chain once per
+        # DISTINCT term in the batch (O(|vocab|) Python, not O(|tokens|)),
+        # then scatter the mapped vocabulary back over the token stream
+        codes0, uniq0 = pd.factorize(flat)
+        keep_u, mapped_u = _vocab_map(uniq0, analyzer)
+        keep &= keep_u[codes0]
+        flat = mapped_u[codes0]
+    else:
+        sw = analyzer.stop_words
+        if sw:
+            keep &= np.fromiter((t not in sw for t in flat),
+                                dtype=bool, count=total)
     if not keep.any():
         return None
-    flat = np.asarray(flat, dtype=object)
     did_k = local[keep]
     term_k = flat[keep]
     pos_k = pos[keep]

@@ -149,7 +149,12 @@ def _params(builder: IndexBuilder) -> dict:
             "with_offsets": getattr(builder, "with_offsets", False),
             "fields": list(builder.fields),
             "stop_words": sorted(builder.analyzer.stop_words),
-            "max_token_length": builder.analyzer.max_token_length}
+            "max_token_length": builder.analyzer.max_token_length,
+            # only recorded when set, so pre-existing generation keys
+            # (and resume fingerprints) are unchanged for plain analyzers
+            **({"possessive": True} if builder.analyzer.possessive else {}),
+            **({"stemmer": builder.analyzer.stemmer}
+               if builder.analyzer.stemmer else {})}
 
 
 def generation_key(docs: DataFrame, builder: IndexBuilder) -> str:

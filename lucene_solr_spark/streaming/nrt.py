@@ -88,6 +88,10 @@ def commit_segment(spark: SparkSession, docs: DataFrame,
              "with_positions": builder.with_positions,
              "stop_words": sorted(builder.analyzer.stop_words),
              "max_token_length": builder.analyzer.max_token_length,
+             **({"possessive": True} if builder.analyzer.possessive
+                else {}),
+             **({"stemmer": builder.analyzer.stemmer}
+                if builder.analyzer.stemmer else {}),
              "build_sec": round(time.perf_counter() - t0, 3)}
     seglist["segments"] = ([s for s in seglist["segments"]
                             if s["batch_id"] != batch_id] + [entry])
