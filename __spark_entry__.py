@@ -222,6 +222,29 @@ def q_geo_distance_count(spark, sf_dir):
     return d.agg(F.count("*").cast("long").alias("cnt"))
 
 
+def _shingle_searcher(spark, sf_dir) -> Searcher:
+    key = (sf_dir.rstrip("/"), "shingles")
+    if key not in _CACHE:
+        from lucene_solr_spark.analysis.shingles import with_shingles
+        docs = spark.read.parquet(f"{key[0]}/documents.parquet")
+        docs = with_shingles(docs.select("doc_id", "text"))
+        idx = (IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+                            salt_target=512, with_positions=True,
+                            fields=("text", "shingles"))
+               .build(spark, docs).cache())
+        _CACHE[key] = Searcher(spark, idx, k1=K1, b=B)
+    return _CACHE[key]
+
+
+def q_shingle_term_topk(spark, sf_dir):
+    """Shingle field (analysis/shingle/ShingleFilter.java:34): the
+    bigram key_agg served as a single-term BM25 lookup from the
+    shingles field — the phrase-as-term indexing pattern; per-field
+    stats (df, avgdl, norms) come from the bigram stream."""
+    s = _shingle_searcher(spark, sf_dir)
+    return _topk(s, TermQuery("key_agg", field="shingles"))
+
+
 def q_common_terms_topk(spark, sf_dir):
     """CommonTermsQuery (queries/CommonTermsQuery.java:119-221): terms
     (dup, merge, table) at max_term_frequency=0.5 → low=[dup]
@@ -403,6 +426,30 @@ def q_numeric_filter_topk(spark, sf_dir):
     return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
             .select(F.col("doc_id").cast("long"),
                     F.round("score", 4).alias("score")))
+
+
+def q_numeric_set_topk(spark, sf_dir):
+    """PointInSetQuery (search/PointInSetQuery.java:59): text query ∧
+    n_chars IN {200..300} (a 101-value set pushed as an In predicate)."""
+    from lucene_solr_spark.search.extras import numeric_set_filter
+    docs, _, s = _index(spark, sf_dir)
+    res = numeric_set_filter(s, TermQuery("merge"), docs, "n_chars",
+                             range(200, 301))
+    return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_sort_multi(spark, sf_dir):
+    """Multi-key Sort (search/Sort.java:44): hits of term 'spark'
+    ordered by (lang ASC NULLS LAST, n_chars DESC, doc_id)."""
+    from lucene_solr_spark.search.extras import sort_by_fields
+    docs, _, s = _index(spark, sf_dir)
+    res = sort_by_fields(s, TermQuery("spark"), docs,
+                         [("lang", True, True), ("n_chars", False, False)],
+                         k=10)
+    return res.select(F.col("doc_id").cast("long"), "lang",
+                      F.col("n_chars").cast("long"))
 
 
 def q_mlt_topk(spark, sf_dir):
@@ -1275,6 +1322,45 @@ FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
+    # shingle field: bigram BM25 with the bigram stream's own field
+    # stats (dl = tokens−1 per doc, df over bigrams)
+    sql["q_shingle_term_topk"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), big0 AS (
+  SELECT doc_id,
+         term || '_' || lead(term) OVER (PARTITION BY doc_id ORDER BY p)
+           AS term
+  FROM tok
+), big AS (
+  SELECT doc_id, term FROM big0 WHERE term IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS freq FROM big GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM big GROUP BY doc_id
+), dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 40 THEN dl
+         ELSE 24 + ((((dl-24) >> (length(bin(dl-24))-4)) & 7 | 8)
+                    << (length(bin(dl-24))-4)) END AS dlq
+  FROM dl
+), stats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id, ROUND(
+  ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.freq
+  / (tf.freq + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4) AS score
+FROM tf JOIN dlq USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+WHERE tf.term = 'key_agg'
+ORDER BY ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.freq
+  / (tf.freq + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)) DESC,
+  tf.doc_id
+LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
     # geo: box stats / nearest-k / distance count over derived coords
     sql["q_geo_box_stats"] = f"""
 WITH pts AS ({_GEO_CTE})
@@ -1785,6 +1871,22 @@ FROM sc JOIN documents d ON d.doc_id = sc.doc_id
 WHERE sc.term = 'merge' AND d.n_chars BETWEEN 200 AND 400
 GROUP BY sc.doc_id ORDER BY SUM(sc.s) DESC, sc.doc_id LIMIT 10"""
 
+    # PointInSetQuery: text ∧ numeric IN-set
+    sql["q_numeric_set_topk"] = _PRELUDE + """
+SELECT sc.doc_id, ROUND(SUM(sc.s), 4) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE sc.term = 'merge'
+  AND d.n_chars IN (SELECT unnest(range(200, 301)))
+GROUP BY sc.doc_id ORDER BY SUM(sc.s) DESC, sc.doc_id LIMIT 10"""
+
+    # multi-key field sort with missing-last policy
+    sql["q_sort_multi"] = _PRELUDE + """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM sc WHERE term = 'spark')
+ORDER BY d.lang ASC NULLS LAST, d.n_chars DESC, d.doc_id
+LIMIT 10"""
+
     # MoreLikeThis: top-5 seed-doc terms by tf*ln(N/df) (ties: term asc),
     # scored as an OR query, seed excluded
     sql["q_mlt_topk"] = _PRELUDE + """
@@ -2237,13 +2339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3: pluggable similarities
         "q_classic_topk": q_classic_topk,
         "q_lmdirichlet_topk": q_lmdirichlet_topk,
-        "q_lmjm_topk": q_lmjm_topk,
-        "q_boolean_sim_topk": q_boolean_sim_topk,
         # round-3: query-time joins, facets, function scores
         "q_join_topk": q_join_topk,
         "q_blockjoin_topk": q_blockjoin_topk,
         "q_facet_range": q_facet_range,
-        "q_facet_pivot": q_facet_pivot,
         "q_function_score_topk": q_function_score_topk,
         "q_boost_by_query_topk": q_boost_by_query_topk,
         # round-3: grouping / collapse / stats / rescoring / term vectors
@@ -2258,6 +2357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stem_minimal_topk": q_stem_minimal_topk,
         # round-3: CommonTermsQuery df-split rewrite
         "q_common_terms_topk": q_common_terms_topk,
+        # round-3: shingle (phrase-as-term) field
+        "q_shingle_term_topk": q_shingle_term_topk,
+        # round-3: PointInSet + multi-key sort
+        "q_numeric_set_topk": q_numeric_set_topk,
+        "q_sort_multi": q_sort_multi,
         # round-3: LatLonPoint-style geo (box / distance sort / radius)
         "q_geo_box_stats": q_geo_box_stats,
         "q_geo_nearest_topk": q_geo_nearest_topk,
@@ -2298,6 +2402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracles.py against the same DuckDB oracles
         # (docs/CORRECTNESS_SELF_r03.log) and by dedicated pytest
         # files. ---
+        "q_facet_pivot": q_facet_pivot,
+        "q_boolean_sim_topk": q_boolean_sim_topk,
+        "q_lmjm_topk": q_lmjm_topk,
         "q_suggest_prefix": q_suggest_prefix,
         "q_must_should_overlap_topk": q_must_should_overlap_topk,
         "q_blockjoin_children": q_blockjoin_children,

@@ -256,6 +256,40 @@ def numeric_range_filter(searcher, query, docs: DataFrame, col: str,
     return scored.join(rng, "doc_id")
 
 
+def numeric_set_filter(searcher, query, docs: DataFrame, col: str,
+                       values) -> DataFrame:
+    """Text query ∧ doc-value IN set — the PointInSetQuery surface
+    (`search/PointInSetQuery.java:59`, the sorted-set BKD intersect):
+    the set side is a Catalyst In/InSet predicate (pushed to the
+    Parquet scan), the text side runs in the kernel. → (doc_id, score)."""
+    scored = searcher.score_all(query, mode="f64")
+    hits = docs.filter(F.col(col).isin(list(values))).select("doc_id")
+    return scored.join(hits, "doc_id")
+
+
+def sort_by_fields(searcher, query, docs: DataFrame, keys,
+                   k: int = 10) -> DataFrame:
+    """Multi-key TopFieldCollector (`search/Sort.java:44` — a Sort of
+    several SortFields; `search/SortField.java` setMissingValue is the
+    per-key missing policy, Solr's sortMissingLast): ``keys`` is
+    [(column, ascending, nulls_last)], doc_id breaks remaining ties.
+    Plain Catalyst TakeOrderedAndProject over matched docs."""
+    hits = searcher.match_docs(query).distinct()
+    cols = [c for c, _, _ in keys]
+    j = hits.join(docs.select("doc_id", *cols), "doc_id")
+    order = []
+    for col, asc, nulls_last in keys:
+        c = F.col(col)
+        if asc:
+            order.append(c.asc_nulls_last() if nulls_last
+                         else c.asc_nulls_first())
+        else:
+            order.append(c.desc_nulls_last() if nulls_last
+                         else c.desc_nulls_first())
+    order.append(F.asc("doc_id"))
+    return j.orderBy(*order).limit(k)
+
+
 def sort_by_field(searcher, query, docs: DataFrame, field_col: str,
                   ascending: bool = False, k: int = 10) -> DataFrame:
     """TopFieldCollector: hits ordered by a doc-value column (tie: doc_id
