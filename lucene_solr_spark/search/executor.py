@@ -119,6 +119,17 @@ class Searcher:
         # immutable, queries repeat terms, and each miss costs a (tiny but
         # job-scheduling-bound) filtered collect — the TermStates analog
         self._term_stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
+        self._gram_index = None
+
+    @property
+    def gram_index(self):
+        """Dictionary q-gram index (multiterm.build_gram_index), built
+        lazily on first wildcard query and cached for the searcher's
+        lifetime — the automaton∩dictionary intersection analog."""
+        if self._gram_index is None:
+            from . import multiterm as mt
+            self._gram_index = mt.build_gram_index(self.index.terms).cache()
+        return self._gram_index
 
     # -- driver-side stats (collectionStatistics/termStatistics analog) ----
     def term_stats(self, keys: list[tuple[str, str]]) -> dict:
@@ -153,7 +164,9 @@ class Searcher:
             if isinstance(q, PrefixQuery):
                 ts = mt.prefix_terms(self.index.terms, q.prefix, field=q.field)
             elif isinstance(q, WildcardQuery):
-                ts = mt.wildcard_terms(self.index.terms, q.pattern, field=q.field)
+                ts = mt.wildcard_terms_ngram(self.index.terms,
+                                             self.gram_index, q.pattern,
+                                             field=q.field)
             elif isinstance(q, RegexpQuery):
                 ts = mt.regexp_terms(self.index.terms, q.pattern, field=q.field)
             elif isinstance(q, FuzzyQuery):

@@ -24,11 +24,14 @@ dictionary scan); the driver still receives at most `size` terms.
 from __future__ import annotations
 
 import fnmatch
+import re
 
 from pyspark.sql import functions as F
 
 from .ast import (DEFAULT_FIELD, MAX_CLAUSE_COUNT, BooleanQuery, Clause,
                   Occur, TermQuery)
+
+GRAM_N = 3
 
 
 def _collect_terms(terms_df, cond, field: str = DEFAULT_FIELD,
@@ -47,13 +50,19 @@ def prefix_terms(terms_df, prefix: str, field: str = DEFAULT_FIELD,
                           size)
 
 
+def _wildcard_rx(pattern: str) -> str:
+    """Wildcard → FULL-match regex. ``rlike`` is substring-matching, so
+    the translated pattern needs the explicit ``^`` anchor (translate()
+    only appends ``\\Z``) — without it ``me?ge`` would also match term
+    *suffixes* like ``xmeage``."""
+    return "^" + fnmatch.translate(pattern).replace(r"(?s:", "(?:")
+
+
 def wildcard_terms(terms_df, pattern: str, field: str = DEFAULT_FIELD,
                    size: int = MAX_CLAUSE_COUNT) -> list[str]:
     """Lucene wildcard: * any run, ? one char (translated to a regex)."""
-    rx = fnmatch.translate(pattern)
-    return _collect_terms(
-        terms_df, F.col("term").rlike(rx.replace(r"(?s:", "(?:")), field,
-        size)
+    return _collect_terms(terms_df, F.col("term").rlike(_wildcard_rx(pattern)),
+                          field, size)
 
 
 def regexp_terms(terms_df, pattern: str, field: str = DEFAULT_FIELD,
@@ -91,6 +100,69 @@ def fuzzy_terms(terms_df, term: str, max_edits: int = 2,
             & (F.length("term") <= len(term) + max_edits)
             & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits))
     return _collect_terms(terms_df, cond, field, size)
+
+
+def build_gram_index(terms_df, n: int = GRAM_N):
+    """Dictionary q-gram index (field, gram, term): n-char grams over
+    the sentinel-padded term ``^term$`` (so pattern literals anchored at
+    either end produce anchored grams). The relational analog of the
+    automaton∩FST dictionary intersection the reference uses for
+    wildcard expansion (`search/WildcardQuery.java:42` compiles an
+    Automaton; `index/...TermsEnum.intersect` walks only compatible
+    dictionary regions): a wildcard's literal runs become a gram
+    semi-join touching a bounded dictionary slice, with the regex
+    verify running only on candidates. Terms too short to carry a gram
+    (padded length < n) are excluded — they also cannot match any
+    pattern that requires a gram, so candidate recall is exact.
+
+    Build once per index and cache; size ≈ Σ(len(term)+3−n) rows."""
+    return (terms_df
+            .filter(F.length("term") >= n - 2)
+            .select("field", "term",
+                    F.explode(F.expr(
+                        f"transform(sequence(1, length(term) + 3 - {n}), "
+                        f"i -> substring(concat('^', term, '$'), i, {n}))"
+                    )).alias("gram")))
+
+
+def _pattern_grams(pattern: str, n: int = GRAM_N) -> set[str]:
+    """Required q-grams from the wildcard pattern's literal runs
+    (anchored with ^/$ when the pattern is literal at that end). Empty
+    → no literal long enough; caller falls back to the full scan."""
+    grams: set[str] = set()
+    for m in re.finditer(r"[^*?]+", pattern):
+        lit = m.group(0)
+        if m.start() == 0:
+            lit = "^" + lit
+        if m.end() == len(pattern):
+            lit = lit + "$"
+        grams |= {lit[i:i + n] for i in range(len(lit) - n + 1)}
+    return grams
+
+
+def wildcard_terms_ngram(terms_df, gram_df, pattern: str,
+                         field: str = DEFAULT_FIELD,
+                         size: int = MAX_CLAUSE_COUNT,
+                         n: int = GRAM_N) -> list[str]:
+    """Wildcard expansion via the q-gram candidate semi-join; exact —
+    every true match contains all required grams, and candidates are
+    regex-verified. Falls back to :func:`wildcard_terms` when the
+    pattern carries no usable literal (e.g. ``?a*``)."""
+    grams = _pattern_grams(pattern, n)
+    if not grams:
+        return wildcard_terms(terms_df, pattern, field, size)
+    cand = (gram_df.filter((F.col("field") == field)
+                           & F.col("gram").isin(sorted(grams)))
+            .groupBy("term")
+            .agg(F.countDistinct("gram").alias("ng"))
+            .filter(F.col("ng") == len(grams))
+            .select("term"))
+    rows = (terms_df.filter(F.col("field") == field)
+            .join(cand, "term")
+            .filter(F.col("term").rlike(_wildcard_rx(pattern)))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term")).limit(size).collect())
+    return sorted(r["term"] for r in rows)
 
 
 def expanded_or(terms: list[str], field: str = DEFAULT_FIELD) -> BooleanQuery:
