@@ -858,6 +858,39 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_interval_ordered_topk(spark, sf_dir):
+    """IntervalQuery maxgaps(3, ordered(key, agg))
+    (queries/intervals/IntervalQuery.java:73): canonical minimal
+    ordered intervals, gaps ≤ 3; freq = Σ 1/max(len − 2 + 1, 1),
+    score = 1 − 1/(1 + freq) (IntervalScorer.java:66-72 +
+    SaturationFunction pivot 1)."""
+    from lucene_solr_spark.search.ast import (
+        IntervalMaxGaps, IntervalOrdered, IntervalQuery, IntervalTerm)
+    q = IntervalQuery(IntervalMaxGaps(
+        IntervalOrdered((IntervalTerm("key"), IntervalTerm("agg"))), gaps=3))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_interval_unordered_topk(spark, sf_dir):
+    """IntervalQuery unordered(key, part)
+    (UnorderedIntervalsSource.java): minimal envelopes in either order,
+    saturation-scored."""
+    from lucene_solr_spark.search.ast import (
+        IntervalQuery, IntervalTerm, IntervalUnordered)
+    q = IntervalQuery(IntervalUnordered((IntervalTerm("key"),
+                                         IntervalTerm("part"))))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_interval_block_topk(spark, sf_dir):
+    """IntervalQuery block(key, agg) (BlockIntervalsSource.java —
+    Intervals.phrase): contiguous runs; every interval has length =
+    minExtent so freq = run count and score = freq/(1 + freq)."""
+    from lucene_solr_spark.search.ast import IntervalBlock, IntervalQuery
+    q = IntervalQuery(IntervalBlock(("key", "agg")))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_edismax_topk(spark, sf_dir):
     """DisMax handler surface (qf={text:1, title:2}, tie=0.3): each
     query term scores as max-over-fields + tie x rest
@@ -1786,6 +1819,54 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    # interval queries: canonical minimal-interval sets stated directly
+    # in SQL — all admissible pairs, keep min end per start, strip
+    # intervals containing a later-start/≤-end one; saturation scoring
+    # is norm/idf-free (1 − 1/(1 + freq), pivot 1, boost 1)
+    _IV_TAIL = """
+SELECT doc_id, ROUND(1.0 - 1.0 / (1.0 + freq), 4) AS score
+FROM pf ORDER BY 1.0 - 1.0 / (1.0 + freq) DESC, doc_id LIMIT 10"""
+
+    sql["q_interval_ordered_topk"] = _PRELUDE + _POS_CTE + """
+, opair AS (
+  SELECT a.doc_id, a.p AS s, b.p AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.p < b.p
+  WHERE a.term = 'key' AND b.term = 'agg'
+), omin1 AS (
+  SELECT doc_id, s, MIN(e) AS e FROM opair GROUP BY doc_id, s
+), omin AS (
+  SELECT doc_id, s, e FROM omin1 m
+  WHERE NOT EXISTS (SELECT 1 FROM omin1 m2 WHERE m2.doc_id = m.doc_id
+                    AND m2.s > m.s AND m2.e <= m.e)
+), pf AS (
+  SELECT doc_id, SUM(1.0 / GREATEST(e - s + 1 - 2 + 1, 1)) AS freq
+  FROM omin WHERE (e - s + 1) - 2 <= 3 GROUP BY doc_id
+)""" + _IV_TAIL
+
+    sql["q_interval_unordered_topk"] = _PRELUDE + _POS_CTE + """
+, upair AS (
+  SELECT a.doc_id, LEAST(a.p, b.p) AS s, GREATEST(a.p, b.p) AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = 'key' AND b.term = 'part'
+), umin1 AS (
+  SELECT doc_id, s, MIN(e) AS e FROM upair GROUP BY doc_id, s
+), umin AS (
+  SELECT doc_id, s, e FROM umin1 m
+  WHERE NOT EXISTS (SELECT 1 FROM umin1 m2 WHERE m2.doc_id = m.doc_id
+                    AND m2.s > m.s AND m2.e <= m.e)
+), pf AS (
+  SELECT doc_id, SUM(1.0 / GREATEST(e - s + 1 - 2 + 1, 1)) AS freq
+  FROM umin GROUP BY doc_id
+)""" + _IV_TAIL
+
+    sql["q_interval_block_topk"] = _PRELUDE + _POS_CTE + """
+, pf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS freq
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id
+)""" + _IV_TAIL
+
     # edismax qf={text:1,title:2} tie=0.3 over terms (part, merge):
     # per term, dismax of the per-field BM25 partials; sum over terms
     sql["q_edismax_topk"] = _PRELUDE + _TITLE_CTES + """
@@ -2371,6 +2452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_interval_ordered_topk": q_interval_ordered_topk,
+        "q_interval_unordered_topk": q_interval_unordered_topk,
+        "q_interval_block_topk": q_interval_block_topk,
         "q_edismax_topk": q_edismax_topk,
         "q_span_near_topk": q_span_near_topk,
         # round-3: composite span queries

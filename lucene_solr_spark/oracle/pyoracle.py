@@ -19,6 +19,7 @@ BooleanWeight builds one scorer per clause.
 from __future__ import annotations
 
 import bisect
+import itertools
 
 import numpy as np
 
@@ -322,6 +323,100 @@ class OracleIndex:
                 out[d] = sorted(spans)
         return out
 
+    def _interval_op_intervals(self, op, field: str) -> dict[int, list]:
+        """Interpret an iv-op tree → {doc: [(start, end, Σ child widths)]}
+        by BRUTE FORCE over the canonical minimal-interval semantics
+        (enumerate every admissible combination of child intervals, then
+        remove any interval that non-strictly contains another) — an
+        independent spec the executor's vectorized fold is differential-
+        tested against, not a mirror of it."""
+        def minimalize(cands: list) -> list:
+            # same envelope from different child combos keeps the MAX
+            # Σ child widths (the executor's deterministic fl rule)
+            best: dict = {}
+            for s, e, l in cands:
+                best[(s, e)] = max(best.get((s, e), -1), l)
+            ivs = [(s, e, l) for (s, e), l in best.items()]
+            out = [x for x in ivs
+                   if not any((y[0], y[1]) != (x[0], x[1])
+                              and y[0] >= x[0] and y[1] <= x[1]
+                              for y in ivs)]
+            return sorted(out)
+
+        o = op["op"]
+        if o == "iterm":
+            fpos = self.positions.get(field, {}).get(op["key"][1], {})
+            return {d: [(p, p, 1) for p in sorted(ps)]
+                    for d, ps in fpos.items()}
+        if o == "iblock":
+            keys = [t for _, t in op["keys"]]
+            per = [self.positions.get(field, {}).get(t, {}) for t in keys]
+            docs = set(per[0])
+            for m in per[1:]:
+                docs &= set(m)
+            out = {}
+            for d in docs:
+                runs = [(p, p + len(keys) - 1, len(keys))
+                        for p in sorted(per[0][d])
+                        if all(p + i in per[i][d] for i in range(1, len(keys)))]
+                if runs:
+                    out[d] = runs
+            return out
+        if o in ("iord", "iunord"):
+            kids = [self._interval_op_intervals(ch, field)
+                    for ch in op["children"]]
+            docs = set(kids[0])
+            for k in kids[1:]:
+                docs &= set(k)
+            out = {}
+            for d in docs:
+                cands = []
+                for combo in itertools.product(*(k[d] for k in kids)):
+                    if o == "iord":
+                        if any(combo[i + 1][0] <= combo[i][1]
+                               for i in range(len(combo) - 1)):
+                            continue
+                    s = min(x[0] for x in combo)
+                    e = max(x[1] for x in combo)
+                    cands.append((s, e, sum(x[2] for x in combo)))
+                kept = minimalize(cands)
+                if kept:
+                    out[d] = kept
+            return out
+        inner = self._interval_op_intervals(op["child"], field)
+        if o == "imaxgaps":
+            out = {d: [x for x in sp if x[1] - x[0] + 1 - x[2] <= op["gaps"]]
+                   for d, sp in inner.items()}
+        else:    # imaxwidth
+            out = {d: [x for x in sp if x[1] - x[0] + 1 <= op["width"]]
+                   for d, sp in inner.items()}
+        return {d: sp for d, sp in out.items() if sp}
+
+    def _interval_scores(self, c, boost_mult: float = 1.0):
+        """IntervalQuery leaf (executor._eval_interval spec): freq = Σ
+        1/max(length − minExtent + 1, 1) accumulated in f64, saturation
+        applied in f32 — w32 × (1 − pivot/(pivot + freq))."""
+        field = c["field"]
+        if any(t not in self.postings.get(f, {})
+               for f, t in self._iv_keys(c["root"])):
+            return {}
+        iv = self._interval_op_intervals(c["root"], field)
+        me = c["root"]["min_extent"]
+        w = np.float32(c["boost"] * boost_mult)
+        p = np.float32(c["pivot"])
+        out = {}
+        for d, sp in iv.items():
+            freq = float(sum(1.0 / max(e - s + 1 - me + 1, 1)
+                             for s, e, _ in sp))
+            f = np.float32(freq)
+            out[d] = np.float32(w * (np.float32(1.0) - p / (p + f)))
+        return out
+
+    @staticmethod
+    def _iv_keys(op) -> list:
+        from ..search.executor import _interval_op_keys
+        return _interval_op_keys(op)
+
     def _spantree_scores(self, c, boost_mult: float = 1.0):
         """Composite span query — freq = Σ 1/(1+width), BM25 weight over
         the distinct scoring keys (the executor's spantree leaf)."""
@@ -391,6 +486,8 @@ class OracleIndex:
                                      c["boost"] * boost_mult)
         if c["kind"] == "spantree":
             return self._spantree_scores(c, boost_mult)
+        if c["kind"] == "interval":
+            return self._interval_scores(c, boost_mult)
         per = [self._leaf_scores(ch, boost_mult * c.get("boost", 1.0))
                for ch in c["children"]]
         return self._dismax_combine(per, c["tie"])
@@ -406,7 +503,8 @@ class OracleIndex:
         appearance order, then SHOULD children) — so engine and oracle
         agree bit-for-bit on nested plans."""
         kind = node["kind"]
-        if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
+        if kind in ("term", "phrase", "multiphrase", "span", "spantree",
+                    "interval"):
             sc = self._leaf_scores(node)
             return set(sc), (sc if scoring else {})
         if kind == "dismax":

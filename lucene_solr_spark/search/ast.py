@@ -160,6 +160,99 @@ SPAN_NODES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanNotQuery,
               SpanFirstQuery)
 
 
+# ---- interval sources (queries/intervals — minimal-interval semantics) ----
+#
+# The reference's Intervals factory (`queries/intervals/Intervals.java`)
+# builds IntervalsSource trees consumed by IntervalQuery. Each source
+# enumerates per-document intervals [start, end] (inclusive, term
+# interval start == end); composition is by the minimal-interval
+# algebra: no enumerated interval properly contains another enumerated
+# interval of the same source.
+
+@dataclass(frozen=True)
+class IntervalTerm:
+    """`Intervals.term` — one interval per occurrence, width 1."""
+    term: str
+
+
+@dataclass(frozen=True)
+class IntervalOrdered:
+    """`Intervals.ordered` (`OrderedIntervalsSource.java:27`): minimal
+    intervals containing one interval of each source IN ORDER, each
+    child strictly after the previous one (child i advances while
+    start ≤ prev end, `OrderedIntervalsSource.java:148`);
+    minExtent = Σ child minExtents (`:83-88`)."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IntervalUnordered:
+    """`Intervals.unordered` (`UnorderedIntervalsSource.java`): minimal
+    windows containing one interval of each source in any order
+    (overlaps allowed). The kernel supports exactly TWO sources — the
+    k-source queue generalization is not vectorizable the same way and
+    raises."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IntervalBlock:
+    """`Intervals.phrase` (`BlockIntervalsSource.java`): contiguous run
+    — child i starts exactly at prev end + 1; for terms this is the
+    exact-phrase interval (width = len(terms), gaps = 0)."""
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class IntervalMaxGaps:
+    """`Intervals.maxgaps` (`FilteredIntervalsSource.java` MaxGaps):
+    keeps intervals whose gaps() ≤ `gaps`, where gaps = width − Σ child
+    widths (`OrderedIntervalsSource.java:156-158`)."""
+    source: object
+    gaps: int
+
+
+@dataclass(frozen=True)
+class IntervalMaxWidth:
+    """`Intervals.maxwidth` (`FilteredIntervalsSource.java` MaxWidth):
+    keeps intervals with (end − start + 1) ≤ `width`."""
+    source: object
+    width: int
+
+
+INTERVAL_SOURCES = (IntervalTerm, IntervalOrdered, IntervalUnordered,
+                    IntervalBlock, IntervalMaxGaps, IntervalMaxWidth)
+
+
+@dataclass(frozen=True)
+class IntervalQuery:
+    """`queries/intervals/IntervalQuery.java:73`: scores each matching
+    doc with the saturation function over the interval freq —
+    freq = Σ 1 / max(length − minExtent + 1, 1) over enumerated
+    intervals (`IntervalScorer.java:66-72`), score = boost ×
+    (1 − pivot/(pivot + freq)) (`IntervalScoreFunction.java:69-73`,
+    default pivot 1). Norm-free: the similarity is NOT consulted
+    (`IntervalScorer` scores via the score function, not the session
+    Similarity)."""
+    source: object
+    field: str = DEFAULT_FIELD
+    pivot: float = 1.0
+
+
+def interval_source_keys(src, field: str) -> list[tuple[str, str]]:
+    """All (field, term) keys under an interval source, appearance order."""
+    if isinstance(src, IntervalTerm):
+        return [(field, src.term)]
+    if isinstance(src, IntervalBlock):
+        return [(field, t) for t in src.terms]
+    if isinstance(src, (IntervalOrdered, IntervalUnordered)):
+        return [k for ch in src.sources
+                for k in interval_source_keys(ch, field)]
+    if isinstance(src, (IntervalMaxGaps, IntervalMaxWidth)):
+        return interval_source_keys(src.source, field)
+    raise ValueError(f"not an interval source: {src!r}")
+
+
 @dataclass(frozen=True)
 class BoostQuery:
     """BoostQuery.java:34 — multiplies the wrapped query's score."""
@@ -375,6 +468,9 @@ def collect_terms(q) -> list[tuple[str, str]]:
                     add(n.field, t)
         elif isinstance(n, SPAN_NODES):
             for f, t in span_leaf_keys(n):
+                add(f, t)
+        elif isinstance(n, IntervalQuery):
+            for f, t in interval_source_keys(n.source, n.field):
                 add(f, t)
         elif isinstance(n, BooleanQuery):
             for c in n.clauses:

@@ -75,6 +75,9 @@ from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
 from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
                   BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
+                  IntervalBlock, IntervalMaxGaps, IntervalMaxWidth,
+                  IntervalOrdered, IntervalQuery, IntervalTerm,
+                  IntervalUnordered,
                   MatchAllQuery, MatchNoQuery, MultiPhraseQuery, Occur,
                   PhraseQuery, PrefixQuery,
                   RegexpQuery, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
@@ -525,11 +528,55 @@ def _span_leaf(q, boost: float):
                 "slop": int(q.slop), "boost": boost}
     keys = span_leaf_keys(q)
     fields = {f for f, _ in keys}
-    if len(fields) != 1:
+    if len(fields) > 1:
         raise ValueError(
             f"span query clauses must share one field, got {sorted(fields)}")
     return {"kind": "spantree", "root": _span_op(q), "boost": boost,
-            "field": next(iter(fields))}
+            "field": keys[0][0] if keys else q.field}
+
+
+def _interval_op(src, field: str):
+    """Compile an interval source AST → iv-op dict with its static
+    minExtent (OrderedIntervalsSource.java:83-88 — Σ child minExtents;
+    filters delegate to the wrapped source)."""
+    if isinstance(src, IntervalTerm):
+        return {"op": "iterm", "key": (field, src.term), "min_extent": 1}
+    if isinstance(src, IntervalBlock):
+        if len(src.terms) < 2:
+            raise ValueError("interval block needs >= 2 terms")
+        return {"op": "iblock", "keys": [(field, t) for t in src.terms],
+                "min_extent": len(src.terms)}
+    if isinstance(src, IntervalOrdered):
+        if len(src.sources) < 2:
+            raise ValueError("ordered intervals need >= 2 sources")
+        kids = [_interval_op(ch, field) for ch in src.sources]
+        return {"op": "iord", "children": kids,
+                "min_extent": sum(k["min_extent"] for k in kids)}
+    if isinstance(src, IntervalUnordered):
+        if len(src.sources) != 2:
+            raise ValueError(
+                "the kernel supports unordered intervals over exactly 2 "
+                "sources (the k-source queue shape is not vectorized)")
+        kids = [_interval_op(ch, field) for ch in src.sources]
+        return {"op": "iunord", "children": kids,
+                "min_extent": sum(k["min_extent"] for k in kids)}
+    if isinstance(src, IntervalMaxGaps):
+        kid = _interval_op(src.source, field)
+        return {"op": "imaxgaps", "child": kid, "gaps": int(src.gaps),
+                "min_extent": kid["min_extent"]}
+    if isinstance(src, IntervalMaxWidth):
+        kid = _interval_op(src.source, field)
+        return {"op": "imaxwidth", "child": kid, "width": int(src.width),
+                "min_extent": kid["min_extent"]}
+    raise ValueError(f"not an interval source: {src!r}")
+
+
+def _interval_leaf(q: IntervalQuery, boost: float):
+    """IntervalQuery AST → kernel leaf clause (kind "interval")."""
+    if not (q.pivot > 0):
+        raise ValueError(f"pivot must be > 0, got {q.pivot}")
+    return {"kind": "interval", "root": _interval_op(q.source, q.field),
+            "boost": boost, "pivot": float(q.pivot), "field": q.field}
 
 
 def _flat_plan(query):
@@ -574,12 +621,14 @@ def _flat_plan(query):
                     "slop": int(q.slop), "boost": boost}
         if isinstance(q, SPAN_NODES):
             return _span_leaf(q, boost)
+        if isinstance(q, IntervalQuery):
+            return _interval_leaf(q, boost)
         if isinstance(q, DisjunctionMaxQuery):
             children = []
             for d in q.disjuncts:
                 c = leaf_clause(d, 1.0)
                 if c["kind"] not in ("term", "phrase", "multiphrase",
-                                     "span", "spantree"):
+                                     "span", "spantree", "interval"):
                     # dismax of nested booleans → recursive tree plan
                     raise ValueError("flat dismax disjuncts must be leaves")
                 children.append(c)
@@ -611,7 +660,8 @@ def _flat_plan(query):
         groups.append(members)
 
     if isinstance(query, (TermQuery, PhraseQuery, MultiPhraseQuery,
-                          BoostQuery, DisjunctionMaxQuery) + SPAN_NODES):
+                          BoostQuery, DisjunctionMaxQuery,
+                          IntervalQuery) + SPAN_NODES):
         c = leaf_clause(query, boost_all)
         c.update(scoring=True, group=None, should=True)
         shoulds.append(c)
@@ -679,6 +729,8 @@ def build_tree(query, boost: float = 1.0):
                 "slop": int(query.slop), "boost": boost}
     if isinstance(query, SPAN_NODES):
         return _span_leaf(query, boost)
+    if isinstance(query, IntervalQuery):
+        return _interval_leaf(query, boost)
     if isinstance(query, DisjunctionMaxQuery):
         return {"kind": "dismax",
                 "children": [build_tree(d, boost) for d in query.disjuncts],
@@ -707,10 +759,26 @@ def _leaf_keys(c) -> list:
         return [k for slot in c["slots"] for k in slot]
     if c["kind"] == "spantree":
         return _span_op_keys(c["root"], scoring_only=False)
+    if c["kind"] == "interval":
+        return _interval_op_keys(c["root"])
     out = []
     for ch in c["children"]:
         out.extend(_leaf_keys(ch))
     return out
+
+
+def _interval_op_keys(op) -> list:
+    """Leaf keys of an iv-op tree, appearance order. Every key is
+    REQUIRED (ordered/unordered/block are conjunctions; filters pass
+    through), so presence analysis reuses this list."""
+    o = op["op"]
+    if o == "iterm":
+        return [op["key"]]
+    if o == "iblock":
+        return list(op["keys"])
+    if o in ("iord", "iunord"):
+        return [k for ch in op["children"] for k in _interval_op_keys(ch)]
+    return _interval_op_keys(op["child"])    # imaxgaps / imaxwidth
 
 
 def _span_op_keys(op, scoring_only: bool) -> list:
@@ -828,6 +896,16 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
             sum(np.float32(weights[k]["idf32"]) for k in keys))))
         w64 = b * sum(weights[k]["idf64"] for k in keys)
         return dict(c, w32=w32, w64=w64)
+    if kind == "interval":
+        # saturation scoring is norm/idf-free (IntervalScorer scores via
+        # the score function, never the session Similarity) — the only
+        # weight is the boost, which also bounds the score from above:
+        # boost × (1 − pivot/(pivot+freq)) < boost for any finite freq
+        keys = _interval_op_keys(c["root"])
+        if not all(k in st for k in keys):
+            return None    # every interval key is required (conjunction)
+        b = c["boost"] * outer_boost
+        return dict(c, w32=float(np.float32(b)), w64=b)
     if kind == "multiphrase":
         if sim != "bm25":
             raise ValueError(
@@ -883,7 +961,8 @@ def _annotate_tree(node, st, weights, sim: str = "bm25"):
     cannot match: a required child is dead, or msm exceeds the live
     SHOULD count — the stats-level analog of the rewrite rules)."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree",
+                "interval"):
         return _annotate_leaf(node, st, weights, sim=sim)
     if kind == "dismax":
         kids = [_annotate_tree(ch, st, weights, sim)
@@ -1170,6 +1249,8 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
             res = _eval_span(c, data, spec, dtype)
         elif c["kind"] == "spantree":
             res = _eval_spantree(c, data, spec, dtype)
+        elif c["kind"] == "interval":
+            res = _eval_interval(c, data, spec, dtype)
         else:
             res = _eval_dismax(c, data, spec, dtype, grid)
         if res is None:
@@ -1263,6 +1344,8 @@ def _eval_leaf(c, data: "_BucketData", spec, dtype, grid):
         return _eval_span(c, data, spec, dtype)
     if c["kind"] == "spantree":
         return _eval_spantree(c, data, spec, dtype)
+    if c["kind"] == "interval":
+        return _eval_interval(c, data, spec, dtype)
     return _eval_dismax(c, data, spec, dtype, grid)
 
 
@@ -1301,7 +1384,8 @@ def _score_bucket_tree(grp: pd.DataFrame, spec, threshold, heap):
 def _tree_present(node, data: "_BucketData") -> bool:
     """Cheap dictionary-presence check: can the node match in-bucket?"""
     kind = node["kind"]
-    if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree",
+                "interval"):
         return _clause_present(node, data)
     if kind == "dismax":
         return any(_tree_present(ch, data) for ch in node["children"])
@@ -1324,7 +1408,7 @@ def _tree_ub(node, data: "_BucketData", spec, dtype) -> float:
     (block-max skylines; FILTER/MUST_NOT contribute nothing)."""
     kind = node["kind"]
     if kind in ("term", "phrase", "multiphrase", "span", "spantree",
-                "dismax"):
+                "interval", "dismax"):
         return _leaf_ub(node, data, spec, dtype)
     return (sum(_tree_ub(ch, data, spec, dtype) for ch in node["must"])
             + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"]))
@@ -1337,7 +1421,8 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
     f32 accumulation order (children in appearance order, MUST before
     SHOULD) is replicated by the pure-Python oracle's tree interpreter."""
     kind = node["kind"]
-    if kind in ("term", "phrase", "multiphrase", "span", "spantree"):
+    if kind in ("term", "phrase", "multiphrase", "span", "spantree",
+                "interval"):
         if kind == "term":
             res = _eval_term(node, data, spec, dtype)
         elif kind == "phrase":
@@ -1346,6 +1431,8 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
             res = _eval_multiphrase(node, data, spec, dtype)
         elif kind == "span":
             res = _eval_span(node, data, spec, dtype)
+        elif kind == "interval":
+            res = _eval_interval(node, data, spec, dtype)
         else:
             res = _eval_spantree(node, data, spec, dtype)
         mask = np.zeros(grid, dtype=bool)
@@ -1420,6 +1507,8 @@ def _clause_present(c, data: _BucketData) -> bool:
         # required-leaf presence (sor alternatives / snot excludes are
         # optional); conservative — never skips a matchable bucket
         return all(k in data.by_key for k in c["required"])
+    if c["kind"] == "interval":
+        return all(k in data.by_key for k in _interval_op_keys(c["root"]))
     return any(_clause_present(ch, data) for ch in c["children"])
 
 
@@ -1509,7 +1598,7 @@ def _leaf_ub(c, data: _BucketData, spec, dtype) -> float:
         for fr, no in zip(g["imp_freqs"], g["imp_norms"]):
             m = max(m, _max_impact(fr, no, w, field, spec, dtype))
         return m
-    if c["kind"] in ("multiphrase", "spantree"):
+    if c["kind"] in ("multiphrase", "spantree", "interval"):
         if not _clause_present(c, data):
             return 0.0
         # BM25 is bounded by the clause weight for ANY freq:
@@ -1899,6 +1988,190 @@ def _eval_spantree(c, data: _BucketData, spec, dtype):
         f = pf.astype(np.float64)
         k1, b = spec["k1"], spec["b"]
         s = w * f / (f + k1 * (1.0 - b + b * dl / spec["avgdl64"][field]))
+    return idxs, s
+
+
+_IV_EMPTY = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+
+def _iv_minimalize(fd, fs, fe, fl):
+    """Canonical minimal-interval filter: drop every interval that
+    (non-strictly) contains another enumerated interval. Input need not
+    be sorted; output sorted by (doc, start) with starts AND ends
+    strictly increasing within each doc — the invariant every iv-op
+    relies on."""
+    if len(fd) == 0:
+        return _IV_EMPTY
+    # sort (doc, start asc, end asc, Σwidths desc): equal envelopes
+    # keep the MAX child-width sum (fewest gaps — deterministic fl when
+    # the same envelope arises from different child combos)
+    order = np.lexsort((-fl, fe, fs, fd))
+    fd, fs, fe, fl = fd[order], fs[order], fe[order], fl[order]
+    # same (doc, start): keep the smallest end
+    ks = np.ones(len(fd), dtype=bool)
+    ks[1:] = (fd[1:] != fd[:-1]) | (fs[1:] != fs[:-1])
+    fd, fs, fe, fl = fd[ks], fs[ks], fe[ks], fl[ks]
+    # drop i when a LATER start in the same doc closes at e ≤ e_i: the
+    # suffix min of doc<<33|end answers the window query in one pass
+    # (later docs encode strictly larger, so cross-doc minima are inert)
+    enc_e = (fd << _POS_SHIFT) + fe
+    sufmin = np.minimum.accumulate(enc_e[::-1])[::-1]
+    keep = np.ones(len(fd), dtype=bool)
+    keep[:-1] = enc_e[:-1] < sufmin[1:]
+    return fd[keep], fs[keep], fe[keep], fl[keep]
+
+
+def _iv_combine_ordered(left, right):
+    """One fold step of minimal ORDERED intervals
+    (OrderedIntervalsSource.java:133-165 restated): for every right
+    interval j, the tightest left interval strictly before it (largest
+    end < right start — in a minimal stream largest end ⇔ largest
+    start); keeping the FIRST right per chosen left then yields exactly
+    the minimal set. Carries fl = Σ child actual widths for gaps()."""
+    ld, ls, le, ll = left
+    rd, rs, re, rl = right
+    if len(ld) == 0 or len(rd) == 0:
+        return _IV_EMPTY
+    enc_le = (ld << _POS_SHIFT) + le
+    tgt = (rd << _POS_SHIFT) + rs
+    i = np.searchsorted(enc_le, tgt, side="left") - 1
+    ir = np.maximum(i, 0)
+    ok = (i >= 0) & (ld[ir] == rd)
+    if not ok.any():
+        return _IV_EMPTY
+    ii = ir[ok]
+    fd, fs, fe = rd[ok], ls[ii], re[ok]
+    fl = ll[ii] + rl[ok]
+    # rights are sorted by (doc, start) → ii is non-decreasing within a
+    # doc; the first right per (doc, left) is the minimal one
+    first = np.ones(len(fd), dtype=bool)
+    first[1:] = (fd[1:] != fd[:-1]) | (ii[1:] != ii[:-1])
+    return fd[first], fs[first], fe[first], fl[first]
+
+
+def _iv_combine_unordered(left, right):
+    """Minimal UNORDERED intervals of two sources
+    (UnorderedIntervalsSource.java queue semantics, overlaps allowed):
+    candidates anchor each stream's interval to the other stream's
+    tightest preceding-or-equal start, both directions, then the
+    generic minimality filter removes dominated envelopes."""
+    ld, ls, le, ll = left
+    rd, rs, re, rl = right
+    if len(ld) == 0 or len(rd) == 0:
+        return _IV_EMPTY
+    outs = []
+    for (ad, as_, ae, al), (bd, bs, be, bl) in (
+            ((ld, ls, le, ll), (rd, rs, re, rl)),
+            ((rd, rs, re, rl), (ld, ls, le, ll))):
+        # for each b interval: the a with the largest start ≤ b start
+        enc_as = (ad << _POS_SHIFT) + as_
+        tgt = (bd << _POS_SHIFT) + bs
+        i = np.searchsorted(enc_as, tgt, side="right") - 1
+        ir = np.maximum(i, 0)
+        ok = (i >= 0) & (ad[ir] == bd)
+        if not ok.any():
+            continue
+        ii = ir[ok]
+        outs.append((bd[ok], as_[ii], np.maximum(ae[ii], be[ok]),
+                     al[ii] + bl[ok]))
+    if not outs:
+        return _IV_EMPTY
+    fd = np.concatenate([o[0] for o in outs])
+    fs = np.concatenate([o[1] for o in outs])
+    fe = np.concatenate([o[2] for o in outs])
+    fl = np.concatenate([o[3] for o in outs])
+    return _iv_minimalize(fd, fs, fe, fl)
+
+
+def _eval_interval_op(op, data: _BucketData):
+    """Recursively evaluate an iv-op tree within the bucket → flat
+    interval arrays (fd local doc, fs start, fe INCLUSIVE end, fl = Σ
+    child actual widths), sorted by (fd, fs) with the minimal-stream
+    invariant (starts and ends strictly increasing per doc). Fully
+    vectorized — no per-doc Python."""
+    o = op["op"]
+    if o == "iterm":
+        r = data.decode_positions(op["key"])
+        if r is None:
+            return _IV_EMPTY
+        _, _, _, fdoc, fpos = r
+        return (fdoc, fpos, fpos, np.ones(len(fpos), np.int64))
+    if o == "iblock":
+        # contiguous run (BlockIntervalsSource): term i exactly at
+        # anchor + i — the exact-phrase membership chain
+        per = []
+        for k in op["keys"]:
+            r = data.decode_positions(k)
+            if r is None:
+                return _IV_EMPTY
+            per.append(r)
+        _, _, _, fd0, fp0 = per[0]
+        if len(fd0) == 0:
+            return _IV_EMPTY
+        enc0 = (fd0 << _POS_SHIFT) + fp0
+        alive = np.ones(len(enc0), dtype=bool)
+        for i in range(1, len(op["keys"])):
+            _, _, _, fdi, fpi = per[i]
+            if len(fdi) == 0:
+                return _IV_EMPTY
+            enc = (fdi << _POS_SHIFT) + fpi
+            j = np.searchsorted(enc, enc0 + i, side="left")
+            jr = np.minimum(j, len(enc) - 1)
+            alive &= (j < len(enc)) & (enc[jr] == enc0 + i)
+        k = len(op["keys"])
+        fd, fs = fd0[alive], fp0[alive]
+        return (fd, fs, fs + (k - 1), np.full(len(fd), k, np.int64))
+    if o == "iord":
+        cur = _eval_interval_op(op["children"][0], data)
+        for ch in op["children"][1:]:
+            cur = _iv_combine_ordered(cur, _eval_interval_op(ch, data))
+            if len(cur[0]) == 0:
+                return _IV_EMPTY
+        return cur
+    if o == "iunord":
+        return _iv_combine_unordered(
+            _eval_interval_op(op["children"][0], data),
+            _eval_interval_op(op["children"][1], data))
+    fd, fs, fe, fl = _eval_interval_op(op["child"], data)
+    if len(fd) == 0:
+        return _IV_EMPTY
+    if o == "imaxgaps":
+        m = (fe - fs + 1 - fl) <= op["gaps"]
+    else:    # imaxwidth
+        m = (fe - fs + 1) <= op["width"]
+    return fd[m], fs[m], fe[m], fl[m]
+
+
+def _eval_interval(c, data: _BucketData, spec, dtype):
+    """IntervalQuery leaf: freq(doc) = Σ 1/max(length − minExtent + 1, 1)
+    over the enumerated minimal intervals (IntervalScorer.java:66-72),
+    score = boost × (1 − pivot/(pivot + freq))
+    (IntervalScoreFunction.java:69-73 SaturationFunction). Norm-free —
+    the session similarity is never consulted. Engine spec: freq is
+    accumulated in f64 (bincount); the f32 mode applies the saturation
+    in float32 on the f64 freq (Lucene accumulates freq itself in f32 —
+    divergence is below the 4-decimal gate and pinned in tests)."""
+    if not spec["with_positions"]:
+        raise ValueError(
+            "interval query requires an index built with positions")
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype))
+    fd, fs, fe, fl = _eval_interval_op(c["root"], data)
+    if len(fd) == 0:
+        return empty
+    me = c["root"]["min_extent"]
+    contrib = 1.0 / np.maximum((fe - fs + 1) - me + 1, 1).astype(np.float64)
+    pf_grid = np.bincount(fd, weights=contrib, minlength=spec["grid"])
+    idxs = np.flatnonzero(pf_grid > 0)
+    freq = pf_grid[idxs]
+    pivot = c["pivot"]
+    if dtype is np.float32:
+        w = np.float32(c["w32"])
+        p = np.float32(pivot)
+        f = freq.astype(np.float32)
+        s = w * (np.float32(1.0) - p / (p + f))
+    else:
+        s = c["w64"] * (1.0 - pivot / (pivot + freq))
     return idxs, s
 
 
