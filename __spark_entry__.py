@@ -858,6 +858,31 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_update_search_topk(spark, sf_dir):
+    """updateDocument (index/IndexWriter.java:1514 — atomic delete+add):
+    every doc with doc_id % 97 == 0 is replaced by a patched text
+    ('refreshed merge content ' prefix) under a FRESH doc_id
+    (max_doc + rank over old id); Lucene update semantics — the OLD
+    versions keep counting in df/ttf/doc_count/avgdl (tombstones hide,
+    merge drops), the NEW versions extend the stats. Search: 'merge'."""
+    from pyspark.sql import Window
+    from lucene_solr_spark.index import update_documents
+    docs, idx, _ = _index(spark, sf_dir)
+    old = docs.filter((F.col("doc_id") % 97) == 0)
+    m = docs.agg(F.max("doc_id")).collect()[0][0]
+    w = Window.orderBy("doc_id")
+    repl = (old.select(
+        (F.lit(m) + F.row_number().over(w)).cast("long").alias("doc_id"),
+        F.concat(F.lit("refreshed merge content "),
+                 F.col("text")).alias("text"))
+        .withColumn("title", F.expr(TITLE_EXPR)))
+    builder = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+                           salt_target=512, with_positions=True,
+                           fields=("text", "title"))
+    idx2 = update_documents(spark, idx, repl, old.select("doc_id"), builder)
+    return _topk(Searcher(spark, idx2, k1=K1, b=B), TermQuery("merge"))
+
+
 def q_interval_ordered_topk(spark, sf_dir):
     """IntervalQuery maxgaps(3, ordered(key, agg))
     (queries/intervals/IntervalQuery.java:73): canonical minimal
@@ -1819,6 +1844,25 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    # updateDocument: the patched corpus is base ∪ replacements; STATS
+    # run over the whole union (tombstoned originals still count — the
+    # Lucene delete model), matches exclude the replaced ids
+    sql["q_update_search_topk"] = ("""
+WITH base AS (SELECT doc_id, text FROM documents),
+mx AS (SELECT MAX(doc_id) AS m FROM base),
+upd AS (
+  SELECT doc_id AS old_id,
+         mx.m + ROW_NUMBER() OVER (ORDER BY doc_id) AS doc_id,
+         'refreshed merge content ' || text AS text
+  FROM base, mx WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id, text FROM upd)"""
+        + _PRELUDE.replace("WITH tok AS", ", tok AS")
+                  .replace("FROM documents", "FROM corpus") + """
+SELECT doc_id, ROUND(s, 4) AS score FROM sc
+WHERE term = 'merge' AND doc_id NOT IN (SELECT old_id FROM upd)
+ORDER BY s DESC, doc_id LIMIT 10""")
+
     # interval queries: canonical minimal-interval sets stated directly
     # in SQL — all admissible pairs, keep min end per start, strip
     # intervals containing a later-start/≤-end one; saturation scoring
@@ -2452,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_update_search_topk": q_update_search_topk,
         "q_interval_ordered_topk": q_interval_ordered_topk,
         "q_interval_unordered_topk": q_interval_unordered_topk,
         "q_interval_block_topk": q_interval_block_topk,

@@ -3,4 +3,4 @@
 from .builder import IndexBuilder, InvertedIndex  # noqa: F401
 from .compact import compact, needs_compaction  # noqa: F401
 from .deletes import delete_docs, expunge_deletes, live_doc_count  # noqa: F401
-from .merge import append  # noqa: F401
+from .merge import append, update_documents  # noqa: F401

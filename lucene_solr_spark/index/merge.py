@@ -118,3 +118,25 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
         out.deletes = dels
         out.deleted_array = idx.deleted_array
     return out
+
+
+def update_documents(spark: SparkSession, idx: InvertedIndex,
+                     replacements: DataFrame, old_ids,
+                     builder: IndexBuilder, doc_id_col: str = "doc_id",
+                     text_col: str = "text") -> InvertedIndex:
+    """IndexWriter.updateDocument analog (`index/IndexWriter.java:1514`
+    updateDocument = "atomically deletes ... and adds"): append the
+    replacement docs as a delta segment, then tombstone the replaced
+    doc_ids — one returned index, never an in-between view.
+
+    Exactly Lucene's update semantics: the OLD versions keep counting
+    in docFreq/totalTermFreq/docCount/avgdl until
+    :func:`..index.deletes.expunge_deletes` physically drops them (a
+    delete only hides; stats change at merge), while the NEW versions
+    extend those stats immediately. ``replacements`` must carry fresh
+    doc_ids above ``idx.stats['max_doc']`` (insertion-order docIDs —
+    the DocIDMerger base contract append() enforces); ``old_ids`` is a
+    DataFrame with a doc_id column or an iterable of ints."""
+    from .deletes import delete_docs
+    out = append(spark, idx, replacements, builder, doc_id_col, text_col)
+    return delete_docs(spark, out, old_ids)
