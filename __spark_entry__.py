@@ -858,6 +858,20 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_facet_query(spark, sf_dir):
+    """Solr facet.query (SimpleFacets getFacetQueryCount): counts of
+    the 'merge' docset intersected with three arbitrary sub-queries —
+    a term, an exact phrase, and an OR."""
+    from lucene_solr_spark.search.facets import facet_queries
+    _, _, s = _index(spark, sf_dir)
+    base = s.score_all(TermQuery("merge"), mode="f64")
+    res = facet_queries(s, base, {
+        "has_spark": TermQuery("spark"),
+        "key_agg_phrase": PhraseQuery(("key", "agg")),
+        "fast_or_scan": _should("fast", "scan")})
+    return res.select("name", F.col("count").cast("long"))
+
+
 def q_update_search_topk(spark, sf_dir):
     """updateDocument (index/IndexWriter.java:1514 — atomic delete+add):
     every doc with doc_id % 97 == 0 is replaced by a patched text
@@ -1844,6 +1858,24 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    sql["q_facet_query"] = _PRELUDE + _POS_CTE + """
+, basedocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+SELECT name, count FROM (
+  SELECT 'has_spark' AS name, count(*)::BIGINT AS count FROM (
+    SELECT DISTINCT doc_id FROM tf
+    WHERE term = 'spark' AND doc_id IN (SELECT doc_id FROM basedocs))
+  UNION ALL
+  SELECT 'key_agg_phrase', count(DISTINCT a.doc_id)::BIGINT
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+    AND a.doc_id IN (SELECT doc_id FROM basedocs)
+  UNION ALL
+  SELECT 'fast_or_scan', count(*)::BIGINT FROM (
+    SELECT DISTINCT doc_id FROM tf
+    WHERE term IN ('fast', 'scan')
+      AND doc_id IN (SELECT doc_id FROM basedocs))
+) ORDER BY name"""
+
     # updateDocument: the patched corpus is base ∪ replacements; STATS
     # run over the whole union (tombstoned originals still count — the
     # Lucene delete model), matches exclude the replaced ids
@@ -2496,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_facet_query": q_facet_query,
         "q_update_search_topk": q_update_search_topk,
         "q_interval_ordered_topk": q_interval_ordered_topk,
         "q_interval_unordered_topk": q_interval_unordered_topk,

@@ -79,3 +79,28 @@ def pivot_facets(docs: DataFrame, matches: DataFrame | None,
             .agg(F.count(F.lit(1)).alias("count"))
             .filter(F.col("count") >= min_count)
             .orderBy(*[F.asc(f) for f in fields]))
+
+
+def facet_queries(searcher, base_matches: DataFrame,
+                  named: dict) -> DataFrame:
+    """Solr ``facet.query`` (FacetComponent / SimpleFacets
+    getFacetQueryCount): per named sub-query, the count of base-result
+    docs also matching it — |docset(q) ∩ docset(facet.query)|.
+
+    → (name, count), one row per entry (zero counts kept — Solr returns
+    every requested facet.query), ordered by name. Each sub-query runs
+    the normal kernel once; the intersection is a semi-join on doc_id,
+    so the counts reduce map-side and only |named| rows reach the
+    driver."""
+    base = base_matches.select("doc_id").distinct()
+    parts = []
+    for name, q in sorted(named.items()):
+        sub = searcher.score_all(q, mode="f64").select("doc_id").distinct()
+        parts.append(
+            base.join(sub, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(F.lit(name).alias("name"), "count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("name")
