@@ -858,6 +858,46 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_expand_topk(spark, sf_dir):
+    """ExpandComponent (handler/component/ExpandComponent.java:94):
+    after collapsing OR(spark, merge) on source, the next 2 best hits
+    of each group (leader excluded)."""
+    from lucene_solr_spark.search.grouping import expand_groups
+    docs, _, s = _index(spark, sf_dir)
+    hits = s.score_all(_should("spark", "merge"), mode="f64")
+    res = expand_groups(hits, docs, "source", expand_rows=2)
+    return res.select("source", F.col("doc_id").cast("long"),
+                      F.round("score", 4).alias("score"))
+
+
+def q_significant_terms(spark, sf_dir):
+    """SignificantTermsQParserPlugin
+    (solr/search/SignificantTermsQParserPlugin.java:212): top terms of
+    the 'spark' docset by ln(tf) × (ln((N+1)/(df+1)) + 1), df band
+    [5, 0.8N], term length ≥ 3 (the synthetic corpus's vocabulary is
+    small and high-df, so the band is set to keep the gate non-empty)."""
+    from lucene_solr_spark.search.grouping import significant_terms
+    _, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("spark"), mode="f64")
+    res = significant_terms(s, matches, min_doc_freq=5, max_doc_freq=0.8,
+                            min_term_length=3, k=10)
+    return res.select("term", F.round("score", 4).alias("score"),
+                      "tf", "df")
+
+
+def q_elevation_topk(spark, sf_dir):
+    """QueryElevationComponent (editorial ranking): docs 42 then 7 are
+    pinned above the organic 'merge' ranking (forced into the result
+    even without a match, score 0)."""
+    from lucene_solr_spark.search.grouping import elevate
+    _, _, s = _index(spark, sf_dir)
+    hits = s.score_all(TermQuery("merge"), mode="f64")
+    res = elevate(hits, [42, 7], k=10)
+    return res.select(F.col("doc_id").cast("long"),
+                      F.round("score", 4).alias("score"),
+                      F.col("elevated").cast("long"))
+
+
 def q_facet_query(spark, sf_dir):
     """Solr facet.query (SimpleFacets getFacetQueryCount): counts of
     the 'merge' docset intersected with three arbitrary sub-queries —
@@ -1858,6 +1898,51 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    sql["q_expand_topk"] = _PRELUDE + """
+, hits AS (
+  SELECT doc_id, SUM(s) AS score FROM sc
+  WHERE term IN ('spark', 'merge') GROUP BY doc_id
+), ranked AS (
+  SELECT d.source, h.doc_id, h.score,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY h.score DESC, h.doc_id) AS rn
+  FROM hits h JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, ROUND(score, 4) AS score
+FROM ranked WHERE rn > 1 AND rn <= 3"""
+
+    sql["q_significant_terms"] = _PRELUDE + """
+, basedocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+, tfx AS (
+  SELECT term, count(*)::BIGINT AS tf FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM basedocs) GROUP BY term
+), dic AS (
+  SELECT dfreq.term, dfreq.df FROM dfreq CROSS JOIN stats
+  WHERE dfreq.df >= 5 AND dfreq.df <= 0.8 * stats.n
+    AND length(dfreq.term) >= 3
+)
+SELECT t.term,
+       ROUND(ln(t.tf) * (ln((stats.n + 1.0) / (d.df + 1.0)) + 1.0), 4)
+         AS score,
+       t.tf, d.df::BIGINT AS df
+FROM tfx t JOIN dic d USING (term) CROSS JOIN stats
+ORDER BY ln(t.tf) * (ln((stats.n + 1.0) / (d.df + 1.0)) + 1.0) DESC, t.term
+LIMIT 10"""
+
+    sql["q_elevation_topk"] = _PRELUDE + """
+, hits AS (SELECT doc_id, s AS score FROM sc WHERE term = 'merge')
+, ev(edoc, ord) AS (VALUES (42, 0), (7, 1))
+, u AS (
+  SELECT COALESCE(h.doc_id, e.edoc) AS doc_id,
+         COALESCE(h.score, 0.0) AS score, e.ord
+  FROM hits h FULL OUTER JOIN ev e ON h.doc_id = e.edoc
+)
+SELECT doc_id, ROUND(score, 4) AS score,
+       CASE WHEN ord IS NOT NULL THEN 1 ELSE 0 END AS elevated
+FROM u
+ORDER BY CASE WHEN ord IS NOT NULL THEN 0 ELSE 1 END, ord,
+         score DESC, doc_id LIMIT 10"""
+
     sql["q_facet_query"] = _PRELUDE + _POS_CTE + """
 , basedocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 SELECT name, count FROM (
@@ -2528,6 +2613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_expand_topk": q_expand_topk,
+        "q_significant_terms": q_significant_terms,
+        "q_elevation_topk": q_elevation_topk,
         "q_facet_query": q_facet_query,
         "q_update_search_topk": q_update_search_topk,
         "q_interval_ordered_topk": q_interval_ordered_topk,

@@ -81,3 +81,87 @@ def field_stats(docs: DataFrame, matches: DataFrame | None,
         F.sum(v).alias("sum"),
         F.avg(v).alias("mean"),
         F.stddev_samp(v).alias("stddev"))
+
+
+def expand_groups(hits: DataFrame, docs: DataFrame, field: str,
+                  expand_rows: int = 5) -> DataFrame:
+    """ExpandComponent (solr/handler/component/ExpandComponent.java:94):
+    companion to :func:`collapse` — for every group that placed its
+    leader in the collapsed result, the next ``expand_rows`` best hits
+    of that group (leader excluded), ordered within the group by score
+    desc then doc_id. → (<field>, doc_id, score).
+
+    One window pass: rank within group, rows 2..expand_rows+1 survive —
+    no driver round-trip, group count never materializes."""
+    w = (Window.partitionBy(field)
+         .orderBy(F.desc("score"), F.asc("doc_id")))
+    return (_with_group(hits, docs, field)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > 1) & (F.col("_rn") <= expand_rows + 1))
+            .select(field, "doc_id", "score"))
+
+
+def significant_terms(searcher, matches: DataFrame,
+                      field: str = "text", min_doc_freq: float = 5,
+                      max_doc_freq: float = 0.3, min_term_length: int = 0,
+                      k: int = 10) -> DataFrame:
+    """SignificantTermsQParserPlugin
+    (solr/search/SignificantTermsQParserPlugin.java:168-221): for every
+    term of ``field``, tf = number of RESULT-SET docs containing it;
+    score = ln(tf) × (ln((numDocs + 1)/(docFreq + 1)) + 1); terms
+    outside the [min, max] doc-freq band are skipped (values < 1.0 are
+    ratios of numDocs, ≥ 1 absolute counts, `:171-185`), as are terms
+    shorter than ``min_term_length`` and tf == 0 terms (`:207-209`).
+    numDocs is the field's doc count (the reference uses the reader's
+    global numDocs; identical when every doc populates the field).
+
+    → (term, score, tf, df) top-``k`` by score desc then term asc.
+    Plan: raw-postings semi-join against the match set → one map-side-
+    combined count per term → broadcast-sized join onto the dictionary
+    slice; only k rows reach the driver."""
+    raw = searcher.index.raw
+    if raw is None:
+        raise ValueError("index did not retain raw postings "
+                         "(significant terms unavailable)")
+    n = searcher.field_stats(field)["doc_count"]
+    lo = min_doc_freq * n if min_doc_freq < 1.0 else min_doc_freq
+    hi = max_doc_freq * n if max_doc_freq < 1.0 else max_doc_freq
+    dic = (searcher.index.terms
+           .filter((F.col("field") == field)
+                   & (F.col("df") >= float(lo)) & (F.col("df") <= float(hi))
+                   & (F.length("term") >= int(min_term_length)))
+           .select("term", "df"))
+    tf = (raw.filter(F.col("field") == field)
+          .join(matches.select("doc_id").distinct(), "doc_id", "left_semi")
+          .groupBy("term").agg(F.count(F.lit(1)).alias("tf")))
+    scored = (tf.join(dic, "term")
+              .withColumn("score",
+                          F.log(F.col("tf").cast("double"))
+                          * (F.log((F.lit(float(n) + 1.0))
+                                   / (F.col("df") + 1.0)) + F.lit(1.0))))
+    return (scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+            .select("term", "score", F.col("tf").cast("long"),
+                    F.col("df").cast("long")))
+
+
+def elevate(hits: DataFrame, elevated_ids: list, k: int = 10,
+            exclude_ids: list = ()) -> DataFrame:
+    """QueryElevationComponent (solr/handler/component/
+    QueryElevationComponent.java — editorial ranking): the configured
+    doc_ids rank FIRST in their configured order (whether or not they
+    matched — Solr forces them into the result), excluded ids are
+    removed, everything else follows by (score desc, doc_id).
+    → (doc_id, score, elevated)."""
+    order = {int(d): i for i, d in enumerate(elevated_ids)}
+    spark = hits.sparkSession
+    ed = spark.createDataFrame(
+        [(d, i) for d, i in order.items()], "doc_id long, _ord int")
+    out = (hits.join(ed, "doc_id", "full_outer")
+           .withColumn("score", F.coalesce("score", F.lit(0.0)))
+           .withColumn("elevated", F.col("_ord").isNotNull()))
+    if exclude_ids:
+        out = out.filter(~F.col("doc_id").isin([int(d) for d in exclude_ids]))
+    return (out.orderBy(F.when(F.col("_ord").isNotNull(), 0).otherwise(1),
+                        F.col("_ord").asc_nulls_last(),
+                        F.desc("score"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score", "elevated"))
