@@ -858,6 +858,33 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_cursor_page2(spark, sf_dir):
+    """CursorMark deep paging (solr/search/CursorMark.java): page 2 of
+    the 'table' match set sorted (lang asc nulls-last, n_chars desc,
+    doc_id) — fetched via the after-cursor predicate from page 1's last
+    row, NOT an offset; must equal rows 6-10 of the global order."""
+    from lucene_solr_spark.search.extras import cursor_page
+    docs, _, s = _index(spark, sf_dir)
+    keys = [("lang", True, True), ("n_chars", False, False)]
+    p1 = cursor_page(s, TermQuery("table"), docs, keys, k=5)
+    last = p1.collect()[-1]
+    cur = (last["lang"], last["n_chars"], last["doc_id"])
+    p2 = cursor_page(s, TermQuery("table"), docs, keys, k=5, cursor=cur)
+    return p2.select(F.col("doc_id").cast("long"), "lang",
+                     F.col("n_chars").cast("long"))
+
+
+def q_complex_phrase_topk(spark, sf_dir):
+    """ComplexPhraseQueryParser (queryparser complexPhrase
+    ComplexPhraseQueryParser.java:60 / Solr ComplexPhraseQParserPlugin):
+    wildcard INSIDE a quoted phrase — "s* merge" expands s* against the
+    dictionary and runs as a MultiPhraseQuery (weight = Σ idf over all
+    surviving slot terms)."""
+    from lucene_solr_spark.search.multiterm import complex_phrase_query
+    s = _searcher(spark, sf_dir)
+    return _topk(s, complex_phrase_query(s, "s* merge"))
+
+
 def q_expand_topk(spark, sf_dir):
     """ExpandComponent (handler/component/ExpandComponent.java:94):
     after collapsing OR(spark, merge) on source, the next 2 best hits
@@ -1898,6 +1925,34 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    # cursor page 2 == rows 6-10 of the global order (the deep-paging
+    # contract: cursor filtering must reproduce offset semantics)
+    sql["q_cursor_page2"] = _PRELUDE + """
+SELECT d.doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') m
+JOIN documents d USING (doc_id)
+ORDER BY d.lang ASC NULLS LAST, d.n_chars DESC, d.doc_id
+OFFSET 5 LIMIT 5"""
+
+    sql["q_complex_phrase_topk"] = _PRELUDE + _POS_CTE + """
+, sterms AS (SELECT term FROM dfreq WHERE term LIKE 's%')
+, pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term IN (SELECT term FROM sterms) AND b.term = 'merge'
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq.term IN (SELECT term FROM sterms) OR dfreq.term = 'merge'
+)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
     sql["q_expand_topk"] = _PRELUDE + """
 , hits AS (
   SELECT doc_id, SUM(s) AS score FROM sc
@@ -2613,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_cursor_page2": q_cursor_page2,
+        "q_complex_phrase_topk": q_complex_phrase_topk,
         "q_expand_topk": q_expand_topk,
         "q_significant_terms": q_significant_terms,
         "q_elevation_topk": q_elevation_topk,

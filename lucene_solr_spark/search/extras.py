@@ -317,3 +317,61 @@ def term_vectors(searcher, doc_ids, field: str = DEFAULT_FIELD) -> DataFrame:
     return (raw.filter((F.col("field") == field)
                        & F.col("doc_id").isin([int(d) for d in doc_ids]))
             .select("doc_id", "term", "freq"))
+
+
+def cursor_page(searcher, query, docs: DataFrame, keys, k: int = 10,
+                cursor=None) -> DataFrame:
+    """CursorMark deep paging (solr/search/CursorMark.java, Solr's
+    stateless cursor: the sort must end in the unique key — doc_id
+    here — and the next page is WHERE row >after cursor, no offset
+    scan). ``keys`` is [(column, ascending, nulls_last)] as in
+    :func:`sort_by_fields`; ``cursor`` is None (first page) or the
+    tuple of the previous page's last-row key values + doc_id.
+
+    The after-cursor predicate is the lexicographic OR-of-ANDs — every
+    term is sargable, so Catalyst pushes the leading-key bounds into
+    the scan; cost is one TakeOrderedAndProject per page regardless of
+    page depth (the cursorMark contract). Cursor key values must be
+    non-null (Solr serializes the missing marker; not modeled here —
+    null COLUMN values still order by their nulls policy)."""
+    hits = searcher.match_docs(query).distinct()
+    cols = [c for c, _, _ in keys]
+    j = hits.join(docs.select("doc_id", *cols), "doc_id")
+    if cursor is not None:
+        if len(cursor) != len(keys) + 1:
+            raise ValueError("cursor must hold one value per sort key "
+                             "plus the doc_id tiebreaker")
+        if any(v is None for v in cursor[:-1]):
+            raise ValueError("cursor key values must be non-null")
+        branches = []
+        eqs = []
+        for (col, asc, nulls_last), cv in zip(keys, cursor[:-1]):
+            c = F.col(col)
+            after = (c > F.lit(cv)) if asc else (c < F.lit(cv))
+            if nulls_last:
+                after = after | c.isNull()
+            branches.append(_and_all(eqs + [after]))
+            eqs.append(c.eqNullSafe(F.lit(cv)))
+        branches.append(_and_all(eqs + [F.col("doc_id") > int(cursor[-1])]))
+        pred = branches[0]
+        for b in branches[1:]:
+            pred = pred | b
+        j = j.filter(pred)
+    order = []
+    for col, asc, nulls_last in keys:
+        c = F.col(col)
+        if asc:
+            order.append(c.asc_nulls_last() if nulls_last
+                         else c.asc_nulls_first())
+        else:
+            order.append(c.desc_nulls_last() if nulls_last
+                         else c.desc_nulls_first())
+    order.append(F.asc("doc_id"))
+    return j.orderBy(*order).limit(k)
+
+
+def _and_all(preds):
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out

@@ -169,3 +169,33 @@ def expanded_or(terms: list[str], field: str = DEFAULT_FIELD) -> BooleanQuery:
     """SCORING_BOOLEAN rewrite target: OR of the expanded set."""
     return BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(t, field))
                               for t in terms))
+
+
+def complex_phrase_query(searcher, phrase_text: str,
+                         field: str = DEFAULT_FIELD, slop: int = 0,
+                         size: int = MAX_CLAUSE_COUNT):
+    """ComplexPhraseQueryParser
+    (`queryparser/.../complexPhrase/ComplexPhraseQueryParser.java:60`,
+    Solr ComplexPhraseQParserPlugin): wildcards/prefixes INSIDE a quoted
+    phrase — each whitespace slot holding ``*``/``?`` expands against
+    the term dictionary and the result is a MultiPhraseQuery whose slot
+    admits any expansion (the parser's rewrite of embedded
+    MultiTermQueries into slot alternatives). Plain slots are analyzed
+    with the index analyzer. An unmatched wildcard slot keeps one
+    impossible literal so the query matches nothing (MultiPhraseQuery's
+    empty-slot death), mirroring the reference's rewrite to an
+    unmatchable term."""
+    from ..analysis.analyzer import simple_lowercase
+    from .ast import MultiPhraseQuery
+    slots = []
+    for raw in phrase_text.split():
+        tok = simple_lowercase(raw)
+        if "*" in tok or "?" in tok:
+            terms = wildcard_terms(searcher.index.terms, tok, field=field,
+                                   size=size)
+            slots.append(tuple(terms) if terms else (tok.replace("*", "")
+                                                     .replace("?", "") + "\0",))
+        else:
+            analyzed = searcher.index.analyzer.tokens(tok)
+            slots.append(tuple(analyzed) if analyzed else (tok,))
+    return MultiPhraseQuery(tuple(slots), field=field, slop=int(slop))
