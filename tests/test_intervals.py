@@ -240,3 +240,18 @@ def test_unordered_three_sources_raises(spark):
         s.top_k(IntervalQuery(IntervalUnordered(
             (IntervalTerm("aa"), IntervalTerm("bb"), IntervalTerm("cc")))),
             k=5)
+
+
+def test_interval_in_batch_query(spark):
+    """top_k_many (one-job batch) scores interval leaves identically to
+    per-query top_k."""
+    oracle, s = _mk(spark, ["aa xx bb", "bb aa", "aa bb cc", "xx yy"])
+    qs = [IntervalQuery(IntervalOrdered((IntervalTerm("aa"),
+                                         IntervalTerm("bb")))),
+          TermQuery("aa")]
+    batch = s.top_k_many(qs, k=5)
+    for q, got in zip(qs, batch):
+        single = s.top_k(q, k=5)
+        assert got["doc_id"].tolist() == single["doc_id"].tolist()
+        np.testing.assert_allclose(got["score"].to_numpy(),
+                                   single["score"].to_numpy(), rtol=0)
