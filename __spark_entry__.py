@@ -858,6 +858,17 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_freetext_suggest(spark, sf_dir):
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:112):
+    next-word prediction after 'key ' — bigram stupid backoff, score =
+    c(key,w)/c(key) for context hits, 0.4 × c(w)/T backed off; a term
+    keeps its highest-order score."""
+    from lucene_solr_spark.search.suggest import FreeTextSuggester
+    docs = _docs(spark, sf_dir)
+    f = FreeTextSuggester(spark, docs, ENGLISH_ANALYZER)
+    return f.lookup("key ", num=10)
+
+
 def q_cursor_page2(spark, sf_dir):
     """CursorMark deep paging (solr/search/CursorMark.java): page 2 of
     the 'table' match set sorted (lang asc nulls-last, n_chars desc,
@@ -1925,6 +1936,31 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    # FreeText suggester: bigrams over the STOP-FILTERED token stream
+    # with contiguous re-numbered positions (stop removal makes its
+    # neighbors adjacent in the model)
+    sql["q_freetext_suggest"] = _PRELUDE + _POS_CTE + f"""
+, posf AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS q
+  FROM pos WHERE term NOT IN ({_STOPLIST})
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+  FROM posf a JOIN posf b ON a.doc_id = b.doc_id AND b.q = a.q + 1
+  GROUP BY a.term, b.term
+), ctx AS (SELECT SUM(c)::DOUBLE AS cc FROM big WHERE w1 = 'key')
+, uni AS (
+  SELECT term, count(*)::BIGINT AS c FROM tokf GROUP BY term
+), tot AS (SELECT SUM(c)::DOUBLE AS t FROM uni)
+, cand AS (
+  SELECT w2 AS term, c / ctx.cc AS score FROM big CROSS JOIN ctx
+  WHERE w1 = 'key'
+  UNION ALL
+  SELECT term, 0.4 * c / tot.t AS score FROM uni CROSS JOIN tot
+)
+SELECT term, ROUND(MAX(score), 6) AS score FROM cand
+GROUP BY term ORDER BY MAX(score) DESC, term LIMIT 10"""
+
     # cursor page 2 == rows 6-10 of the global order (the deep-paging
     # contract: cursor filtering must reproduce offset semantics)
     sql["q_cursor_page2"] = _PRELUDE + """
@@ -2668,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_freetext_suggest": q_freetext_suggest,
         "q_cursor_page2": q_cursor_page2,
         "q_complex_phrase_topk": q_complex_phrase_topk,
         "q_expand_topk": q_expand_topk,
@@ -2679,7 +2716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_unordered_topk": q_interval_unordered_topk,
         "q_interval_block_topk": q_interval_block_topk,
         "q_edismax_topk": q_edismax_topk,
-        "q_span_near_topk": q_span_near_topk,
         # formerly positions 51-55 (absent from CORRECTNESS_r02 —
         # VERDICT r2 #2: these five MUST surface in the round-3 report)
         "q_search_after": q_search_after,
@@ -2708,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite spans: every shape is engine-vs-pure-oracle
         # differential-pinned (tests/test_span_composite.py) and the
         # ordered fast path stays driver-reported via q_span_near_topk
+        "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,
         "q_span_not_topk": q_span_not_topk,

@@ -213,3 +213,97 @@ def highlight(docs: DataFrame, term: str, text_col: str = "text",
     snippet = F.replace(window, F.lit(term), F.lit(pre + term + post))
     return docs.withColumn(
         "snippet", F.when(pos > 0, snippet).otherwise(F.lit(None)))
+
+
+class FreeTextSuggester:
+    """`suggest/analyzing/FreeTextSuggester.java:112` — next-word
+    prediction from corpus n-gram counts with "stupid backoff"
+    (`:506-548,664-669`): the longest context whose counts exist wins,
+    each shorter order is discounted by ALPHA = 0.4 (`:133`); a
+    suggestion's score at order g is
+    backoff × count(context + word) / count(context) (unigrams divide
+    by totTokens). grams = 2 here (the reference default,
+    `DEFAULT_GRAMS:124`).
+
+    Spark shape: the model is two small aggregate tables derived from
+    the corpus token stream in one pass — unigram counts and bigram
+    counts, both map-side-combined and persisted columnar; a lookup is
+    two pushed-filter scans + a limit, never a corpus pass."""
+
+    ALPHA = 0.4
+
+    @staticmethod
+    def _token_array(analyzer, col):
+        """JVM-side token array: lowercase + [a-z0-9]+ runs minus the
+        analyzer's stop set — the StandardAnalyzer chain within its
+        simple-ASCII envelope (the model-building pass stays
+        whole-stage-codegen; corpora outside the envelope should feed a
+        pre-tokenized column instead)."""
+        toks = F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+        stops = sorted(analyzer.stop_words or [])
+        if stops:
+            toks = F.filter(toks, lambda t: ~t.isin(stops))
+        return toks
+
+    def __init__(self, spark, docs: DataFrame, analyzer,
+                 text_col: str = "text"):
+        arr = self._token_array(analyzer, F.col(text_col))
+        toks = docs.select(F.explode(arr).alias("term"))
+        # per-doc positions so bigrams never cross documents
+        tp = docs.select(F.col("doc_id"),
+                         F.posexplode(arr).alias("p", "term"))
+        nxt = (tp.alias("a")
+               .join(tp.alias("b"),
+                     (F.col("a.doc_id") == F.col("b.doc_id"))
+                     & (F.col("b.p") == F.col("a.p") + 1))
+               .select(F.col("a.term").alias("w1"),
+                       F.col("b.term").alias("w2")))
+        self.bigrams = (nxt.groupBy("w1", "w2")
+                        .agg(F.count(F.lit(1)).alias("c")).cache())
+        self.unigrams = (toks.groupBy("term")
+                         .agg(F.count(F.lit(1)).alias("c")).cache())
+        self.tot_tokens = (self.unigrams.agg(F.sum("c")).collect()[0][0]
+                           or 0)
+
+    def lookup(self, key: str, num: int = 10) -> DataFrame:
+        """``key`` ends with a space → predict the next word after the
+        last token; otherwise the last token is an in-progress prefix.
+        → (term, score) top-``num`` by score desc then term asc."""
+        trailing = key != key.rstrip(" ")
+        parts = key.split()
+        if not parts:
+            raise ValueError("empty suggestion key")
+        if trailing:
+            context, prefix = parts[-1], ""
+        elif len(parts) >= 2:
+            context, prefix = parts[-2], parts[-1]
+        else:
+            context, prefix = None, parts[-1]
+        cands = []
+        if context is not None:
+            big = self.bigrams.filter(F.col("w1") == context)
+            if prefix:
+                big = big.filter(F.col("w2").startswith(prefix))
+            ctx_count = (self.bigrams.filter(F.col("w1") == context)
+                         .agg(F.sum("c")).collect()[0][0])
+            if ctx_count:
+                cands.append(big.select(
+                    F.col("w2").alias("term"),
+                    (F.col("c").cast("double") / float(ctx_count))
+                    .alias("score")))
+        uni = self.unigrams
+        if prefix:
+            uni = uni.filter(F.col("term").startswith(prefix))
+        backoff = self.ALPHA if cands else 1.0
+        cands.append(uni.select(
+            "term", (F.lit(backoff) * F.col("c").cast("double")
+                     / float(self.tot_tokens)).alias("score")))
+        out = cands[0]
+        for c in cands[1:]:
+            # keep the HIGHEST-order score per term (the reference seen
+            # set: a term surfaced by a longer context is not re-offered
+            # by the backed-off order, :652-656)
+            out = out.unionByName(c)
+        best = (out.groupBy("term").agg(F.max("score").alias("score")))
+        return (best.orderBy(F.desc("score"), F.asc("term")).limit(num)
+                .select("term", F.round("score", 6).alias("score")))
