@@ -858,6 +858,16 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_geo_heatmap(spark, sf_dir):
+    """Heatmap facets (spatial-extras HeatmapFacetCounter.java:40 /
+    Solr SpatialHeatmapFacets): 4×6 cell counts over the box, max-edge
+    points counted in the boundary cell."""
+    from lucene_solr_spark.search.geo import heatmap_facets
+    res = heatmap_facets(_geo_events(spark, sf_dir),
+                         10.005, 55.005, -30.005, 40.005, rows=4, cols=6)
+    return res.select("gy", "gx", F.col("count").cast("long"))
+
+
 def q_freetext_suggest(spark, sf_dir):
     """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:112):
     next-word prediction after 'key ' — bigram stupid backoff, score =
@@ -1936,6 +1946,18 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    sql["q_geo_heatmap"] = f"""
+WITH pts AS ({_GEO_CTE})
+SELECT LEAST(FLOOR((lat - 10.005) / ((55.005 - 10.005) / 4)), 3)::BIGINT
+         AS gy,
+       LEAST(FLOOR((lon - -30.005) / ((40.005 - -30.005) / 6)), 5)::BIGINT
+         AS gx,
+       count(*)::BIGINT AS count
+FROM pts
+WHERE lat >= 10.005 AND lat <= 55.005
+  AND lon >= -30.005 AND lon <= 40.005
+GROUP BY gy, gx"""
+
     # FreeText suggester: bigrams over the STOP-FILTERED token stream
     # with contiguous re-numbered positions (stop removal makes its
     # neighbors adjacent in the model)
@@ -2698,12 +2720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3: LatLonPoint-style geo (box / distance sort / radius)
         "q_geo_box_stats": q_geo_box_stats,
         "q_geo_nearest_topk": q_geo_nearest_topk,
-        "q_geo_distance_count": q_geo_distance_count,
         # round-3: recursive composition + rewrites
         "q_deep_bool_topk": q_deep_bool_topk,
         "q_nested_msm_topk": q_nested_msm_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_geo_heatmap": q_geo_heatmap,
         "q_freetext_suggest": q_freetext_suggest,
         "q_cursor_page2": q_cursor_page2,
         "q_complex_phrase_topk": q_complex_phrase_topk,
@@ -2744,6 +2766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite spans: every shape is engine-vs-pure-oracle
         # differential-pinned (tests/test_span_composite.py) and the
         # ordered fast path stays driver-reported via q_span_near_topk
+        # geo box + nearest stay reported; the radius count is
+        # pytest-pinned (tests/test_geo.py two-phase refine)
+        "q_geo_distance_count": q_geo_distance_count,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,
