@@ -858,6 +858,18 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_infix_suggest(spark, sf_dir):
+    """AnalyzingInfixSuggester (AnalyzingInfixSuggester.java:92):
+    titles containing a token starting with 'par', weighted by n_chars
+    desc (the suggester's weight field), text then doc_id ties."""
+    from lucene_solr_spark.search.suggest import suggest_infix
+    docs = _docs(spark, sf_dir)
+    res = suggest_infix(docs, "par", k=10, text_col="title",
+                        weight_col="n_chars")
+    return res.select(F.col("doc_id").cast("long"), "title",
+                      F.col("weight").cast("long"))
+
+
 def q_geo_heatmap(spark, sf_dir):
     """Heatmap facets (spatial-extras HeatmapFacetCounter.java:40 /
     Solr SpatialHeatmapFacets): 4×6 cell counts over the box, max-edge
@@ -1946,6 +1958,20 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
 
+    # infix suggest: token-start containment over the derived title
+    # column (first 5 raw tokens), weight = n_chars
+    sql["q_infix_suggest"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           regexp_extract_all(text, '[a-z0-9]+'), 1, 5), ' ') AS title,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, title, n_chars::BIGINT AS weight FROM t
+WHERE (' ' || lower(title)) LIKE '% par%'
+ORDER BY n_chars DESC, title, doc_id LIMIT 10"""
+
     sql["q_geo_heatmap"] = f"""
 WITH pts AS ({_GEO_CTE})
 SELECT LEAST(FLOOR((lat - 10.005) / ((55.005 - 10.005) / 4)), 3)::BIGINT
@@ -2778,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boolean_sim_topk": q_boolean_sim_topk,
         "q_lmjm_topk": q_lmjm_topk,
         "q_suggest_prefix": q_suggest_prefix,
+        "q_infix_suggest": q_infix_suggest,
         "q_must_should_overlap_topk": q_must_should_overlap_topk,
         "q_blockjoin_children": q_blockjoin_children,
         "q_dismax_tiebreak_topk": q_dismax_tiebreak_topk,

@@ -307,3 +307,28 @@ class FreeTextSuggester:
         best = (out.groupBy("term").agg(F.max("score").alias("score")))
         return (best.orderBy(F.desc("score"), F.asc("term")).limit(num)
                 .select("term", F.round("score", 6).alias("score")))
+
+
+def suggest_infix(docs: DataFrame, key: str, k: int = 10,
+                  text_col: str = "title",
+                  weight_col: str | None = None) -> DataFrame:
+    """AnalyzingInfixSuggester (`suggest/analyzing/
+    AnalyzingInfixSuggester.java:92`): suggestions whose text contains
+    the typed fragment at a TOKEN START (the infix suggester matches
+    prefixes of any token, not arbitrary substrings), ranked by weight
+    desc then text asc. → (doc_id, <text_col>, weight).
+
+    Spark shape: a token-start predicate in whole-stage codegen over
+    the suggestion table — ``' ' || lower(text) LIKE '% key%'`` — plus
+    TakeOrderedAndProject; the reference's dedicated suggest index is
+    the columnar suggestion table itself."""
+    frag = key.strip().lower()
+    if not frag:
+        raise ValueError("empty suggestion key")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.length(text_col).cast("double"))
+    hay = F.concat(F.lit(" "), F.lower(F.col(text_col)))
+    return (docs.filter(hay.contains(" " + frag))
+            .select("doc_id", text_col, w.alias("weight"))
+            .orderBy(F.desc("weight"), F.asc(text_col), F.asc("doc_id"))
+            .limit(k))
