@@ -303,3 +303,36 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     ver = jaccard_verify(sh, cand)
     return (ver.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_query(spark, docs: DataFrame, query_text: str,
+                  num_perms: int = 16, k: int = 3, sim: float = 0.0,
+                  top: int = 10, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """MinHash similarity QUERY (solr/search/MinHashQParser.java:40):
+    the query text is minhashed with the SAME permutation family as the
+    corpus; each signature component acts as a term and a document
+    scores the fraction of components it shares — the unbiased Jaccard
+    estimate; ``sim`` is the required fraction (the parser's
+    min_should_match analog over hash terms). → (doc_id, est_jaccard)
+    top-``top`` desc, doc_id asc.
+
+    Scale shape: the query signature is num_perms integers (one tiny
+    1-row job), then ONE codegen projection over the corpus signature
+    table — Σ_j [mh_j == q_j] / num_perms — with no join, unpivot, or
+    shuffle; TakeOrderedAndProject returns k rows."""
+    sigs = minhash_signatures(
+        shingles(docs, k=k, id_col=id_col, text_col=text_col), num_perms)
+    qdf = spark.createDataFrame([(0, query_text)], "doc_id long, text string")
+    qrow = minhash_signatures(shingles(qdf, k=k), num_perms).collect()
+    if not qrow:
+        raise ValueError(f"query needs at least {k} tokens for shingling")
+    q = qrow[0]
+    matches = None
+    for j in range(num_perms):
+        m = F.when(F.col(f"mh{j}") == int(q[f"mh{j}"]), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = (matches.cast("double") / float(num_perms)).alias("est_jaccard")
+    return (sigs.select("doc_id", est)
+            .filter(F.col("est_jaccard") >= float(sim))
+            .orderBy(F.desc("est_jaccard"), F.asc("doc_id")).limit(top))

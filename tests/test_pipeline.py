@@ -224,3 +224,24 @@ def test_banded_lsh_recall_one_on_fixture(spark, emb):
     plan = (similarity.banded_lsh_neardup_pairs(emb, planes, 2, 0.45)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_query_self_match(spark):
+    """minhash_query (MinHashQParser role): a document's own text as
+    the query estimates Jaccard 1.0 for that doc; unrelated docs score
+    below it; sim threshold filters."""
+    from lucene_solr_spark.pipeline.dedup import minhash_query
+    rows = [(0, "aa bb cc dd ee ff"),
+            (1, "aa bb cc dd ee gg"),       # near-dup of 0
+            (2, "zz yy xx ww vv uu")]       # disjoint
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = minhash_query(spark, docs, "aa bb cc dd ee ff",
+                        num_perms=16, sim=0.0, top=10).collect()
+    by = {r["doc_id"]: r["est_jaccard"] for r in res}
+    assert by[0] == 1.0
+    assert by[1] < 1.0
+    assert by.get(2, 0.0) <= by[1]
+    # threshold: requiring > doc1's estimate leaves only doc 0
+    res2 = minhash_query(spark, docs, "aa bb cc dd ee ff",
+                         num_perms=16, sim=by[1] + 1e-9, top=10).collect()
+    assert [r["doc_id"] for r in res2] == [0]
