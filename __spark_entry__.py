@@ -585,11 +585,13 @@ def q_minhash_sigs(spark, sf_dir):
 
 def q_minhash_query(spark, sf_dir):
     """MinHashQParser (solr/search/MinHashQParser.java:40): the query
-    text's minhash signature matched component-wise against the corpus
-    signatures — score = shared fraction (unbiased Jaccard estimate),
-    sim = 1/16 requires at least one shared component."""
-    res = dd.minhash_query(spark, _raw_docs(spark, sf_dir),
-                           "key agg merge fast scan", num_perms=16,
+    text (doc 133's full text — the corpus's densest near-dup family)
+    is minhashed and matched component-wise against the corpus
+    signatures — score = shared fraction (unbiased Jaccard estimate,
+    1.0 for the doc itself), sim = 1/16 requires a shared component."""
+    docs = _raw_docs(spark, sf_dir)
+    qtext = docs.filter(F.col("doc_id") == 133).select("text").collect()[0][0]
+    res = dd.minhash_query(spark, docs, qtext, num_perms=16,
                            sim=1.0 / 16, top=10)
     return res.select(F.col("doc_id").cast("long"),
                       F.round("est_jaccard", 4).alias("est_jaccard"))
@@ -2513,27 +2515,8 @@ ORDER BY doc_id"""
 
     sql["q_minhash_query"] = _P2 + f""", mh AS (
   SELECT doc_id, {_MH_COLS} FROM shh GROUP BY doc_id
-), qsh AS (
-  SELECT unnest(['key agg merge', 'agg merge fast', 'merge fast scan']) AS s
-), qhh AS (
-  SELECT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h31 FROM qsh
 ), qmh AS (
-  SELECT min(((h31) * 2120319651 + 815672115) % 2147483647) AS mh0,
-  min(((h31) * 1089740529 + 1727954025) % 2147483647) AS mh1,
-  min(((h31) * 1182344943 + 1971734415) % 2147483647) AS mh2,
-  min(((h31) * 462699037 + 1970894373) % 2147483647) AS mh3,
-  min(((h31) * 1280623611 + 1630129579) % 2147483647) AS mh4,
-  min(((h31) * 414768137 + 267407265) % 2147483647) AS mh5,
-  min(((h31) * 2031822279 + 1396021639) % 2147483647) AS mh6,
-  min(((h31) * 1208201397 + 681657565) % 2147483647) AS mh7,
-  min(((h31) * 1335089235 + 256395043) % 2147483647) AS mh8,
-  min(((h31) * 1870996513 + 494031321) % 2147483647) AS mh9,
-  min(((h31) * 1165174687 + 1783509631) % 2147483647) AS mh10,
-  min(((h31) * 1676173901 + 715993749) % 2147483647) AS mh11,
-  min(((h31) * 1701191595 + 1906145179) % 2147483647) AS mh12,
-  min(((h31) * 928995129 + 1299931921) % 2147483647) AS mh13,
-  min(((h31) * 98471031 + 1741812343) % 2147483647) AS mh14,
-  min(((h31) * 1800318693 + 1377967949) % 2147483647) AS mh15 FROM qhh
+  SELECT * FROM mh WHERE doc_id = 133
 )
 SELECT mh.doc_id, ROUND(((CASE WHEN mh.mh0 = qmh.mh0 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh1 = qmh.mh1 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh2 = qmh.mh2 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh3 = qmh.mh3 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh4 = qmh.mh4 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh5 = qmh.mh5 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh6 = qmh.mh6 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh7 = qmh.mh7 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh8 = qmh.mh8 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh9 = qmh.mh9 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh10 = qmh.mh10 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh11 = qmh.mh11 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh12 = qmh.mh12 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh13 = qmh.mh13 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh14 = qmh.mh14 THEN 1 ELSE 0 END) + (CASE WHEN mh.mh15 = qmh.mh15 THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
 FROM mh CROSS JOIN qmh
