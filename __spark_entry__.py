@@ -972,6 +972,21 @@ def q_elevation_topk(spark, sf_dir):
                       F.col("elevated").cast("long"))
 
 
+def q_facet_metrics(spark, sf_dir):
+    """JSON Facet API nested metrics (Solr json.facet terms facet with
+    sum/avg/min/max sub-aggregates): per-lang buckets of the 'merge'
+    match set with n_chars metrics."""
+    from lucene_solr_spark.search.facets import facet_metrics
+    docs, _, s = _index(spark, sf_dir)
+    m = s.score_all(TermQuery("merge"), mode="f64")
+    res = facet_metrics(docs, m, "lang", "n_chars")
+    return res.select("value", F.col("count").cast("long"),
+                      F.col("sum").cast("long"),
+                      F.round("avg", 4).alias("avg"),
+                      F.col("min").cast("long"),
+                      F.col("max").cast("long"))
+
+
 def q_facet_query(spark, sf_dir):
     """Solr facet.query (SimpleFacets getFacetQueryCount): counts of
     the 'merge' docset intersected with three arbitrary sub-queries —
@@ -2096,6 +2111,14 @@ FROM u
 ORDER BY CASE WHEN ord IS NOT NULL THEN 0 ELSE 1 END, ord,
          score DESC, doc_id LIMIT 10"""
 
+    sql["q_facet_metrics"] = _PRELUDE + """
+SELECT d.lang AS value, count(*)::BIGINT AS count,
+       SUM(d.n_chars)::BIGINT AS sum, ROUND(AVG(d.n_chars), 4) AS avg,
+       MIN(d.n_chars)::BIGINT AS min, MAX(d.n_chars)::BIGINT AS max
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') m
+JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY count(*) DESC, d.lang"""
+
     sql["q_facet_query"] = _PRELUDE + _POS_CTE + """
 , basedocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
 SELECT name, count FROM (
@@ -2825,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_not_topk": q_span_not_topk,
         "q_span_first_topk": q_span_first_topk,
         "q_facet_pivot": q_facet_pivot,
+        "q_facet_metrics": q_facet_metrics,
         "q_boolean_sim_topk": q_boolean_sim_topk,
         "q_lmjm_topk": q_lmjm_topk,
         "q_suggest_prefix": q_suggest_prefix,

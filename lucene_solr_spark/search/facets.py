@@ -104,3 +104,21 @@ def facet_queries(searcher, base_matches: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("name")
+
+
+def facet_metrics(docs: DataFrame, matches: DataFrame | None, field: str,
+                  metric_col: str, min_count: int = 1) -> DataFrame:
+    """JSON Facet API terms facet with nested metric aggregates (Solr
+    json.facet {type: terms, field, facet: {sum, avg, min, max}}): per
+    ``field`` value over the match set, count plus sum/avg/min/max of
+    ``metric_col``. → (value, count, sum, avg, min, max), count desc
+    then value asc (the bucket order). One map-side-combined agg."""
+    return (_matched(docs, matches)
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.sum(metric_col).alias("sum"),
+                 F.avg(metric_col).alias("avg"),
+                 F.min(metric_col).alias("min"),
+                 F.max(metric_col).alias("max"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), F.asc("value")))
