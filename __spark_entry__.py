@@ -972,6 +972,18 @@ def q_elevation_topk(spark, sf_dir):
                       F.col("elevated").cast("long"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1):
+    per-doc duplicated-3-gram fraction and top-3-gram share."""
+    from lucene_solr_spark.pipeline.textstats import repetition_stats
+    res = repetition_stats(_raw_docs(spark, sf_dir), n=3)
+    return (res.filter(F.col("doc_id") < 100)
+            .select("doc_id", "n_ngrams", "n_distinct",
+                    F.round("dup_frac", 4).alias("dup_frac"),
+                    F.round("top_frac", 4).alias("top_frac"))
+            .orderBy("doc_id"))
+
+
 def q_facet_metrics(spark, sf_dir):
     """JSON Facet API nested metrics (Solr json.facet terms facet with
     sum/avg/min/max sub-aggregates): per-lang buckets of the 'merge'
@@ -2111,6 +2123,28 @@ FROM u
 ORDER BY CASE WHEN ord IS NOT NULL THEN 0 ELSE 1 END, ord,
          score DESC, doc_id LIMIT 10"""
 
+    sql["q_repetition_stats"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents
+), g AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i)
+), per AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram
+), st AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_ngrams, count(*)::BIGINT AS n_distinct,
+         MAX(c)::BIGINT AS top_c
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(st.n_ngrams, 0) AS n_ngrams,
+       COALESCE(st.n_distinct, 0) AS n_distinct,
+       ROUND(COALESCE(1.0 - st.n_distinct::DOUBLE / st.n_ngrams, 0.0), 4)
+         AS dup_frac,
+       ROUND(COALESCE(st.top_c::DOUBLE / st.n_ngrams, 0.0), 4) AS top_frac
+FROM documents d LEFT JOIN st USING (doc_id)
+WHERE d.doc_id < 100 ORDER BY d.doc_id"""
+
     sql["q_facet_metrics"] = _PRELUDE + """
 SELECT d.lang AS value, count(*)::BIGINT AS count,
        SUM(d.n_chars)::BIGINT AS sum, ROUND(AVG(d.n_chars), 4) AS avg,
@@ -2890,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
+        "q_repetition_stats": q_repetition_stats,
         "q_image_meta": q_image_meta,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_norms": q_norms,

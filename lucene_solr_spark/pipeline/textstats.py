@@ -100,3 +100,46 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     fp = F.aggregate(hs, F.lit(0).cast("long"),
                      lambda acc, x: (acc * FP_BASE + x) % P31)
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+
+
+def repetition_stats(docs: DataFrame, n: int = 3,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb
+    "repetitious text" quality rules — Rae et al. 2021 §A1.1: fraction
+    of duplicated n-grams): per doc, the total n-gram count, the
+    distinct count, dup_frac = 1 − distinct/total, and top_frac = the
+    most frequent n-gram's share. Short docs (< n tokens) report zero
+    n-grams and 0.0 fractions.
+
+    → (doc_id, n_ngrams, n_distinct, dup_frac, top_frac). Whole-stage
+    codegen (higher-order array functions — transform + aggregate over
+    a map), no shuffle beyond the final narrow projection."""
+    parts = " || ' ' || ".join(f"ts[i+{d}]" for d in range(n))
+    grams = (f"CASE WHEN size(ts) >= {n} THEN "
+             f"transform(sequence(0, size(ts) - {n}), i -> {parts}) "
+             f"ELSE array() END")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       _tok(F.col(text_col)).alias("ts"))
+    g = base.select("doc_id", F.expr(grams).alias("gs"))
+    exploded = g.select("doc_id", F.explode_outer("gs").alias("gram"))
+    # window-free shape: per-(doc, gram) counts reduce map-side, then
+    # one more narrow agg takes the totals and the max share
+    per = (exploded.filter(F.col("gram").isNotNull())
+           .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c")))
+    stats = (per.groupBy("doc_id")
+             .agg(F.sum("c").alias("n_ngrams"),
+                  F.count(F.lit(1)).alias("n_distinct"),
+                  F.max("c").alias("top_c")))
+    out = (docs.select(F.col(id_col).alias("doc_id"))
+           .join(stats, "doc_id", "left")
+           .na.fill({"n_ngrams": 0, "n_distinct": 0, "top_c": 0}))
+    return out.select(
+        "doc_id", F.col("n_ngrams").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.when(F.col("n_ngrams") > 0,
+               1.0 - F.col("n_distinct") / F.col("n_ngrams"))
+        .otherwise(0.0).alias("dup_frac"),
+        F.when(F.col("n_ngrams") > 0,
+               F.col("top_c") / F.col("n_ngrams"))
+        .otherwise(0.0).alias("top_frac"))
