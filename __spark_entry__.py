@@ -1013,6 +1013,18 @@ def q_facet_query(spark, sf_dir):
     return res.select("name", F.col("count").cast("long"))
 
 
+def q_sloppy_lucene_topk(spark, sf_dir):
+    """Lucene-exact sloppy matcher (SloppyPhraseMatcher.java:56 port,
+    PhraseQuery(matcher="lucene")): repeated-term phrase "key agg key"~4
+    with Lucene's distinct-position repeats semantics. Rows-only gate —
+    the reference's lazy window enumeration is not SQL-expressible; the
+    matcher itself is pinned against TestSloppyPhraseQuery.java goldens
+    (tests/test_sloppy_lucene.py) and the engine path against the pure
+    port."""
+    q = PhraseQuery(("key", "agg", "key"), slop=4, matcher="lucene")
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_update_search_topk(spark, sf_dir):
     """updateDocument (index/IndexWriter.java:1514 — atomic delete+add):
     every doc with doc_id % 97 == 0 is replaced by a patched text
@@ -2862,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_field_term_topk": q_field_term_topk,
         "q_multifield_bool_topk": q_multifield_bool_topk,
         "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
+        "q_sloppy_lucene_topk": q_sloppy_lucene_topk,
         # --- positions 51+: rows past the driver's 50-entry report cap.
         # Every entry below was driver-verified green in round 1 or 2 on
         # code unchanged since (multi-term expansion paths, dedup/ANN

@@ -146,6 +146,43 @@ class OracleIndex:
                     w - w / (np.float32(1.0) + np.float32(pf) * ni))
         return out
 
+
+    def _phrase_scores_lucene(self, keys, slop: int,
+                              boost: float = 1.0) -> dict[int, np.float32]:
+        """Fidelity sloppy matcher: per-doc SloppyPhraseMatcher port
+        (search/sloppy_lucene.py, itself pinned by reference-test
+        goldens) with the same BM25 weighting as _phrase_scores — the
+        engine's matcher="lucene" mirror, so the differential checks
+        the distributed decode path."""
+        from ..search.sloppy_lucene import sloppy_freq
+        field = keys[0][0]
+        terms = [t for _, t in keys]
+        fpos = self.positions.get(field, {})
+        if any(t not in fpos for t in terms):
+            return {}
+        cand = set(fpos[terms[0]])
+        for t in terms[1:]:
+            cand &= set(fpos[t])
+        if not cand:
+            return {}
+        idf_sum = np.float32(sum(
+            np.float32(bm25.idf(self.df(t, field),
+                                self.field_doc_count[field]))
+            for t in terms))
+        w = np.float32(np.float32(boost) * idf_sum)
+        avgdl = bm25.avg_field_length(self.field_sum_ttf[field],
+                                      self.field_doc_count[field])
+        cache = bm25.norm_inverse_cache(avgdl)
+        offs = list(range(len(terms)))
+        out: dict[int, np.float32] = {}
+        for d in cand:
+            pf = sloppy_freq(offs, [fpos[t][d] for t in terms], slop)
+            if pf > 0:
+                ni = cache[self.norms[field][d]]
+                out[d] = np.float32(
+                    w - w / (np.float32(1.0) + np.float32(pf) * ni))
+        return out
+
     def _multiphrase_scores(self, slots, slop: int,
                             boost: float = 1.0) -> dict[int, np.float32]:
         """MultiPhraseQuery (`search/MultiPhraseQuery.java:58`): per
@@ -476,6 +513,9 @@ class OracleIndex:
             f, t = c["key"]
             return self._term_scores(t, boost=c["boost"] * boost_mult, field=f)
         if c["kind"] == "phrase":
+            if c.get("matcher") == "lucene":
+                return self._phrase_scores_lucene(
+                    c["keys"], c["slop"], c["boost"] * boost_mult)
             return self._phrase_scores(c["keys"], c["slop"],
                                        c["boost"] * boost_mult)
         if c["kind"] == "multiphrase":

@@ -52,6 +52,10 @@ class PhraseQuery:
     terms: tuple
     field: str = DEFAULT_FIELD
     slop: int = 0           # PhraseQuery.java:70 — edit-distance budget
+    # "mindisp" = the vectorized first-term-anchored min-displacement
+    # spec (oracle-gated default); "lucene" = the per-doc faithful
+    # SloppyPhraseMatcher port (search/sloppy_lucene.py)
+    matcher: str = "mindisp" 
 
     def __str__(self):
         s = f'{self.field}:"' + " ".join(self.terms) + '"'

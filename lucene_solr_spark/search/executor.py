@@ -613,7 +613,8 @@ def _flat_plan(query):
         if isinstance(q, PhraseQuery):
             return {"kind": "phrase",
                     "keys": [(q.field, t) for t in q.terms],
-                    "slop": int(q.slop), "boost": boost}
+                    "slop": int(q.slop), "boost": boost,
+                    "matcher": q.matcher}
         if isinstance(q, MultiPhraseQuery):
             return {"kind": "multiphrase",
                     "slots": [[(q.field, t) for t in slot]
@@ -721,7 +722,8 @@ def build_tree(query, boost: float = 1.0):
     if isinstance(query, PhraseQuery):
         return {"kind": "phrase",
                 "keys": [(query.field, t) for t in query.terms],
-                "slop": int(query.slop), "boost": boost}
+                "slop": int(query.slop), "boost": boost,
+                "matcher": query.matcher}
     if isinstance(query, MultiPhraseQuery):
         return {"kind": "multiphrase",
                 "slots": [[(query.field, t) for t in slot]
@@ -1672,10 +1674,51 @@ def _eval_phrase(c, data: _BucketData, spec, dtype):
         if r is None:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
         per.append(r)
+    if c.get("matcher") == "lucene":
+        return _eval_phrase_lucene(c, per, data, spec, dtype)
     d0, f0, n0, fd0, fp0 = per[0]
     rest = [(p[3], p[4]) for p in per[1:]]
     return _phrase_chain_score((d0, n0, fd0, fp0), rest, c, data, spec,
                                dtype, keys[0][0])
+
+
+def _eval_phrase_lucene(c, per, data: _BucketData, spec, dtype):
+    """FIDELITY sloppy matcher: per-candidate-doc port of Lucene's
+    SloppyPhraseMatcher enumeration (search/sloppy_lucene.py — pinned
+    against TestSloppyPhraseQuery.java behaviors), selected with
+    PhraseQuery(matcher="lucene"). Per-doc Python over the conjunction
+    candidates only — the documented trade: exact Lucene freq on
+    repeated-term/out-of-order phrases vs the default vectorized
+    min-displacement spec."""
+    from .sloppy_lucene import sloppy_freq
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype))
+    cand = per[0][0]
+    for p in per[1:]:
+        cand = np.intersect1d(cand, p[0], assume_unique=True)
+    if len(cand) == 0:
+        return empty
+    offs = list(range(len(c["keys"])))
+    slop = c.get("slop", 0)
+    pf = np.zeros(len(cand), dtype=np.float64)
+    for i, doc in enumerate(cand):
+        ld = doc - data.off
+        lists = []
+        for _, _, _, fd, fp in per:
+            lo = int(np.searchsorted(fd, ld, side="left"))
+            hi = int(np.searchsorted(fd, ld, side="right"))
+            lists.append(fp[lo:hi])
+        pf[i] = sloppy_freq(offs, lists, slop)
+    m = pf > 0
+    if not m.any():
+        return empty
+    d0, _, n0 = per[0][0], per[0][1], per[0][2]
+    ni = np.searchsorted(d0, cand[m])
+    norms = n0[ni]
+    w = np.float32(c["w32"]) if dtype is np.float32 else c["w64"]
+    field = c["keys"][0][0]
+    idxs = (cand[m] - data.off).astype(np.int64)
+    s = _score_freqs(pf[m], norms, w, field, spec, dtype)
+    return idxs, s.astype(dtype, copy=False)
 
 
 def _union_slot(rs):
