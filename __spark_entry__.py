@@ -1083,6 +1083,30 @@ def q_interval_block_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_interval_or_topk(spark, sf_dir):
+    """Intervals.or (DisjunctionIntervalsSource.java): union of two
+    term streams, minExtent = min(children) = 1 — every interval
+    contributes 1, so freq = tf(key) + tf(part), saturation-scored."""
+    from lucene_solr_spark.search.ast import (IntervalOr, IntervalQuery,
+                                              IntervalTerm)
+    q = IntervalQuery(IntervalOr((IntervalTerm("key"),
+                                  IntervalTerm("part"))))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_interval_containing_topk(spark, sf_dir):
+    """Intervals.containing (ContainingIntervalsSource.java:52-57):
+    minimal ordered(key, agg) intervals that hold a 'merge' occurrence;
+    minExtent stays the big source's (= 2)."""
+    from lucene_solr_spark.search.ast import (IntervalContaining,
+                                              IntervalOrdered,
+                                              IntervalQuery, IntervalTerm)
+    q = IntervalQuery(IntervalContaining(
+        IntervalOrdered((IntervalTerm("key"), IntervalTerm("agg"))),
+        IntervalTerm("merge")))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_edismax_topk(spark, sf_dir):
     """DisMax handler surface (qf={text:1, title:2}, tie=0.3): each
     query term scores as max-over-fields + tie x rest
@@ -2250,6 +2274,32 @@ FROM pf ORDER BY 1.0 - 1.0 / (1.0 + freq) DESC, doc_id LIMIT 10"""
   GROUP BY a.doc_id
 )""" + _IV_TAIL
 
+    sql["q_interval_or_topk"] = _PRELUDE + """
+, pf AS (
+  SELECT doc_id, SUM(freq)::DOUBLE AS freq FROM tf
+  WHERE term IN ('key', 'part') GROUP BY doc_id
+)""" + _IV_TAIL
+
+    sql["q_interval_containing_topk"] = _PRELUDE + _POS_CTE + """
+, opair AS (
+  SELECT a.doc_id, a.p AS s, b.p AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.p < b.p
+  WHERE a.term = 'key' AND b.term = 'agg'
+), omin1 AS (
+  SELECT doc_id, s, MIN(e) AS e FROM opair GROUP BY doc_id, s
+), omin AS (
+  SELECT doc_id, s, e FROM omin1 m
+  WHERE NOT EXISTS (SELECT 1 FROM omin1 m2 WHERE m2.doc_id = m.doc_id
+                    AND m2.s > m.s AND m2.e <= m.e)
+), held AS (
+  SELECT o.doc_id, o.s, o.e FROM omin o
+  WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = o.doc_id
+                AND p.term = 'merge' AND p.p >= o.s AND p.p <= o.e)
+), pf AS (
+  SELECT doc_id, SUM(1.0 / GREATEST(e - s + 1 - 2 + 1, 1)) AS freq
+  FROM held GROUP BY doc_id
+)""" + _IV_TAIL
+
     # edismax qf={text:1,title:2} tie=0.3 over terms (part, merge):
     # per term, dismax of the per-field BM25 partials; sum over terms
     sql["q_edismax_topk"] = _PRELUDE + _TITLE_CTES + """
@@ -2894,6 +2944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_unordered_topk": q_span_unordered_topk,
         "q_span_not_topk": q_span_not_topk,
         "q_span_first_topk": q_span_first_topk,
+        "q_interval_or_topk": q_interval_or_topk,
+        "q_interval_containing_topk": q_interval_containing_topk,
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,
         "q_boolean_sim_topk": q_boolean_sim_topk,

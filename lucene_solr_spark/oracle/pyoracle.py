@@ -420,6 +420,39 @@ class OracleIndex:
                 if kept:
                     out[d] = kept
             return out
+        if o == "ior":
+            cands: dict[int, list] = {}
+            for ch in op["children"]:
+                for d, sp in self._interval_op_intervals(ch, field).items():
+                    cands.setdefault(d, []).extend(sp)
+            return {d: m for d, sp in cands.items()
+                    if (m := minimalize(sp))}
+        if o in ("icontaining", "inotcontaining"):
+            bigs = self._interval_op_intervals(op["big"], field)
+            smalls = self._interval_op_intervals(op["small"], field)
+            want = o == "icontaining"
+            out = {}
+            for d, sp in bigs.items():
+                sm = smalls.get(d, [])
+                kept = [x for x in sp
+                        if any(s >= x[0] and e <= x[1]
+                               for s, e, _ in sm) == want]
+                if kept:
+                    out[d] = kept
+            return out
+        if o in ("icontainedby", "inotcontainedby"):
+            smalls = self._interval_op_intervals(op["small"], field)
+            bigs = self._interval_op_intervals(op["big"], field)
+            want = o == "icontainedby"
+            out = {}
+            for d, sp in smalls.items():
+                bg = bigs.get(d, [])
+                kept = [x for x in sp
+                        if any(s <= x[0] and e >= x[1]
+                               for s, e, _ in bg) == want]
+                if kept:
+                    out[d] = kept
+            return out
         inner = self._interval_op_intervals(op["child"], field)
         if o == "imaxgaps":
             out = {d: [x for x in sp if x[1] - x[0] + 1 - x[2] <= op["gaps"]]
@@ -451,8 +484,8 @@ class OracleIndex:
 
     @staticmethod
     def _iv_keys(op) -> list:
-        from ..search.executor import _interval_op_keys
-        return _interval_op_keys(op)
+        from ..search.executor import _interval_required_keys
+        return _interval_required_keys(op)
 
     def _spantree_scores(self, c, boost_mult: float = 1.0):
         """Composite span query — freq = Σ 1/(1+width), BM25 weight over

@@ -224,8 +224,54 @@ class IntervalMaxWidth:
     width: int
 
 
+@dataclass(frozen=True)
+class IntervalOr:
+    """`Intervals.or` (`DisjunctionIntervalsSource.java`): union of the
+    child interval streams. Engine spec: the union is MINIMALIZED (the
+    canonical algebra — no emitted interval contains another);
+    minExtent = min over children (`:132-137`)."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IntervalContaining:
+    """`Intervals.containing` (`ContainingIntervalsSource.java:52-57`):
+    intervals of ``big`` that contain at least one interval of
+    ``small`` (big.start ≤ small.start AND big.end ≥ small.end);
+    minExtent = big's (`:65-66`)."""
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class IntervalNotContaining:
+    """`Intervals.notContaining` (`NonOverlappingQuery` family /
+    DifferenceIntervalsSource): intervals of ``minuend`` that contain
+    NO interval of ``subtrahend``."""
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IntervalContainedBy:
+    """`Intervals.containedBy` (`ContainedByIntervalsSource.java`):
+    intervals of ``small`` that lie inside some interval of ``big``."""
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IntervalNotContainedBy:
+    """`Intervals.notContainedBy`: intervals of ``small`` inside NO
+    interval of ``big``."""
+    small: object
+    big: object
+
+
 INTERVAL_SOURCES = (IntervalTerm, IntervalOrdered, IntervalUnordered,
-                    IntervalBlock, IntervalMaxGaps, IntervalMaxWidth)
+                    IntervalBlock, IntervalMaxGaps, IntervalMaxWidth,
+                    IntervalOr, IntervalContaining, IntervalNotContaining,
+                    IntervalContainedBy, IntervalNotContainedBy)
 
 
 @dataclass(frozen=True)
@@ -249,11 +295,20 @@ def interval_source_keys(src, field: str) -> list[tuple[str, str]]:
         return [(field, src.term)]
     if isinstance(src, IntervalBlock):
         return [(field, t) for t in src.terms]
-    if isinstance(src, (IntervalOrdered, IntervalUnordered)):
+    if isinstance(src, (IntervalOrdered, IntervalUnordered, IntervalOr)):
         return [k for ch in src.sources
                 for k in interval_source_keys(ch, field)]
     if isinstance(src, (IntervalMaxGaps, IntervalMaxWidth)):
         return interval_source_keys(src.source, field)
+    if isinstance(src, IntervalContaining):
+        return (interval_source_keys(src.big, field)
+                + interval_source_keys(src.small, field))
+    if isinstance(src, IntervalNotContaining):
+        return (interval_source_keys(src.minuend, field)
+                + interval_source_keys(src.subtrahend, field))
+    if isinstance(src, (IntervalContainedBy, IntervalNotContainedBy)):
+        return (interval_source_keys(src.small, field)
+                + interval_source_keys(src.big, field))
     raise ValueError(f"not an interval source: {src!r}")
 
 

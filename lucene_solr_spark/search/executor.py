@@ -75,8 +75,10 @@ from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
 from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
                   BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
-                  IntervalBlock, IntervalMaxGaps, IntervalMaxWidth,
-                  IntervalOrdered, IntervalQuery, IntervalTerm,
+                  IntervalBlock, IntervalContainedBy, IntervalContaining,
+                  IntervalMaxGaps, IntervalMaxWidth,
+                  IntervalNotContainedBy, IntervalNotContaining,
+                  IntervalOr, IntervalOrdered, IntervalQuery, IntervalTerm,
                   IntervalUnordered,
                   MatchAllQuery, MatchNoQuery, MultiPhraseQuery, Occur,
                   PhraseQuery, PrefixQuery,
@@ -560,6 +562,32 @@ def _interval_op(src, field: str):
         kids = [_interval_op(ch, field) for ch in src.sources]
         return {"op": "iunord", "children": kids,
                 "min_extent": sum(k["min_extent"] for k in kids)}
+    if isinstance(src, IntervalOr):
+        if len(src.sources) < 2:
+            raise ValueError("interval or needs >= 2 sources")
+        kids = [_interval_op(ch, field) for ch in src.sources]
+        return {"op": "ior", "children": kids,
+                "min_extent": min(k["min_extent"] for k in kids)}
+    if isinstance(src, IntervalContaining):
+        big = _interval_op(src.big, field)
+        small = _interval_op(src.small, field)
+        return {"op": "icontaining", "big": big, "small": small,
+                "min_extent": big["min_extent"]}
+    if isinstance(src, IntervalNotContaining):
+        big = _interval_op(src.minuend, field)
+        small = _interval_op(src.subtrahend, field)
+        return {"op": "inotcontaining", "big": big, "small": small,
+                "min_extent": big["min_extent"]}
+    if isinstance(src, IntervalContainedBy):
+        small = _interval_op(src.small, field)
+        big = _interval_op(src.big, field)
+        return {"op": "icontainedby", "small": small, "big": big,
+                "min_extent": small["min_extent"]}
+    if isinstance(src, IntervalNotContainedBy):
+        small = _interval_op(src.small, field)
+        big = _interval_op(src.big, field)
+        return {"op": "inotcontainedby", "small": small, "big": big,
+                "min_extent": small["min_extent"]}
     if isinstance(src, IntervalMaxGaps):
         kid = _interval_op(src.source, field)
         return {"op": "imaxgaps", "child": kid, "gaps": int(src.gaps),
@@ -770,17 +798,48 @@ def _leaf_keys(c) -> list:
 
 
 def _interval_op_keys(op) -> list:
-    """Leaf keys of an iv-op tree, appearance order. Every key is
-    REQUIRED (ordered/unordered/block are conjunctions; filters pass
-    through), so presence analysis reuses this list."""
+    """ALL leaf keys of an iv-op tree (postings to fetch)."""
+    o = op["op"]
+    if o == "iterm":
+        return [op["key"]]
+    if o == "iblock":
+        return list(op["keys"])
+    if o in ("iord", "iunord", "ior"):
+        return [k for ch in op["children"] for k in _interval_op_keys(ch)]
+    if o in ("icontaining", "inotcontaining"):
+        return _interval_op_keys(op["big"]) + _interval_op_keys(op["small"])
+    if o in ("icontainedby", "inotcontainedby"):
+        return _interval_op_keys(op["small"]) + _interval_op_keys(op["big"])
+    return _interval_op_keys(op["child"])    # imaxgaps / imaxwidth
+
+
+def _interval_required_keys(op) -> list:
+    """Keys that MUST exist for the op to emit any interval — the
+    presence/death analysis: ordered/unordered/block are conjunctions,
+    ior alternatives contribute none, a NOT-side (subtrahend /
+    non-containing big) contributes none, but containing/contained-by
+    need BOTH sides."""
     o = op["op"]
     if o == "iterm":
         return [op["key"]]
     if o == "iblock":
         return list(op["keys"])
     if o in ("iord", "iunord"):
-        return [k for ch in op["children"] for k in _interval_op_keys(ch)]
-    return _interval_op_keys(op["child"])    # imaxgaps / imaxwidth
+        return [k for ch in op["children"]
+                for k in _interval_required_keys(ch)]
+    if o == "ior":
+        return []
+    if o == "icontaining":
+        return (_interval_required_keys(op["big"])
+                + _interval_required_keys(op["small"]))
+    if o == "inotcontaining":
+        return _interval_required_keys(op["big"])
+    if o == "icontainedby":
+        return (_interval_required_keys(op["small"])
+                + _interval_required_keys(op["big"]))
+    if o == "inotcontainedby":
+        return _interval_required_keys(op["small"])
+    return _interval_required_keys(op["child"])
 
 
 def _span_op_keys(op, scoring_only: bool) -> list:
@@ -903,9 +962,9 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
         # the score function, never the session Similarity) — the only
         # weight is the boost, which also bounds the score from above:
         # boost × (1 − pivot/(pivot+freq)) < boost for any finite freq
-        keys = _interval_op_keys(c["root"])
+        keys = _interval_required_keys(c["root"])
         if not all(k in st for k in keys):
-            return None    # every interval key is required (conjunction)
+            return None    # a required interval key is dead
         b = c["boost"] * outer_boost
         return dict(c, w32=float(np.float32(b)), w64=b)
     if kind == "multiphrase":
@@ -1510,7 +1569,8 @@ def _clause_present(c, data: _BucketData) -> bool:
         # optional); conservative — never skips a matchable bucket
         return all(k in data.by_key for k in c["required"])
     if c["kind"] == "interval":
-        return all(k in data.by_key for k in _interval_op_keys(c["root"]))
+        return all(k in data.by_key
+                   for k in _interval_required_keys(c["root"]))
     return any(_clause_present(ch, data) for ch in c["children"])
 
 
@@ -2176,6 +2236,56 @@ def _eval_interval_op(op, data: _BucketData):
         return _iv_combine_unordered(
             _eval_interval_op(op["children"][0], data),
             _eval_interval_op(op["children"][1], data))
+    if o == "ior":
+        parts = [_eval_interval_op(ch, data) for ch in op["children"]]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _IV_EMPTY
+        if len(parts) == 1:
+            return parts[0]
+        return _iv_minimalize(np.concatenate([p[0] for p in parts]),
+                              np.concatenate([p[1] for p in parts]),
+                              np.concatenate([p[2] for p in parts]),
+                              np.concatenate([p[3] for p in parts]))
+    if o in ("icontaining", "inotcontaining"):
+        fd, fs, fe, fl = _eval_interval_op(op["big"], data)
+        if len(fd) == 0:
+            return _IV_EMPTY
+        sd, ss, se, _ = _eval_interval_op(op["small"], data)
+        if len(sd) == 0:
+            ok = np.zeros(len(fd), dtype=bool)
+        else:
+            # ∃ small with start ≥ big.start and end ≤ big.end: smalls
+            # sorted by (doc, start); the suffix min of doc<<33|end over
+            # that order answers the 2-sided window in one searchsorted
+            enc_ss = (sd << _POS_SHIFT) + ss
+            sufmin = np.minimum.accumulate(
+                ((sd << _POS_SHIFT) + se)[::-1])[::-1]
+            i = np.searchsorted(enc_ss, (fd << _POS_SHIFT) + fs,
+                                side="left")
+            ir = np.minimum(i, len(enc_ss) - 1)
+            ok = (i < len(enc_ss)) & (sufmin[ir]
+                                      <= (fd << _POS_SHIFT) + fe)
+        m = ok if o == "icontaining" else ~ok
+        return fd[m], fs[m], fe[m], fl[m]
+    if o in ("icontainedby", "inotcontainedby"):
+        fd, fs, fe, fl = _eval_interval_op(op["small"], data)
+        if len(fd) == 0:
+            return _IV_EMPTY
+        bd, bs, be, _ = _eval_interval_op(op["big"], data)
+        if len(bd) == 0:
+            ok = np.zeros(len(fd), dtype=bool)
+        else:
+            # ∃ big with start ≤ small.start and end ≥ small.end: bigs
+            # sorted by (doc, start); prefix max of doc<<33|end
+            enc_bs = (bd << _POS_SHIFT) + bs
+            prefmax = np.maximum.accumulate((bd << _POS_SHIFT) + be)
+            i = np.searchsorted(enc_bs, (fd << _POS_SHIFT) + fs,
+                                side="right") - 1
+            ir = np.maximum(i, 0)
+            ok = (i >= 0) & (prefmax[ir] >= (fd << _POS_SHIFT) + fe)
+        m = ok if o == "icontainedby" else ~ok
+        return fd[m], fs[m], fe[m], fl[m]
     fd, fs, fe, fl = _eval_interval_op(op["child"], data)
     if len(fd) == 0:
         return _IV_EMPTY

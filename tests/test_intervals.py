@@ -255,3 +255,63 @@ def test_interval_in_batch_query(spark):
         assert got["doc_id"].tolist() == single["doc_id"].tolist()
         np.testing.assert_allclose(got["score"].to_numpy(),
                                    single["score"].to_numpy(), rtol=0)
+
+
+def test_interval_or_and_containment(spark):
+    from lucene_solr_spark.search.ast import (IntervalContainedBy,
+                                              IntervalContaining,
+                                              IntervalNotContainedBy,
+                                              IntervalNotContaining,
+                                              IntervalOr)
+    rows = [
+        "aa xx bb cc",      # ordered(aa,bb)=[0,2] contains xx@1
+        "aa bb cc",         # [0,1] contains nothing between
+        "cc aa yy bb",      # [1,3] contains yy
+        "bb cc aa",         # no ordered match
+    ]
+    oracle, s = _mk(spark, rows)
+    ab = IntervalOrdered((IntervalTerm("aa"), IntervalTerm("bb")))
+    # or: union of two term streams
+    q_or = IntervalQuery(IntervalOr((IntervalTerm("aa"),
+                                     IntervalTerm("cc"))))
+    _check(oracle, s, q_or, "ior", expect_ids=[0, 1, 2, 3])
+    # containing: ordered(aa,bb) spans holding an xx
+    q_c = IntervalQuery(IntervalContaining(ab, IntervalTerm("xx")))
+    _check(oracle, s, q_c, "containing", expect_ids=[0])
+    q_nc = IntervalQuery(IntervalNotContaining(ab, IntervalTerm("xx")))
+    _check(oracle, s, q_nc, "not-containing", expect_ids=[1, 2])
+    # containedBy: cc inside unordered(aa, ...)? use big = ordered(cc? )
+    big = IntervalOrdered((IntervalTerm("aa"), IntervalTerm("cc")))
+    q_cb = IntervalQuery(IntervalContainedBy(IntervalTerm("bb"), big))
+    # doc 0: big [0,3] holds bb@2 ✓; doc 1: big [0,2] holds bb@1 ✓;
+    # doc 2: big [1,?]: ordered aa@1..cc? cc@0 before aa → no big ✗
+    _check(oracle, s, q_cb, "contained-by", expect_ids=[0, 1])
+    q_ncb = IntervalQuery(IntervalNotContainedBy(IntervalTerm("bb"), big))
+    _check(oracle, s, q_ncb, "not-contained-by", expect_ids=[2, 3])
+    # ior survives a dead alternative (zz never indexed)
+    q_dead = IntervalQuery(IntervalOr((IntervalTerm("aa"),
+                                       IntervalTerm("zz"))))
+    got = s.top_k(q_dead, k=10)
+    assert sorted(got["doc_id"].astype(int)) == [0, 1, 2, 3]
+
+
+def test_interval_or_randomized(spark):
+    import random
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "xx"]
+    rows = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+            for _ in range(30)]
+    oracle, s = _mk(spark, rows)
+    ab = IntervalOrdered((IntervalTerm("aa"), IntervalTerm("bb")))
+    from lucene_solr_spark.search.ast import (IntervalContaining,
+                                              IntervalNotContaining,
+                                              IntervalOr)
+    shapes = [
+        IntervalOr((ab, IntervalBlock(("cc", "xx")))),
+        IntervalContaining(ab, IntervalTerm("cc")),
+        IntervalNotContaining(ab, IntervalTerm("cc")),
+        IntervalMaxGaps(IntervalOr((IntervalTerm("aa"),
+                                    IntervalTerm("cc"))), gaps=0),
+    ]
+    for i, src in enumerate(shapes):
+        _check(oracle, s, IntervalQuery(src), f"rand-orcont-{i}")
