@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import bisect
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,8 +81,12 @@ def commit_segment(spark: SparkSession, docs: DataFrame,
     for tbl, df in (("postings", idx.postings), ("terms", idx.terms),
                     ("norms", idx.norms)):
         df.write.mode("overwrite").parquet(f"{seg_dir}/{tbl}")
+    # stored fields ride the segment (RealTimeGetComponent source): a
+    # get-by-id can serve a doc the moment its batch commits, without
+    # waiting for any reader/compaction generation
+    docs.write.mode("overwrite").parquet(f"{seg_dir}/docs")
     idx.release()
-    entry = {"name": name, "batch_id": batch_id, "min_doc": lo,
+    entry = {"name": name, "batch_id": batch_id, "min_doc": lo, "stored": True,
              "max_doc": hi, "n_docs": n, "stats": idx.stats,
              # reader-side derivation (ADVICE: a positionless segment must
              # never be read as positioned): record the build params
@@ -217,3 +222,42 @@ def stream_index(spark: SparkSession, input_path: str, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _segments_for_ids(seglist: dict, doc_ids) -> list[dict]:
+    """Segments whose [min_doc, max_doc] range can hold any requested id
+    — the RTG index lookup (segments partition the id space because
+    commit_segment rejects overlaps)."""
+    ids = sorted(int(d) for d in doc_ids)
+    out = []
+    for s in seglist["segments"]:
+        i = bisect.bisect_left(ids, s["min_doc"])
+        if i < len(ids) and ids[i] <= s["max_doc"]:
+            out.append(s)
+    return out
+
+
+def realtime_get(spark: SparkSession, path: str, doc_ids,
+                 columns: list[str] | None = None) -> DataFrame:
+    """RealTimeGet (solr/handler/component/RealTimeGetComponent.java):
+    fetch documents by id from the NRT segment store, including docs
+    committed by the latest micro-batch that no compacted reader
+    generation covers yet. Only the segments whose id range can hold a
+    requested id are opened (`_segments_for_ids`), and the id predicate
+    pushes into each segment's parquet scan — cost is O(segments hit),
+    never a corpus pass. Missing ids are simply absent from the result
+    (Solr returns null docs). Requires segments committed with stored
+    fields (`stored` entries; older position-only segments raise)."""
+    ids = [int(d) for d in doc_ids]
+    segs = _segments_for_ids(_read_segments(path), ids)
+    if not segs:
+        raise ValueError("no committed segment covers the requested ids")
+    missing = [s["name"] for s in segs if not s.get("stored")]
+    if missing:
+        raise ValueError(
+            f"segments {missing} were committed without stored fields")
+    df = spark.read.parquet(*[f"{path}/{s['name']}/docs" for s in segs])
+    out = df.filter(F.col("doc_id").isin(ids))
+    if columns:
+        out = out.select("doc_id", *columns)
+    return out

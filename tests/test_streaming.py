@@ -112,3 +112,31 @@ def test_maintain_segments_auto_compaction(spark, docs, tmp_path_factory):
     # idempotent: a packed single segment needs no further merging
     assert nrt.maintain_segments(spark, path, ENGLISH_ANALYZER,
                                  max_blocks_per_run=2) is False
+
+
+def test_realtime_get(spark, tmp_path):
+    """RealTimeGetComponent: a doc is fetchable by id the moment its
+    micro-batch segment commits; only range-covering segments open."""
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_solr_spark.index.builder import IndexBuilder
+    from lucene_solr_spark.streaming.nrt import (_read_segments,
+                                                 _segments_for_ids,
+                                                 commit_segment,
+                                                 realtime_get)
+    path = str(tmp_path / "rtg")
+    b = IndexBuilder(StandardAnalyzer(stop_words=frozenset()), grid=4,
+                     with_positions=True)
+    d1 = spark.createDataFrame([(0, "aa bb"), (1, "cc dd")],
+                               "doc_id long, text string")
+    d2 = spark.createDataFrame([(10, "ee ff"), (11, "gg hh")],
+                               "doc_id long, text string")
+    commit_segment(spark, d1, b, path, batch_id=0)
+    commit_segment(spark, d2, b, path, batch_id=1)
+    got = {r["doc_id"]: r["text"]
+           for r in realtime_get(spark, path, [1, 10, 99]).collect()}
+    assert got == {1: "cc dd", 10: "ee ff"}     # 99 simply absent
+    # segment pruning: ids 10,11 only touch seg-000001
+    segs = _segments_for_ids(_read_segments(path), [10, 11])
+    assert [s["name"] for s in segs] == ["seg-000001"]
+    segs_all = _segments_for_ids(_read_segments(path), [0, 11])
+    assert len(segs_all) == 2
