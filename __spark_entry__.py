@@ -1107,6 +1107,19 @@ def q_interval_containing_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_interval_prefix_topk(spark, sf_dir):
+    """Intervals.prefix (MultiTermIntervalsSource): ordered(s*, merge)
+    within maxgaps 2 — the prefix expands against the dictionary into
+    an interval disjunction before planning."""
+    from lucene_solr_spark.search.ast import (IntervalMaxGaps,
+                                              IntervalOrdered,
+                                              IntervalPrefix,
+                                              IntervalQuery, IntervalTerm)
+    q = IntervalQuery(IntervalMaxGaps(IntervalOrdered(
+        (IntervalPrefix("s"), IntervalTerm("merge"))), gaps=2))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_edismax_topk(spark, sf_dir):
     """DisMax handler surface (qf={text:1, title:2}, tie=0.3): each
     query term scores as max-over-fields + tie x rest
@@ -2274,6 +2287,23 @@ FROM pf ORDER BY 1.0 - 1.0 / (1.0 + freq) DESC, doc_id LIMIT 10"""
   GROUP BY a.doc_id
 )""" + _IV_TAIL
 
+    sql["q_interval_prefix_topk"] = _PRELUDE + _POS_CTE + """
+, sterms AS (SELECT term FROM dfreq WHERE term LIKE 's%')
+, opair AS (
+  SELECT a.doc_id, a.p AS s, b.p AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.p < b.p
+  WHERE a.term IN (SELECT term FROM sterms) AND b.term = 'merge'
+), omin1 AS (
+  SELECT doc_id, s, MIN(e) AS e FROM opair GROUP BY doc_id, s
+), omin AS (
+  SELECT doc_id, s, e FROM omin1 m
+  WHERE NOT EXISTS (SELECT 1 FROM omin1 m2 WHERE m2.doc_id = m.doc_id
+                    AND m2.s > m.s AND m2.e <= m.e)
+), pf AS (
+  SELECT doc_id, SUM(1.0 / GREATEST(e - s + 1 - 2 + 1, 1)) AS freq
+  FROM omin WHERE (e - s + 1) - 2 <= 2 GROUP BY doc_id
+)""" + _IV_TAIL
+
     sql["q_interval_or_topk"] = _PRELUDE + """
 , pf AS (
   SELECT doc_id, SUM(freq)::DOUBLE AS freq FROM tf
@@ -2944,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_unordered_topk": q_span_unordered_topk,
         "q_span_not_topk": q_span_not_topk,
         "q_span_first_topk": q_span_first_topk,
+        "q_interval_prefix_topk": q_interval_prefix_topk,
         "q_interval_or_topk": q_interval_or_topk,
         "q_interval_containing_topk": q_interval_containing_topk,
         "q_facet_pivot": q_facet_pivot,

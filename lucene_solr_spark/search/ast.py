@@ -268,10 +268,31 @@ class IntervalNotContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class IntervalPrefix:
+    """`Intervals.prefix` (`MultiTermIntervalsSource.java` /
+    Intervals.java DEFAULT_MAX_EXPANSIONS = 128): expands against the
+    term dictionary into an IntervalOr of term sources at search time
+    (Searcher.expand_multiterm); past ``max_expansions`` the highest-df
+    terms are kept (the engine's top-terms degradation posture — the
+    reference throws)."""
+    prefix: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class IntervalWildcard:
+    """`Intervals.wildcard` — dictionary expansion like
+    :class:`IntervalPrefix`, pattern with * and ?."""
+    pattern: str
+    max_expansions: int = 128
+
+
 INTERVAL_SOURCES = (IntervalTerm, IntervalOrdered, IntervalUnordered,
                     IntervalBlock, IntervalMaxGaps, IntervalMaxWidth,
                     IntervalOr, IntervalContaining, IntervalNotContaining,
-                    IntervalContainedBy, IntervalNotContainedBy)
+                    IntervalContainedBy, IntervalNotContainedBy,
+                    IntervalPrefix, IntervalWildcard)
 
 
 @dataclass(frozen=True)
@@ -309,6 +330,8 @@ def interval_source_keys(src, field: str) -> list[tuple[str, str]]:
     if isinstance(src, (IntervalContainedBy, IntervalNotContainedBy)):
         return (interval_source_keys(src.small, field)
                 + interval_source_keys(src.big, field))
+    if isinstance(src, (IntervalPrefix, IntervalWildcard)):
+        return []    # dictionary-expanded at search time
     raise ValueError(f"not an interval source: {src!r}")
 
 

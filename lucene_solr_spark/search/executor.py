@@ -194,7 +194,57 @@ class Searcher:
             return DisjunctionMaxQuery(
                 tuple(self.expand_multiterm(d) for d in q.disjuncts),
                 q.tie_breaker)
+        if isinstance(q, IntervalQuery):
+            return IntervalQuery(
+                self._expand_interval_source(q.source, q.field),
+                q.field, q.pivot)
         return q
+
+    def _expand_interval_source(self, src, field: str):
+        """Replace IntervalPrefix/IntervalWildcard with the IntervalOr
+        of their dictionary expansions (MultiTermIntervalsSource role;
+        Intervals.java DEFAULT_MAX_EXPANSIONS — past the cap the
+        highest-df terms are kept, the top-terms posture, instead of
+        the reference's IllegalStateException)."""
+        from . import multiterm as mt
+        from .ast import (IntervalContainedBy, IntervalContaining,
+                          IntervalMaxGaps, IntervalMaxWidth,
+                          IntervalNotContainedBy, IntervalNotContaining,
+                          IntervalOr, IntervalOrdered, IntervalPrefix,
+                          IntervalUnordered, IntervalWildcard)
+        s = src
+        if isinstance(s, (IntervalPrefix, IntervalWildcard)):
+            if isinstance(s, IntervalPrefix):
+                ts = mt.prefix_terms(self.index.terms, s.prefix,
+                                     field=field, size=s.max_expansions)
+            else:
+                ts = mt.wildcard_terms_ngram(self.index.terms,
+                                             self.gram_index, s.pattern,
+                                             field=field,
+                                             size=s.max_expansions)
+            if not ts:
+                # unmatched expansion: an impossible term — the source
+                # (and any conjunction over it) matches nothing
+                return IntervalTerm("\0")
+            if len(ts) == 1:
+                return IntervalTerm(ts[0])
+            return IntervalOr(tuple(IntervalTerm(t) for t in ts))
+        rec = lambda x: self._expand_interval_source(x, field)  # noqa: E731
+        if isinstance(s, (IntervalOrdered, IntervalUnordered, IntervalOr)):
+            return type(s)(tuple(rec(ch) for ch in s.sources))
+        if isinstance(s, (IntervalMaxGaps, IntervalMaxWidth)):
+            return type(s)(rec(s.source),
+                           s.gaps if isinstance(s, IntervalMaxGaps)
+                           else s.width)
+        if isinstance(s, IntervalContaining):
+            return IntervalContaining(rec(s.big), rec(s.small))
+        if isinstance(s, IntervalNotContaining):
+            return IntervalNotContaining(rec(s.minuend), rec(s.subtrahend))
+        if isinstance(s, IntervalContainedBy):
+            return IntervalContainedBy(rec(s.small), rec(s.big))
+        if isinstance(s, IntervalNotContainedBy):
+            return IntervalNotContainedBy(rec(s.small), rec(s.big))
+        return s
 
     # ------------------------------------------------------------------
     # plan: AST → clause list

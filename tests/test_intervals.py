@@ -315,3 +315,35 @@ def test_interval_or_randomized(spark):
     ]
     for i, src in enumerate(shapes):
         _check(oracle, s, IntervalQuery(src), f"rand-orcont-{i}")
+
+
+def test_interval_prefix_wildcard_expansion(spark):
+    """MultiTermIntervalsSource (Intervals.prefix/wildcard): the source
+    expands against the dictionary into an interval-or before planning;
+    an unmatched expansion kills any conjunction over it."""
+    from lucene_solr_spark.search.ast import (IntervalOr, IntervalPrefix,
+                                              IntervalQuery,
+                                              IntervalWildcard)
+    oracle, s = _mk(spark, [
+        "apple bb", "apricot bb", "banana bb", "bb apple",
+    ])
+    # prefix ap* ordered-before bb ≡ or(apple, apricot) ordered bb
+    q_pref = IntervalQuery(IntervalOrdered((IntervalPrefix("ap"),
+                                            IntervalTerm("bb"))))
+    q_or = IntervalQuery(IntervalOrdered((
+        IntervalOr((IntervalTerm("apple"), IntervalTerm("apricot"))),
+        IntervalTerm("bb"))))
+    got_p = s.top_k(q_pref, k=10)
+    got_o = s.top_k(q_or, k=10)
+    assert got_p["doc_id"].tolist() == got_o["doc_id"].tolist() \
+        and sorted(got_p["doc_id"].astype(int)) == [0, 1]
+    np.testing.assert_array_equal(got_p["score"].to_numpy(),
+                                  got_o["score"].to_numpy())
+    # wildcard with infix
+    q_w = IntervalQuery(IntervalOrdered((IntervalWildcard("*anan*"),
+                                         IntervalTerm("bb"))))
+    assert s.top_k(q_w, k=10)["doc_id"].tolist() == [2]
+    # dead prefix: conjunction matches nothing
+    q_dead = IntervalQuery(IntervalOrdered((IntervalPrefix("zz"),
+                                            IntervalTerm("bb"))))
+    assert len(s.top_k(q_dead, k=10)) == 0
