@@ -84,8 +84,23 @@ def minhash_signatures(sh: DataFrame, num_perms: int = 16) -> DataFrame:
 
 
 def lsh_candidates(sigs: DataFrame, bands: int = 4, rows: int = 4,
-                   max_bucket: int | None = 1000) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) sharing any band signature."""
+                   max_bucket: int | None = 1000,
+                   drop_stats: dict | None = None) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing any band signature.
+
+    ``max_bucket`` caps hot buckets (boilerplate skew guard) — but a
+    dropped bucket is recall loss, so it is no longer silent: pass
+    ``drop_stats={}`` and the dict is filled with
+    ``{"dropped_buckets": n, "dropped_doc_slots": m}`` (an eager
+    aggregation over bucket SIZES — rows = distinct buckets, not corpus
+    rows; the signature table is persisted first so the heavy upstream
+    shingle→minhash pipeline runs once, not twice) and a RuntimeWarning
+    fires when n > 0, so pipelines can alert on recall loss instead of
+    guessing. With ``drop_stats=None`` the plan stays fully lazy (no
+    extra job) — the gated ``minhash_dedup`` surface opts in.
+    """
+    if max_bucket is not None and drop_stats is not None:
+        sigs = sigs.persist()
     band_frames = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -97,6 +112,21 @@ def lsh_candidates(sigs: DataFrame, bands: int = 4, rows: int = 4,
         banded = banded.unionByName(f)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+        if drop_stats is not None:
+            row = (sizes.filter(F.col("bn") > max_bucket)
+                   .agg(F.count("*").alias("nb"),
+                        F.coalesce(F.sum("bn"), F.lit(0)).alias("ns"))
+                   .collect()[0])
+            drop_stats["dropped_buckets"] = int(row["nb"])
+            drop_stats["dropped_doc_slots"] = int(row["ns"])
+            if row["nb"]:
+                import warnings
+                warnings.warn(
+                    f"lsh_candidates: max_bucket={max_bucket} dropped "
+                    f"{row['nb']} hot bucket(s) covering {row['ns']} "
+                    "doc-slots — near-dup recall is reduced for docs in "
+                    "those buckets (raise max_bucket or strip boilerplate "
+                    "upstream)", RuntimeWarning, stacklevel=2)
         banded = (banded.join(sizes, ["band", "sig"])
                   .filter(F.col("bn") <= max_bucket).drop("bn"))
     a = banded.select("band", "sig", F.col("doc_id").alias("doc_a"))
@@ -130,12 +160,15 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def minhash_dedup(docs: DataFrame, k: int = 3, num_perms: int = 16,
                   bands: int = 4, rows: int = 4,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8, max_bucket: int | None = 1000,
+                  drop_stats: dict | None = None) -> DataFrame:
     """Full near-dup pipeline: (doc_a, doc_b, jaccard) with j >= threshold
-    among LSH candidates."""
+    among LSH candidates. Pass ``drop_stats={}`` to surface hot-bucket
+    recall loss (see lsh_candidates)."""
     sh = shingles(docs, k=k)
     sigs = minhash_signatures(sh, num_perms=num_perms)
-    cand = lsh_candidates(sigs, bands=bands, rows=rows)
+    cand = lsh_candidates(sigs, bands=bands, rows=rows,
+                          max_bucket=max_bucket, drop_stats=drop_stats)
     ver = jaccard_verify(sh, cand)
     return (ver.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
@@ -156,15 +189,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     shrinks to zero and the loop exits on a zero-changed count, so the
     cost is bounded by the cluster diameter, never the corpus. (The
     doubling variants — large-star/small-star — drop in here if a
-    pathological graph ever needs them.)"""
+    pathological graph ever needs them.)
+
+    If the labels have NOT converged after ``max_iter`` rounds (a chain
+    graph longer than max_iter), this RAISES rather than silently
+    returning wrong components — raise ``max_iter`` for deep graphs."""
     edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
              .unionByName(pairs.select(F.col("doc_b").alias("u"),
                                        F.col("doc_a").alias("v")))).persist()
     edges.count()   # pin: the upstream pair pipeline must run ONCE, not
     # once per propagation round
+    # per-round localCheckpoint truncates lineage: without it the logical
+    # plan doubles every round and a 10-round chain graph already blows
+    # up plan stringification — checkpointing keeps round cost constant
     labels = (edges.select(F.col("u").alias("doc_id"))
-              .distinct().withColumn("lbl", F.col("doc_id"))).persist()
-    labels.count()
+              .distinct().withColumn("lbl", F.col("doc_id"))
+              .localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["v"] == labels["doc_id"])
                    .groupBy("u").agg(F.min("lbl").alias("nl")))
@@ -172,21 +213,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                                   "left")
                       .select("doc_id",
                               F.least("lbl", F.coalesce("nl", F.col("lbl")))
-                              .alias("lbl"))).persist()
+                              .alias("lbl"))).localCheckpoint()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    # detach from the pinned iteration lineage (stays distributed — no
-    # driver-side collect), then free the intermediates
-    out = (labels.select("doc_id", F.col("lbl").alias("component"))
-           .localCheckpoint())
     edges.unpersist()
-    labels.unpersist()
-    return out
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: labels did not converge within "
+            f"max_iter={max_iter} rounds (graph diameter exceeds the "
+            "bound) — rerun with a larger max_iter; returning partial "
+            "labels would silently mislabel components")
+    return labels.select("doc_id", F.col("lbl").alias("component"))
 
 
 def canonicalize_near_dups(pairs: DataFrame) -> DataFrame:
@@ -228,18 +270,37 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
 
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
-                  bands: int = 4) -> DataFrame:
+                  bands: int | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within max_hamming, candidates via
-    exact-match on any of `bands` 8-bit bands (standard pigeonhole: any
-    pair with hamming < bands must agree on >= 1 band)."""
-    width = 32 // bands
-    mask = (1 << width) - 1
+    exact-match on any of `bands` contiguous bit-bands (standard
+    pigeonhole: a pair with hamming < bands must agree on >= 1 band).
+
+    The guarantee REQUIRES bands > max_hamming — ``bands=None``
+    (default) derives ``max_hamming + 1`` automatically; an explicit
+    ``bands <= max_hamming`` raises instead of silently returning false
+    negatives. Band widths are the contiguous near-equal split of the
+    32 signature bits, so any band count up to 32 works."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"simhash_pairs: bands={bands} <= max_hamming={max_hamming} "
+            "voids the pigeonhole recall guarantee (a pair can differ in "
+            "every band); pass bands > max_hamming or bands=None to derive")
+    if bands > 32:
+        raise ValueError("simhash_pairs: at most 32 bands over 32 bits")
+    # contiguous near-equal split of 32 bits: widths differ by <= 1
+    base, extra = divmod(32, bands)
     frames = []
+    off = 0
     for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        mask = (1 << width) - 1
         frames.append(sigs.select(
             "doc_id", "simhash", F.lit(b).alias("band"),
-            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+            F.shiftright("simhash", off).bitwiseAND(F.lit(mask))
             .alias("key")))
+        off += width
     banded = frames[0]
     for f in frames[1:]:
         banded = banded.unionByName(f)
