@@ -2871,120 +2871,109 @@ FROM h ORDER BY doc_id"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order matters: the driver's correctness report capped at
-    50 entries in round 2, silently dropping positions 51-55. Rotation
-    policy (VERDICT r2 #2): every BEHAVIORAL query — search operators,
-    dedup/ANN pipelines, the round-3 nested-boolean/dismax/top-terms
-    additions, and the five rows missing from CORRECTNESS_r02 — sits in
-    the first 50; the tail positions hold stable COLUMN-DUMP rows
-    (signatures, textstats, norms) plus rows already driver-verified in
-    a prior round (the ANN/embedding quartet, green in CORRECTNESS_r02)
-    — all additionally pinned by pytest. scripts/check_oracles.py gates
-    ALL entries regardless."""
+    """Registry order matters: the driver's correctness report caps at
+    50 entries. Round-2 and round-3 both lost queries to hand-counted
+    windows (VERDICT r3 #1: 18 registered queries never driver-verified,
+    7 intended slots miscounted past position 50), so the window is now
+    MACHINE-CHECKED: tests/test_registry_window.py recomputes the
+    never-driver-verified set from the CORRECTNESS_r*.json reports on
+    disk and asserts every one of them sits inside ``queries()[:50]``.
+    Window policy: (1) never-driver-verified queries first, (2) queries
+    whose implementation changed this round, (3) round-4 additions,
+    (4) stable anchors green in a prior driver report. Everything past
+    position 50 was driver-verified green in r1-r3 on code unchanged
+    since, and ALL entries are re-gated every round by
+    scripts/check_oracles.py (docs/CORRECTNESS_SELF_r04.log) + pytest."""
     return {
-        # search core
+        # ---- (1) never driver-verified (the r3 verdict's 18) ----
+        # composite spans (engine-vs-pure-oracle pinned in
+        # tests/test_span_composite.py)
+        "q_span_near_topk": q_span_near_topk,
+        "q_span_or_topk": q_span_or_topk,
+        "q_span_unordered_topk": q_span_unordered_topk,
+        "q_span_not_topk": q_span_not_topk,
+        "q_span_first_topk": q_span_first_topk,
+        # interval algebra extensions
+        "q_interval_prefix_topk": q_interval_prefix_topk,
+        "q_interval_or_topk": q_interval_or_topk,
+        "q_interval_containing_topk": q_interval_containing_topk,
+        # facets / similarities / suggest / join / pipeline
+        "q_facet_pivot": q_facet_pivot,
+        "q_facet_metrics": q_facet_metrics,
+        "q_boolean_sim_topk": q_boolean_sim_topk,
+        "q_lmjm_topk": q_lmjm_topk,
+        "q_infix_suggest": q_infix_suggest,
+        "q_blockjoin_children": q_blockjoin_children,
+        "q_minhash_query": q_minhash_query,
+        "q_repetition_stats": q_repetition_stats,
+        "q_geo_distance_count": q_geo_distance_count,
+        # rows-only (lucene-exact sloppy enumeration is not
+        # SQL-expressible; matcher pinned vs TestSloppyPhraseQuery
+        # goldens in tests/test_sloppy_lucene.py)
+        "q_sloppy_lucene_topk": q_sloppy_lucene_topk,
+        # ---- (2) the 6 slots round 3 miscounted out of its window ----
+        "q_spellcheck": q_spellcheck,
+        "q_highlight_topk": q_highlight_topk,
+        "q_dismax_topk": q_dismax_topk,
+        "q_field_term_topk": q_field_term_topk,
+        "q_multifield_bool_topk": q_multifield_bool_topk,
+        "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
+        # ---- (3) round-4 additions ----
+        # (inserted here as they land; the window test re-counts)
+        # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,
         "q_and_topk": q_and_topk,
         "q_andnot_topk": q_andnot_topk,
         "q_msm_topk": q_msm_topk,
         "q_nested_bool_topk": q_nested_bool_topk,
+        "q_deep_bool_topk": q_deep_bool_topk,
+        "q_nested_msm_topk": q_nested_msm_topk,
         "q_phrase_topk": q_phrase_topk,
-        # round-3: pluggable similarities
+        "q_multiphrase_topk": q_multiphrase_topk,
+        "q_complex_phrase_topk": q_complex_phrase_topk,
         "q_classic_topk": q_classic_topk,
         "q_lmdirichlet_topk": q_lmdirichlet_topk,
-        # round-3: query-time joins, facets, function scores
         "q_join_topk": q_join_topk,
         "q_blockjoin_topk": q_blockjoin_topk,
         "q_facet_range": q_facet_range,
+        "q_facet_query": q_facet_query,
         "q_function_score_topk": q_function_score_topk,
         "q_boost_by_query_topk": q_boost_by_query_topk,
-        # round-3: grouping / collapse / stats / rescoring / term vectors
         "q_collapse_topk": q_collapse_topk,
         "q_top_groups": q_top_groups,
-        "q_field_stats": q_field_stats,
         "q_rescore_topk": q_rescore_topk,
-        "q_term_vectors": q_term_vectors,
-        "q_multiphrase_topk": q_multiphrase_topk,
-        # round-3: English stemming chain (possessive + minimal/porter)
-        "q_stem_porter_topk": q_stem_porter_topk,
-        "q_stem_minimal_topk": q_stem_minimal_topk,
-        # round-3: CommonTermsQuery df-split rewrite
-        "q_common_terms_topk": q_common_terms_topk,
-        # round-3: shingle (phrase-as-term) field
-        "q_shingle_term_topk": q_shingle_term_topk,
-        # round-3: PointInSet + multi-key sort
-        "q_numeric_set_topk": q_numeric_set_topk,
-        "q_sort_multi": q_sort_multi,
-        # round-3: LatLonPoint-style geo (box / distance sort / radius)
-        "q_geo_box_stats": q_geo_box_stats,
-        "q_geo_nearest_topk": q_geo_nearest_topk,
-        # round-3: recursive composition + rewrites
-        "q_deep_bool_topk": q_deep_bool_topk,
-        "q_nested_msm_topk": q_nested_msm_topk,
-        "q_dismax_phrase_topk": q_dismax_phrase_topk,
-        "q_prefix_topterms_topk": q_prefix_topterms_topk,
-        "q_geo_heatmap": q_geo_heatmap,
-        "q_freetext_suggest": q_freetext_suggest,
         "q_cursor_page2": q_cursor_page2,
-        "q_complex_phrase_topk": q_complex_phrase_topk,
-        "q_expand_topk": q_expand_topk,
-        "q_significant_terms": q_significant_terms,
-        "q_elevation_topk": q_elevation_topk,
-        "q_facet_query": q_facet_query,
         "q_update_search_topk": q_update_search_topk,
+        "q_prefix_topterms_topk": q_prefix_topterms_topk,
+        "q_dismax_phrase_topk": q_dismax_phrase_topk,
+        # ---- positions 51+: driver-green in r1-r3, code unchanged ----
         "q_interval_ordered_topk": q_interval_ordered_topk,
         "q_interval_unordered_topk": q_interval_unordered_topk,
         "q_interval_block_topk": q_interval_block_topk,
         "q_edismax_topk": q_edismax_topk,
-        # formerly positions 51-55 (absent from CORRECTNESS_r02 —
-        # VERDICT r2 #2: these five MUST surface in the round-3 report)
+        "q_field_stats": q_field_stats,
+        "q_term_vectors": q_term_vectors,
+        "q_stem_porter_topk": q_stem_porter_topk,
+        "q_stem_minimal_topk": q_stem_minimal_topk,
+        "q_common_terms_topk": q_common_terms_topk,
+        "q_shingle_term_topk": q_shingle_term_topk,
+        "q_numeric_set_topk": q_numeric_set_topk,
+        "q_sort_multi": q_sort_multi,
+        "q_geo_box_stats": q_geo_box_stats,
+        "q_geo_nearest_topk": q_geo_nearest_topk,
+        "q_geo_heatmap": q_geo_heatmap,
+        "q_freetext_suggest": q_freetext_suggest,
+        "q_expand_topk": q_expand_topk,
+        "q_significant_terms": q_significant_terms,
+        "q_elevation_topk": q_elevation_topk,
         "q_search_after": q_search_after,
         "q_boosted_or_topk": q_boosted_or_topk,
         "q_constant_score_docs": q_constant_score_docs,
         "q_proximity_topk": q_proximity_topk,
         "q_sort_by_nchars": q_sort_by_nchars,
-        # suggest / spellcheck / highlight — round-3-reworked code
-        # (candidate-pruned spellcheck, offset highlighting), so they
-        # keep driver-verified slots
-        "q_spellcheck": q_spellcheck,
-        "q_highlight_topk": q_highlight_topk,
-        # dismax / fields / clause semantics
-        "q_dismax_topk": q_dismax_topk,
-        "q_field_term_topk": q_field_term_topk,
-        "q_multifield_bool_topk": q_multifield_bool_topk,
-        "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
-        "q_sloppy_lucene_topk": q_sloppy_lucene_topk,
-        # --- positions 51+: rows past the driver's 50-entry report cap.
-        # Every entry below was driver-verified green in round 1 or 2 on
-        # code unchanged since (multi-term expansion paths, dedup/ANN
-        # pipeline, dictionary/stats dumps, MLT, streaming), and ALL 101
-        # registered queries — capped or not — are re-gated each round by
-        # scripts/check_oracles.py against the same DuckDB oracles
-        # (docs/CORRECTNESS_SELF_r03.log) and by dedicated pytest
-        # files. ---
-        # composite spans: every shape is engine-vs-pure-oracle
-        # differential-pinned (tests/test_span_composite.py) and the
-        # ordered fast path stays driver-reported via q_span_near_topk
-        # geo box + nearest stay reported; the radius count is
-        # pytest-pinned (tests/test_geo.py two-phase refine)
-        "q_geo_distance_count": q_geo_distance_count,
-        "q_span_near_topk": q_span_near_topk,
-        "q_span_or_topk": q_span_or_topk,
-        "q_span_unordered_topk": q_span_unordered_topk,
-        "q_span_not_topk": q_span_not_topk,
-        "q_span_first_topk": q_span_first_topk,
-        "q_interval_prefix_topk": q_interval_prefix_topk,
-        "q_interval_or_topk": q_interval_or_topk,
-        "q_interval_containing_topk": q_interval_containing_topk,
-        "q_facet_pivot": q_facet_pivot,
-        "q_facet_metrics": q_facet_metrics,
-        "q_boolean_sim_topk": q_boolean_sim_topk,
-        "q_lmjm_topk": q_lmjm_topk,
         "q_suggest_prefix": q_suggest_prefix,
-        "q_infix_suggest": q_infix_suggest,
         "q_must_should_overlap_topk": q_must_should_overlap_topk,
-        "q_blockjoin_children": q_blockjoin_children,
         "q_dismax_tiebreak_topk": q_dismax_tiebreak_topk,
         "q_synonym_topk": q_synonym_topk,
         "q_numeric_filter_topk": q_numeric_filter_topk,
@@ -3003,7 +2992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_events": q_windowed_events,
         "q_mlt_topk": q_mlt_topk,
         # training-data pipeline: dedup + similarity
-        "q_minhash_query": q_minhash_query,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
@@ -3020,7 +3008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
-        "q_repetition_stats": q_repetition_stats,
         "q_image_meta": q_image_meta,
         "q_tokens_per_lang": q_tokens_per_lang,
         "q_norms": q_norms,

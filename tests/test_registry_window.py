@@ -1,0 +1,77 @@
+"""Machine-checked driver-report window (VERDICT r3 #1).
+
+The driver's correctness report caps at the first 50 ``queries()``
+entries. Rounds 2 and 3 both hand-counted that window and silently lost
+queries; these tests recompute it from the on-disk CORRECTNESS_r*.json
+reports so a miscount fails CI instead of a judge round later.
+
+No Spark session needed — pure registry introspection.
+"""
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_WINDOW = 50
+
+# queries whose semantics are deliberately not SQL-expressible (driver
+# records a weaker rows-only check); each must name its pytest pin here
+ROWS_ONLY_ALLOWED = {
+    # Lucene-exact sloppy enumeration — pinned vs TestSloppyPhraseQuery
+    # goldens in tests/test_sloppy_lucene.py
+    "q_sloppy_lucene_topk",
+}
+
+
+def _registry():
+    import __spark_entry__ as e
+    return list(e.queries()), e.oracle_sql()
+
+
+def _driver_verified() -> set:
+    """Every query with a rows-green row in ANY driver report on disk."""
+    seen = set()
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            data = json.load(fh)
+        for k, v in data.items():
+            if isinstance(v, dict) and v.get("rows_match"):
+                seen.add(k)
+    return seen
+
+
+def test_window_covers_never_driver_verified():
+    qs, _ = _registry()
+    never = [q for q in qs if q not in _driver_verified()]
+    assert len(never) <= DRIVER_WINDOW, (
+        f"{len(never)} never-driver-verified queries exceed the "
+        f"{DRIVER_WINDOW}-entry report window — rotate across rounds")
+    window = set(qs[:DRIVER_WINDOW])
+    missing = [q for q in never if q not in window]
+    assert not missing, (
+        f"never-driver-verified queries outside the driver's "
+        f"{DRIVER_WINDOW}-entry report window: {missing}")
+
+
+def test_every_query_has_oracle_or_declared_rows_only():
+    qs, oracles = _registry()
+    undeclared = set(qs) - set(oracles) - ROWS_ONLY_ALLOWED
+    assert not undeclared, (
+        f"queries with neither an oracle_sql() entry nor a declared "
+        f"rows-only justification: {sorted(undeclared)}")
+    stale = ROWS_ONLY_ALLOWED & set(oracles)
+    assert not stale, f"declared rows-only but has an oracle: {sorted(stale)}"
+
+
+def test_no_orphan_oracles_and_no_duplicates():
+    qs, oracles = _registry()
+    assert len(qs) == len(set(qs))
+    orphans = set(oracles) - set(qs)
+    assert not orphans, f"oracle_sql() keys without a query: {sorted(orphans)}"
+
+
+def test_rows_only_set_is_small():
+    # the weaker rows-only gate must stay the exception, not a loophole
+    qs, oracles = _registry()
+    assert len(set(qs) - set(oracles)) <= 3
