@@ -272,6 +272,23 @@ def q_lmdirichlet_topk(spark, sf_dir):
     return _topk(s, TermQuery("merge"))
 
 
+def q_dfr_topk(spark, sf_dir):
+    """DFR InB2 single-term (DFRSimilarity.java:149 with
+    BasicModelIn.java:30 + AfterEffectB.java:29 + NormalizationH2.java:53,
+    c=1): score = log2((N+1)/(df+0.5)) × (ttf+2)/(df+1) ×
+    (1 − 1/(1 + freq·log2(1 + avgdl/dl)))."""
+    s = Searcher(spark, _index(spark, sf_dir)[1], similarity="dfr")
+    return _topk(s, TermQuery("merge"))
+
+
+def q_f2exp_topk(spark, sf_dir):
+    """Axiomatic F2EXP single-term (Axiomatic.java:52 combiner,
+    AxiomaticF2EXP.java components, s=0.25, k=0.35): score =
+    ((N+1)/df)^k × freq/(freq + s + s·dl/avgdl)."""
+    s = Searcher(spark, _index(spark, sf_dir)[1], similarity="f2exp")
+    return _topk(s, TermQuery("merge"))
+
+
 def q_prefix_docs(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     terms = mt.prefix_terms(s.index.terms, "f")
@@ -1820,6 +1837,29 @@ ORDER BY GREATEST(0,
     ln(1 + tf.freq / (2000.0 * (dfreq.ttf + 1.0) / (stats.sttf + 1.0)))
       + ln(2000.0 / (dlq.dlq + 2000.0))) DESC, tf.doc_id LIMIT 10"""
 
+    # DFR InB2 (BasicModelIn + AfterEffectB + NormalizationH2, c=1)
+    sql["q_dfr_topk"] = _PRELUDE + """
+, dfr AS (
+  SELECT tf.doc_id,
+    log2((stats.n + 1) / (dfreq.df + 0.5))
+      * (dfreq.ttf + 2.0) / (dfreq.df + 1.0)
+      * (1 - 1 / (1 + tf.freq * log2(1 + stats.avgdl / dlq.dlq))) AS s
+  FROM tf JOIN dlq USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term = 'merge')
+SELECT doc_id, ROUND(s, 4) AS score FROM dfr
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # Axiomatic F2EXP (s=0.25, k=0.35)
+    sql["q_f2exp_topk"] = _PRELUDE + """
+, f2 AS (
+  SELECT tf.doc_id,
+    pow((stats.n + 1.0) / dfreq.df, 0.35)
+      * tf.freq / (tf.freq + 0.25 + 0.25 * dlq.dlq / stats.avgdl) AS s
+  FROM tf JOIN dlq USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term = 'merge')
+SELECT doc_id, ROUND(s, 4) AS score FROM f2
+ORDER BY s DESC, doc_id LIMIT 10"""
+
     sql["q_prefix_docs"] = _PRELUDE + """
 SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'f%' ORDER BY doc_id"""
 
@@ -2920,6 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
         # ---- (3) round-4 additions ----
         # (inserted here as they land; the window test re-counts)
+        "q_dfr_topk": q_dfr_topk,
+        "q_f2exp_topk": q_f2exp_topk,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,

@@ -101,17 +101,27 @@ class Searcher:
     (ttf+1)/(sumTotalTermFreq+1), LMSimilarity.java:155),
     "lmjelinekmercer" (LMJelinekMercerSimilarity.java:63-69 — boost ×
     ln(1 + ((1−λ)·freq/dl)/(λ·cp)), λ = ``lam``), or "boolean"
-    (BooleanSimilarity.java:38 — score == boost, tf/idf/norms ignored).
+    (BooleanSimilarity.java:38 — score == boost, tf/idf/norms ignored),
+    "dfr" (DFRSimilarity.java:80 with BasicModelIn + AfterEffectB +
+    NormalizationH2(c) — score = boost × log2((N+1)/(df+0.5)) ×
+    ((ttf+2)/(df+1)) × (1 − 1/(1+tfn)), tfn = freq·log2(1 + c·avgdl/dl),
+    BasicModelIn.java:30, AfterEffectB.java:29, NormalizationH2.java:53),
+    or "f2exp" (AxiomaticF2EXP.java — score = boost ×
+    ((N+1)/df)^k × freq/(freq + s + s·dl/avgdl), Axiomatic.java:52
+    defaults s=0.25, k=0.35).
     Non-BM25 similarities run in f64 mode over TERM clauses and their
     boolean compositions (the pluggable-Similarity surface);
     phrase/span leaves remain BM25-only."""
 
+    SIMILARITIES = ("bm25", "classic", "lmdirichlet", "lmjelinekmercer",
+                    "boolean", "dfr", "f2exp")
+
     def __init__(self, spark: SparkSession, index: InvertedIndex,
                  k1: float = 1.2, b: float = 0.75,
                  similarity: str = "bm25", mu: float = 2000.0,
-                 lam: float = 0.1):
-        if similarity not in ("bm25", "classic", "lmdirichlet",
-                              "lmjelinekmercer", "boolean"):
+                 lam: float = 0.1, dfr_c: float = 1.0,
+                 ax_s: float = 0.25, ax_k: float = 0.35):
+        if similarity not in self.SIMILARITIES:
             raise ValueError(f"unknown similarity {similarity!r}")
         self.spark = spark
         self.index = index
@@ -119,6 +129,9 @@ class Searcher:
         self.sim = similarity
         self.mu = float(mu)
         self.lam = float(lam)
+        self.dfr_c = float(dfr_c)
+        self.ax_s = float(ax_s)
+        self.ax_k = float(ax_k)
         self.stats = index.stats
         # driver-side stats cache keyed by (field, term): the index is
         # immutable, queries repeat terms, and each miss costs a (tiny but
@@ -293,6 +306,13 @@ class Searcher:
                     "cidf64": math.log((n + 1) / (df + 1.0)) + 1.0,
                     # LM collection probability (LMSimilarity.java:155)
                     "cp64": (ttf + 1.0) / (fstats[f]["sum_ttf"] + 1.0),
+                    # DFR InB2 per-term constant: A × aeTimes1pTfn
+                    # (BasicModelIn.java:30 A=log2((N+1)/(df+0.5));
+                    #  AfterEffectB.java:29 ae=(F+2)/(n+1))
+                    "dfrw64": (math.log2((n + 1) / (df + 0.5))
+                               * (ttf + 2.0) / (df + 1.0)),
+                    # AxiomaticF2EXP idf component ((N+1)/df)^k
+                    "f2w64": ((n + 1.0) / df) ** self.ax_k,
                 }
         return st, cache32, avgdl64, weights
 
@@ -344,6 +364,7 @@ class Searcher:
             cache32={f: c for f, c in cache32.items()},
             avgdl64=avgdl64,
             k1=self.k1, b=self.b, sim=self.sim, mu=self.mu, lam=self.lam,
+            dfr_c=self.dfr_c, ax_s=self.ax_s,
             grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
@@ -363,6 +384,7 @@ class Searcher:
         spec = dict(
             tree=root, deleted=deleted, cache32=cache32, avgdl64=avgdl64,
             k1=self.k1, b=self.b, sim=self.sim, mu=self.mu, lam=self.lam,
+            dfr_c=self.dfr_c, ax_s=self.ax_s,
             grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
@@ -987,6 +1009,13 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
         w = weights[key]
         if sim == "classic":
             return dict(c, w32=None, w64=b * w["cidf64"])
+        if sim == "dfr":
+            # the freq/dl-dependent factor (1 − 1/(1+tfn)) < 1, so the
+            # per-term constant A·ae IS the impact upper bound too
+            return dict(c, w32=None, w64=b * w["dfrw64"])
+        if sim == "f2exp":
+            # tfln component freq/(freq+s+s·dl/avgdl) < 1 likewise
+            return dict(c, w32=None, w64=b * w["f2w64"])
         if sim in ("lmdirichlet", "lmjelinekmercer"):
             return dict(c, w32=None, w64=b, cp64=w["cp64"])
         if sim == "boolean":
@@ -1648,6 +1677,18 @@ def _score_freqs(freqs, norms, w, field, spec, dtype, cp=None):
         if sim == "boolean":
             # BooleanSimilarity.java:38 — constant boost per match
             return np.full(len(f), w, dtype=np.float64)
+        if sim == "dfr":
+            # DFR InB2 (DFRSimilarity.java:149 score path): w carries
+            # boost × A × aeTimes1pTfn; tfn = f·log2(1 + c·avgdl/dl)
+            # (NormalizationH2.java:53)
+            tfn = f * np.log2(1.0 + spec["dfr_c"]
+                              * spec["avgdl64"][field] / dl)
+            return w * (1.0 - 1.0 / (1.0 + tfn))
+        if sim == "f2exp":
+            # AxiomaticF2EXP (Axiomatic.java:52): w carries
+            # boost × ((N+1)/df)^k; tfln = f/(f + s + s·dl/avgdl)
+            s = spec["ax_s"]
+            return w * f / (f + s + s * dl / spec["avgdl64"][field])
         if sim == "lmjelinekmercer":
             # LMJelinekMercerSimilarity.java:63-69:
             # boost × ln(1 + ((1−λ)·freq/dl) / (λ·cp))

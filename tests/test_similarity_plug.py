@@ -78,6 +78,37 @@ def _lm_scores(oracle, term, boost=1.0, field="text", mu=MU):
     return out
 
 
+def _dfr_scores(oracle, term, boost=1.0, field="text", c=1.0):
+    """DFR InB2 (DFRSimilarity.java:149, BasicModelIn.java:30,
+    AfterEffectB.java:29, NormalizationH2.java:53)."""
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    n = oracle.field_doc_count[field]
+    avgdl = oracle.field_sum_ttf[field] / float(n)
+    df, ttf = len(plist), sum(plist.values())
+    a = math.log2((n + 1) / (df + 0.5))
+    ae = (ttf + 2.0) / (df + 1.0)
+    out = {}
+    for d, f in plist.items():
+        tfn = f * math.log2(1.0 + c * avgdl / _dl(oracle, field, d))
+        out[d] = boost * a * ae * (1.0 - 1.0 / (1.0 + tfn))
+    return out
+
+
+def _f2exp_scores(oracle, term, boost=1.0, field="text", s=0.25, k=0.35):
+    """AxiomaticF2EXP (Axiomatic.java:52 combiner, AxiomaticF2EXP.java
+    components; defaults s=0.25, k=0.35)."""
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    n = oracle.field_doc_count[field]
+    avgdl = oracle.field_sum_ttf[field] / float(n)
+    idf = ((n + 1.0) / len(plist)) ** k
+    return {d: boost * idf * f / (f + s + s * _dl(oracle, field, d) / avgdl)
+            for d, f in plist.items()}
+
+
 def _top_terms(oracle, n=6):
     post = oracle.postings["text"]
     return sorted(post, key=lambda t: (-len(post[t]), t))[:n]
@@ -111,8 +142,42 @@ def test_lmdirichlet_single_term(spark, corpus):
     _check(pdf, _expect_topk(_lm_scores(oracle, t)))
 
 
+def test_dfr_single_term(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="dfr")
+    t = _top_terms(oracle)[1]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_dfr_scores(oracle, t)))
+
+
+def test_f2exp_single_term(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="f2exp")
+    t = _top_terms(oracle)[3]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_f2exp_scores(oracle, t)))
+
+
+def test_dfr_custom_c_and_boost(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="dfr", dfr_c=7.0)
+    t = _top_terms(oracle)[0]
+    pdf = s.top_k(parse_query(f"{t}^1.5", ENGLISH_ANALYZER), k=K)
+    _check(pdf, _expect_topk(_dfr_scores(oracle, t, boost=1.5, c=7.0)))
+
+
+def test_f2exp_custom_params(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="f2exp", ax_s=0.5, ax_k=0.2)
+    t = _top_terms(oracle)[2]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_f2exp_scores(oracle, t, s=0.5, k=0.2)))
+
+
 @pytest.mark.parametrize("sim,fn", [("classic", _classic_scores),
-                                    ("lmdirichlet", _lm_scores)])
+                                    ("lmdirichlet", _lm_scores),
+                                    ("dfr", _dfr_scores),
+                                    ("f2exp", _f2exp_scores)])
 def test_boolean_composition(spark, corpus, sim, fn):
     """MUST t0 SHOULD t1 t2 — scores sum across clauses; matches are the
     MUST set (ReqOptSumScorer), identical boolean semantics to BM25."""
@@ -155,7 +220,7 @@ def test_lm_scores_nonnegative(spark, corpus):
 def test_phrase_rejected_and_unknown_sim(spark, corpus):
     _, oracle, idx = corpus
     with pytest.raises(ValueError):
-        Searcher(spark, idx, similarity="dfr")
+        Searcher(spark, idx, similarity="notasim")
     s = Searcher(spark, idx, similarity="classic")
     t0, t1 = _top_terms(oracle)[:2]
     with pytest.raises(ValueError):
