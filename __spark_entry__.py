@@ -222,6 +222,38 @@ def q_geo_distance_count(spark, sf_dir):
     return d.agg(F.count("*").cast("long").alias("cnt"))
 
 
+# non-convex hexagon over Europe (the notch at (45,10) exercises the
+# even-odd rule); shared by q_geo_polygon_count and its oracle
+_POLY = [(35.0, -10.0), (60.0, -5.0), (65.0, 20.0),
+         (50.0, 40.0), (35.0, 25.0), (45.0, 10.0)]
+
+
+def q_geo_polygon_count(spark, sf_dir):
+    """LatLonShape.newPolygonQuery (document/LatLonShape.java:62,
+    geo/Polygon.java): bbox prefilter + even-odd crossing-number
+    point-in-polygon as one codegen expression, counted + avg(value)."""
+    from lucene_solr_spark.search.geo import polygon_filter
+    p = polygon_filter(_geo_events(spark, sf_dir), _POLY)
+    return p.agg(F.count("*").cast("long").alias("cnt"),
+                 F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+def _poly_sql(poly) -> str:
+    """DuckDB restatement of the same even-odd crossing test."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        y1, x1 = poly[i]
+        y2, x2 = poly[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) != ({y2} > lat)) AND "
+            f"lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1} "
+            f"THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
 def _shingle_searcher(spark, sf_dir) -> Searcher:
     key = (sf_dir.rstrip("/"), "shingles")
     if key not in _CACHE:
@@ -1245,6 +1277,21 @@ def q_facet_pivot(spark, sf_dir):
                     .alias("count")))
 
 
+def q_facet_taxonomy(spark, sf_dir):
+    """Taxonomy rollup facets (FastTaxonomyFacetCounts.java:39): every
+    prefix of the synthesized path lang/source/size-bucket counts over
+    the 'merge' match set — parent counts = Σ children (all docs are
+    labeled at leaf depth 3)."""
+    from lucene_solr_spark.search.facets import taxonomy_facets
+    docs, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("merge"), mode="f64")
+    path = F.concat_ws(
+        "/", F.col("lang"), F.col("source"),
+        F.when(F.col("n_chars") < 300, F.lit("small")).otherwise("large"))
+    return (taxonomy_facets(docs, matches, path)
+            .select("path", F.col("count").cast("long").alias("count")))
+
+
 def q_function_score_topk(spark, sf_dir):
     """FunctionScoreQuery.boostByValue analog
     (queries/function/FunctionScoreQuery.java:74): BM25('merge') ×
@@ -1666,6 +1713,16 @@ SELECT count(*)::BIGINT AS cnt
 FROM pts
 WHERE {_HAVERSINE_KM} * 1000.0 <= 2000000.0"""
 
+    _pla = (min(p[0] for p in _POLY), max(p[0] for p in _POLY))
+    _plo = (min(p[1] for p in _POLY), max(p[1] for p in _POLY))
+    sql["q_geo_polygon_count"] = f"""
+WITH pts AS ({_GEO_CTE})
+SELECT count(*)::BIGINT AS cnt, ROUND(avg(value), 4) AS avg_value
+FROM pts
+WHERE lat >= {_pla[0]} AND lat <= {_pla[1]}
+  AND lon >= {_plo[0]} AND lon <= {_plo[1]}
+  AND {_poly_sql(_POLY)}"""
+
     # CommonTermsQuery: match gated by the rare term, all three terms
     # contribute score where present
     sql["q_common_terms_topk"] = _PRELUDE + """
@@ -1808,6 +1865,22 @@ SELECT d.lang, d.source, count(*)::BIGINT AS count
 FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
+
+    # taxonomy rollup: every path prefix of lang/source/bucket counts
+    sql["q_facet_taxonomy"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, paths AS (
+  SELECT d.lang || '/' || d.source || '/' ||
+         (CASE WHEN d.n_chars < 300 THEN 'small' ELSE 'large' END) AS p
+  FROM documents d JOIN m USING (doc_id))
+, pre AS (
+  SELECT unnest([
+    string_split(p, '/')[1],
+    string_split(p, '/')[1] || '/' || string_split(p, '/')[2],
+    p]) AS path
+  FROM paths)
+SELECT path, count(*)::BIGINT AS count FROM pre
+GROUP BY path ORDER BY path"""
 
     sql["q_function_score_topk"] = _PRELUDE + """
 , qs AS (SELECT doc_id, SUM(s) AS s FROM sc WHERE term = 'merge'
@@ -2962,6 +3035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here as they land; the window test re-counts)
         "q_dfr_topk": q_dfr_topk,
         "q_f2exp_topk": q_f2exp_topk,
+        "q_facet_taxonomy": q_facet_taxonomy,
+        "q_geo_polygon_count": q_geo_polygon_count,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,

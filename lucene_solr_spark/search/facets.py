@@ -81,6 +81,34 @@ def pivot_facets(docs: DataFrame, matches: DataFrame | None,
             .orderBy(*[F.asc(f) for f in fields]))
 
 
+def taxonomy_facets(docs: DataFrame, matches: DataFrame | None,
+                    path_col, sep: str = "/",
+                    min_count: int = 1) -> DataFrame:
+    """Taxonomy facet counts with path-prefix ROLLUP
+    (`lucene/facet/.../taxonomy/FastTaxonomyFacetCounts.java:39`: a doc
+    labeled dim/a/b increments dim/a/b, dim/a AND dim — the ancestor
+    ordinal chain the taxonomy writer records): → (path, count), path
+    asc; every prefix of every matched doc's path is one bucket, so a
+    parent's count = Σ over docs whose path passes through it (= Σ of
+    its children when all docs are labeled at leaves).
+
+    Spark shape: ONE explode of the per-doc prefix chain (depth ≈ 2-4
+    entries — bounded by taxonomy depth, not corpus size) + one
+    map-side-combined agg; no join against a taxonomy table, no second
+    pass for ancestors. ``path_col`` may be a column name or a Column
+    expression (synthesized paths)."""
+    m = _matched(docs, matches)
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    parts = F.split(p, sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep))
+    return (m.select(F.explode(prefixes).alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.asc("path")))
+
+
 def facet_queries(searcher, base_matches: DataFrame,
                   named: dict) -> DataFrame:
     """Solr ``facet.query`` (FacetComponent / SimpleFacets

@@ -108,6 +108,44 @@ def nearest(df: DataFrame, lat0: float, lon0: float, k: int,
             .orderBy(*order).limit(k))
 
 
+def polygon_filter(df: DataFrame, polygon: list[tuple[float, float]],
+                   lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """LatLonShape point-in-polygon (`document/LatLonShape.java:62`
+    newPolygonQuery over `geo/Polygon.java`): bbox pre-filter (the BKD
+    outer-node reject, as in the reference's Component2D bounding box)
+    + even-odd crossing-number refine compiled to ONE whole-stage-
+    codegen boolean expression — per point, V comparisons against
+    literal edges, no UDF, no join.
+
+    ``polygon`` is a list of (lat, lon) vertices (open or closed ring,
+    ≥3 distinct). Documented divergence: boundary points follow the
+    ray-casting convention (half-open edges) rather than Lucene's
+    explicit on-edge=contained rule — a measure-zero set on double
+    coordinates."""
+    pts = [(float(a), float(b)) for a, b in polygon]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("polygon needs at least 3 distinct vertices")
+    min_la, max_la = min(p[0] for p in pts), max(p[0] for p in pts)
+    min_lo, max_lo = min(p[1] for p in pts), max(p[1] for p in pts)
+    pre = box_filter(df, min_la, max_la, min_lo, max_lo, lat, lon)
+    y, x = F.col(lat), F.col(lon)
+    crossings = None
+    for i in range(len(pts)):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % len(pts)]
+        if y1 == y2:
+            continue    # horizontal edge never flips ray parity
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        # lon of the edge at latitude y (slope against literal edge)
+        x_at = (F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1)
+                + F.lit(x1))
+        c = F.when(straddles & (x < x_at), 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+    return pre.filter(crossings % 2 == 1)
+
+
 # --- cell-partitioned persistence (partition-pruned probes) -----------
 
 def cell_of(lat, lon, cell_deg: float = 1.0):

@@ -120,3 +120,46 @@ def test_cell_partition_pruning(pts, tmp_path, spark):
                if d.startswith("geo_cell=")}
     probed = set(_cells_for_box(-10.0, 30.0, 100.0, 140.0, 10.0))
     assert 0 < len(probed & on_disk) < len(on_disk)
+
+def _pnpoly(poly, la, lo):
+    """Pure-python even-odd crossing reference."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        y1, x1 = poly[i]
+        y2, x2 = poly[(i + 1) % n]
+        if (y1 > la) != (y2 > la):
+            if lo < (x2 - x1) * (la - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
+def test_polygon_filter_matches_pnpoly(pts):
+    """Non-convex polygon (notch) vs a pure-python crossing-number
+    reference over every synthetic point — exercises both concavity
+    and the bbox prefilter (bbox hits outside the ring must drop)."""
+    from lucene_solr_spark.search.geo import polygon_filter
+    df, lat, lon = pts
+    poly = [(35.0, -10.0), (60.0, -5.0), (65.0, 20.0),
+            (50.0, 40.0), (35.0, 25.0), (45.0, 10.0)]
+    got = {r["id"] for r in polygon_filter(df, poly).collect()}
+    exp = {int(i) for i, (la, lo) in enumerate(zip(lat, lon))
+           if _pnpoly(poly, la, lo)}
+    assert got == exp
+    assert exp, "fixture polygon must contain points"
+    # the notch must exclude some bbox-interior points
+    bbox = {int(i) for i, (la, lo) in enumerate(zip(lat, lon))
+            if 35 <= la <= 65 and -10 <= lo <= 40}
+    assert exp < bbox
+
+
+def test_polygon_closed_ring_and_validation(pts):
+    from lucene_solr_spark.search.geo import polygon_filter
+    df, _, _ = pts
+    tri = [(0.0, 0.0), (20.0, 10.0), (0.0, 20.0)]
+    closed = tri + [tri[0]]
+    a = {r["id"] for r in polygon_filter(df, tri).collect()}
+    b = {r["id"] for r in polygon_filter(df, closed).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        polygon_filter(df, [(0.0, 0.0), (1.0, 1.0)])

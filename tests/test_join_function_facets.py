@@ -278,3 +278,41 @@ def test_lmjm_prune_equals_exhaustive(spark, searcher):
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert all(math.isclose(x, y, rel_tol=1e-12)
                for x, y in zip(a["score"], b["score"]))
+
+
+# ------------------------------------------------------------- taxonomy
+
+def test_taxonomy_rollup_parent_is_child_sum(docs, searcher):
+    """FastTaxonomyFacetCounts.java:39 rollup invariant: with all docs
+    labeled at leaf depth, every parent's count == Σ its children."""
+    from lucene_solr_spark.search.facets import taxonomy_facets
+    matches = searcher.score_all(TermQuery("merge"), mode="f64")
+    path = F.concat_ws(
+        "/", F.col("lang"), F.col("source"),
+        F.when(F.col("n_chars") < 300, F.lit("small")).otherwise("large"))
+    got = taxonomy_facets(docs, matches, path).toPandas()
+    counts = dict(zip(got["path"], got["count"]))
+    assert counts, "match set must be non-empty"
+    depths = {p: p.count("/") for p in counts}
+    for parent, c in counts.items():
+        d = depths[parent]
+        if d == 2:        # leaf depth
+            continue
+        kids = sum(v for p, v in counts.items()
+                   if depths[p] == d + 1 and p.startswith(parent + "/"))
+        assert kids == c, f"{parent}: {c} != sum(children) {kids}"
+    # root level sums to the match-set size
+    n_match = matches.select("doc_id").distinct().count()
+    assert sum(v for p, v in counts.items() if depths[p] == 0) == n_match
+
+
+def test_taxonomy_min_count_prunes(docs, searcher):
+    from lucene_solr_spark.search.facets import taxonomy_facets
+    matches = searcher.score_all(TermQuery("merge"), mode="f64")
+    full = taxonomy_facets(docs, matches, "source").toPandas()
+    thr = int(full["count"].median())
+    pruned = taxonomy_facets(docs, matches, "source",
+                             min_count=thr).toPandas()
+    assert set(pruned["path"]) == {p for p, c in
+                                   zip(full["path"], full["count"])
+                                   if c >= thr}
