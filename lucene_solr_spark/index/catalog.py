@@ -239,10 +239,18 @@ def load(spark: SparkSession, path: str,
         **kwargs)
     if manifest.get("has_deletes"):
         import numpy as np
+
+        from .deletes import MAX_DRIVER_DELETES, del_table
         dels = spark.read.parquet(f"{path}/deletes")
         idx.deletes = dels
-        idx.deleted_array = np.sort(np.array(
-            [r["doc_id"] for r in dels.collect()], dtype=np.int64))
+        if dels.count() > MAX_DRIVER_DELETES:
+            # per-cell bitmap carrier: doc_ids never reach the driver
+            idx.deleted_array = None
+            idx.del_table = del_table(
+                dels, int(manifest["stats"]["grid"])).persist()
+        else:
+            idx.deleted_array = np.sort(np.array(
+                [r["doc_id"] for r in dels.collect()], dtype=np.int64))
     return idx
 
 

@@ -106,7 +106,8 @@ def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     dels = getattr(idx, "deletes", None)
     if dels is not None:
         out.deletes = dels
-        out.deleted_array = idx.deleted_array
+        out.deleted_array = getattr(idx, "deleted_array", None)
+        out.del_table = getattr(idx, "del_table", None)
     return out
 
 

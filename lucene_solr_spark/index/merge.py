@@ -116,7 +116,8 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
     dels = getattr(idx, "deletes", None)
     if dels is not None:
         out.deletes = dels
-        out.deleted_array = idx.deleted_array
+        out.deleted_array = getattr(idx, "deleted_array", None)
+        out.del_table = getattr(idx, "del_table", None)
     return out
 
 

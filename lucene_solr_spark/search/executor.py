@@ -403,6 +403,7 @@ class Searcher:
         if not self.index.with_positions:
             blocks = blocks.drop("pos_blob")
         blocks = blocks.drop("off_blob")   # kernels never read offsets
+        blocks = self._with_del_col(blocks)
 
         def kernel(batches):
             yield from _bucket_kernel(batches, spec)
@@ -411,6 +412,17 @@ class Searcher:
         # partition, sorted by bucket/field/term/block), so the narrow filter
         # keeps every bucket's blocks contiguous within its partition.
         return blocks.mapInPandas(kernel, schema=KERNEL_SCHEMA)
+
+    def _with_del_col(self, blocks):
+        """Attach the per-cell tombstone column when the index carries a
+        distributed delete table (liveDocs-file analog): a left join on
+        ``bucket`` — unique on the table side, so per-partition row
+        order is preserved and every bucket group sees its own
+        ``del_offsets``. Bounded sets keep the in-spec array (no join)."""
+        dtab = getattr(self.index, "del_table", None)
+        if dtab is None:
+            return blocks
+        return blocks.join(dtab, "bucket", "left")
 
     # ------------------------------------------------------------------
     # public API
@@ -449,6 +461,7 @@ class Searcher:
             if not self.index.with_positions:
                 blocks = blocks.drop("pos_blob")
             blocks = blocks.drop("off_blob")
+            blocks = self._with_del_col(blocks)
 
             def kernel(batches):
                 yield from _bucket_kernel_multi(batches, specs)
@@ -482,8 +495,12 @@ class Searcher:
             alldocs = self.index.norms.select("doc_id").distinct()
             dels = getattr(self.index, "deletes", None)
             if dels is not None:
-                alldocs = alldocs.join(F.broadcast(dels), "doc_id",
-                                       "left_anti")
+                # broadcast only the bounded (driver-array) carrier; a
+                # distributed tombstone set anti-joins without the hint
+                small = getattr(self.index, "deleted_array", None) is not None
+                alldocs = alldocs.join(
+                    F.broadcast(dels) if small else dels,
+                    "doc_id", "left_anti")
             pdf = alldocs.orderBy("doc_id").limit(k).toPandas()
             pdf["score"] = np.float32(1.0)
             pdf["rank"] = np.arange(1, len(pdf) + 1)
@@ -515,8 +532,12 @@ class Searcher:
             alldocs = self.index.norms.select("doc_id").distinct()
             dels = getattr(self.index, "deletes", None)
             if dels is not None:
-                alldocs = alldocs.join(F.broadcast(dels), "doc_id",
-                                       "left_anti")
+                # broadcast only the bounded (driver-array) carrier; a
+                # distributed tombstone set anti-joins without the hint
+                small = getattr(self.index, "deleted_array", None) is not None
+                alldocs = alldocs.join(
+                    F.broadcast(dels) if small else dels,
+                    "doc_id", "left_anti")
             return alldocs.select("doc_id", F.lit(1.0).alias("score"))
         return self._run_kernel(plan, mode=mode, collect_all=True)
 
@@ -1407,13 +1428,10 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
 
     # must_not exclusion (+ liveDocs tombstones, LeafReader.getLiveDocs)
     excl = None
-    deleted = spec.get("deleted")
-    if deleted is not None and len(deleted):
-        lo = int(np.searchsorted(deleted, off))
-        hi = int(np.searchsorted(deleted, off + grid))
-        if hi > lo:
-            excl = np.zeros(grid, dtype=bool)
-            excl[deleted[lo:hi] - off] = True
+    doffs = _bucket_deleted(grp, spec, off, grid)
+    if doffs is not None:
+        excl = np.zeros(grid, dtype=bool)
+        excl[doffs] = True
     for c in spec["must_not"]:
         # MUST_NOT excludes the clause's full match set — term, phrase,
         # or dismax (union of disjunct matches; previously dismax under
@@ -1442,6 +1460,29 @@ def _score_bucket(grp: pd.DataFrame, spec, threshold, heap):
     if len(hit) == 0:
         return None, threshold
     return _emit_hits(hit, score, off, spec, threshold, heap)
+
+
+def _bucket_deleted(grp: pd.DataFrame, spec, off: int, grid: int):
+    """In-bucket offsets of tombstoned docs, from whichever carrier the
+    index uses: the in-spec sorted array (small delete sets, sliced by
+    searchsorted) or the co-located ``del_offsets`` column (per-cell
+    bitmap table joined onto the queried blocks — the liveDocs-file
+    analog; the driver never sees doc_ids). → int array or None."""
+    deleted = spec.get("deleted")
+    if deleted is not None and len(deleted):
+        lo = int(np.searchsorted(deleted, off))
+        hi = int(np.searchsorted(deleted, off + grid))
+        if hi > lo:
+            return deleted[lo:hi] - off
+        return None
+    if "del_offsets" in grp.columns:
+        v = grp["del_offsets"].iloc[0]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        a = np.asarray(v, dtype=np.int64)
+        if len(a):
+            return a
+    return None
 
 
 def _emit_hits(hit, score, off, spec, threshold, heap):
@@ -1508,13 +1549,10 @@ def _score_bucket_tree(grp: pd.DataFrame, spec, threshold, heap):
         if ub < threshold:
             return None, threshold
     mask, score = _eval_tree(root, data, spec, dtype, grid, scoring=True)
-    deleted = spec.get("deleted")
-    if deleted is not None and len(deleted):
-        lo = int(np.searchsorted(deleted, off))
-        hi = int(np.searchsorted(deleted, off + grid))
-        if hi > lo:
-            mask = mask.copy()
-            mask[deleted[lo:hi] - off] = False
+    doffs = _bucket_deleted(grp, spec, off, grid)
+    if doffs is not None:
+        mask = mask.copy()
+        mask[doffs] = False
     hit = np.flatnonzero(mask)
     if len(hit) == 0:
         return None, threshold

@@ -134,3 +134,53 @@ def test_compact_and_append_preserve_tombstones(spark, docs, base):
     assert not (got2_ids & set(victims))          # still hidden
     assert hi + 1 in got2_ids                     # new docs visible
     comp.postings.unpersist()
+
+
+def test_distributed_tombstones_match_driver_array(spark, docs, base):
+    """Per-cell bitmap carrier (VERDICT r3 #4): forcing the distributed
+    del_table must produce bit-identical results to the driver-array
+    path — same hidden docs, same untouched scores — across the flat,
+    tree, batch, and MatchAll paths."""
+    s0 = Searcher(spark, base)
+    before = s0.top_k(TermQuery("spark"), k=20)
+    victims = before["doc_id"].astype(int).tolist()[:5]
+
+    arr_idx = delete_docs(spark, base, victims, distributed=False)
+    bit_idx = delete_docs(spark, base, victims, distributed=True)
+    assert arr_idx.del_table is None and arr_idx.deleted_array is not None
+    assert bit_idx.deleted_array is None and bit_idx.del_table is not None
+
+    sa, sb = Searcher(spark, arr_idx), Searcher(spark, bit_idx)
+    for q in (TermQuery("spark"),
+              parse_query("spark AND table", ENGLISH_ANALYZER),
+              parse_query("(spark AND table) OR (merge AND fast)",
+                          ENGLISH_ANALYZER)):      # tree-plan path
+        a, b = sa.top_k(q, k=15), sb.top_k(q, k=15)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["score"].tolist() == b["score"].tolist()
+        assert not (set(b["doc_id"].astype(int)) & set(victims))
+    # batch path
+    qs = [TermQuery("spark"), TermQuery("merge")]
+    for a, b in zip(sa.top_k_many(qs, k=10), sb.top_k_many(qs, k=10)):
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # MatchAll path (non-broadcast anti-join) + live count
+    assert sb.count(MatchAllQuery()) == live_doc_count(bit_idx)
+    assert live_doc_count(bit_idx) == live_doc_count(arr_idx)
+
+
+def test_auto_switch_above_max_driver_deletes(spark, docs, base,
+                                              monkeypatch):
+    """Above MAX_DRIVER_DELETES delete_docs no longer raises: it switches
+    to the per-cell bitmap carrier automatically (here: threshold
+    patched to 3 so 5 tombstones cross it)."""
+    import lucene_solr_spark.index.deletes as dmod
+    s0 = Searcher(spark, base)
+    before = s0.top_k(TermQuery("spark"), k=20)
+    victims = before["doc_id"].astype(int).tolist()[:5]
+    monkeypatch.setattr(dmod, "MAX_DRIVER_DELETES", 3)
+    idx = dmod.delete_docs(spark, base, victims)
+    assert idx.deleted_array is None and idx.del_table is not None
+    after = Searcher(spark, idx).top_k(TermQuery("spark"), k=15)
+    keep = before[~before["doc_id"].isin(victims)].head(15)
+    assert after["doc_id"].tolist() == keep["doc_id"].tolist()
+    assert after["score"].tolist() == keep["score"].tolist()
