@@ -254,6 +254,36 @@ def _poly_sql(poly) -> str:
     return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
+def _sorted_docvalues(spark, sf_dir):
+    """Sort-keyed docvalues generation (IndexWriterConfig.setIndexSort
+    analog), built once per sf over documents sorted by n_chars."""
+    key = ("sorted_dv", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        import tempfile
+
+        from lucene_solr_spark.index.sorted import (SortedDocValues,
+                                                    build_sorted_docvalues)
+        path = tempfile.mkdtemp(prefix="lss_sorted_")
+        docs = (spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+                .select("doc_id", "n_chars"))
+        build_sorted_docvalues(spark, docs, path, "n_chars")
+        _RAW_CACHE[key] = SortedDocValues(spark, path)
+    return _RAW_CACHE[key]
+
+
+def q_sorted_index_topk(spark, sf_dir):
+    """Sorted-index early termination (IndexWriterConfig.java:484
+    setIndexSort + TopFieldCollector canEarlyTerminate): top-10 'merge'
+    matches by n_chars asc served from a key-range-pruned scan of the
+    sorted generation — no global sort of the match set; result equals
+    the unsorted sort_by_fields path (pinned in tests/test_sorted.py)."""
+    sdv = _sorted_docvalues(spark, sf_dir)
+    s = _searcher(spark, sf_dir)
+    res = sdv.topk(s.match_docs(TermQuery("merge")), k=10, ascending=True)
+    return res.select(F.col("doc_id").cast("long"),
+                      F.col("n_chars").cast("long"))
+
+
 def _shingle_searcher(spark, sf_dir) -> Searcher:
     key = (sf_dir.rstrip("/"), "shingles")
     if key not in _CACHE:
@@ -1866,6 +1896,14 @@ FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
 
+    # sorted-index early termination: identical rows to an ORDER BY over
+    # the match set (the acceleration must be invisible in results)
+    sql["q_sorted_index_topk"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars, d.doc_id LIMIT 10"""
+
     # taxonomy rollup: every path prefix of lang/source/bucket counts
     sql["q_facet_taxonomy"] = _PRELUDE + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
@@ -3037,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_f2exp_topk": q_f2exp_topk,
         "q_facet_taxonomy": q_facet_taxonomy,
         "q_geo_polygon_count": q_geo_polygon_count,
+        "q_sorted_index_topk": q_sorted_index_topk,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,
