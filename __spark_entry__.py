@@ -254,6 +254,31 @@ def _poly_sql(poly) -> str:
     return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
+def _payload_searcher(spark, sf_dir) -> Searcher:
+    """Index with the payload channel (payload='position': each
+    occurrence carries its 1-based token position — a deterministic
+    stand-in for model term-importance scores), built once per sf."""
+    key = ("payload", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        docs = _raw_docs(spark, sf_dir)
+        idx = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+                           salt_target=512, with_positions=True,
+                           payload="position").build(spark, docs).cache()
+        _RAW_CACHE[key] = Searcher(spark, idx, k1=K1, b=B)
+    return _RAW_CACHE[key]
+
+
+def q_payload_score_topk(spark, sf_dir):
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:46,
+    SumPayloadFunction): score = Σ payloads of 'merge' occurrences
+    (payload = 1-based token position), top-10 desc, doc_id tiebreak."""
+    from lucene_solr_spark.search.payloads import payload_score_topk
+    s = _payload_searcher(spark, sf_dir)
+    res = payload_score_topk(s, "merge", k=10, func="sum")
+    return res.select(F.col("doc_id").cast("long"),
+                      F.round("score", 4).alias("score"))
+
+
 def _sorted_docvalues(spark, sf_dir):
     """Sort-keyed docvalues generation (IndexWriterConfig.setIndexSort
     analog), built once per sf over documents sorted by n_chars."""
@@ -1896,6 +1921,20 @@ FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
 
+    # payload channel: Σ (1-based raw-token-stream positions) of the
+    # term's occurrences per doc — the engine's positions count stopword
+    # slots (position gaps), so the unfiltered tok CTE is the oracle
+    sql["q_payload_score_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), ps AS (
+  SELECT doc_id, SUM(p + 1)::DOUBLE AS s FROM pos
+  WHERE term = 'merge' GROUP BY doc_id)
+SELECT doc_id, ROUND(s, 4) AS score FROM ps
+ORDER BY s DESC, doc_id LIMIT 10"""
+
     # sorted-index early termination: identical rows to an ORDER BY over
     # the match set (the acceleration must be invisible in results)
     sql["q_sorted_index_topk"] = _PRELUDE + """
@@ -3076,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_taxonomy": q_facet_taxonomy,
         "q_geo_polygon_count": q_geo_polygon_count,
         "q_sorted_index_topk": q_sorted_index_topk,
+        "q_payload_score_topk": q_payload_score_topk,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,

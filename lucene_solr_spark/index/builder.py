@@ -66,7 +66,7 @@ from ..functions.impacts import skyline
 from ..functions.smallfloat import int_to_byte4
 
 RAW_SCHEMA = ("doc_id long, field string, term string, freq int, norm int, "
-              "pos_blob binary, off_blob binary")
+              "pos_blob binary, off_blob binary, pay_blob binary")
 
 DEFAULT_FIELD = "text"
 
@@ -77,7 +77,7 @@ POSTINGS_SCHEMA = (
     "field string, term string, bucket long, block_id long, doc_count int, "
     "last_doc long, doc_blob binary, freq_blob binary, norm_blob binary, "
     "imp_freqs array<int>, imp_norms array<int>, pos_blob binary, "
-    "off_blob binary"
+    "off_blob binary, pay_blob binary"
 )
 
 _FALLBACK_RE = None  # built lazily (scans the unicode table once/process)
@@ -111,9 +111,27 @@ def _vbyte_positions(pos) -> bytes:
     return bytes(out)
 
 
+def _payload_values(terms, positions, payload):
+    """Per-occurrence integer payloads (`Lucene84PostingsWriter.java`
+    addPosition's payload channel; the values a DelimitedPayloadToken-
+    Filter / model-score pipeline would attach). Built-in vectorized
+    sources: "position" (1-based token position) and "term_len";
+    a callable (term, position) -> int is the general path."""
+    if payload == "position":
+        return positions + 1
+    if payload == "term_len":
+        return np.fromiter(map(len, terms), dtype=np.int64,
+                           count=len(positions))
+    if callable(payload):
+        return np.fromiter((int(payload(t, int(p)))
+                            for t, p in zip(terms, positions)),
+                           dtype=np.int64, count=len(positions))
+    raise ValueError(f"unknown payload source {payload!r}")
+
+
 def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
                         analyzer: StandardAnalyzer, with_pos: bool,
-                        with_off: bool = False):
+                        with_off: bool = False, payload=None):
     """Vectorized single-field inversion of one Arrow batch.
 
     → None, or dict of parallel arrays (doc_id, term, freq, norm
@@ -137,10 +155,10 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
     parts = []
     if not fb.all():
         parts.append(_invert_vec(doc_ids[~fb], arr[~fb], analyzer, with_pos,
-                                 with_off))
+                                 with_off, payload))
     if fb.any():
         parts.append(_invert_exact(doc_ids[fb], arr[fb], analyzer, with_pos,
-                                   with_off))
+                                   with_off, payload))
     parts = [p for p in parts if p is not None]
     if not parts:
         return None
@@ -152,6 +170,8 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
         out["pos_blob"] = parts[0]["pos_blob"] + parts[1]["pos_blob"]
     if with_off:
         out["off_blob"] = parts[0]["off_blob"] + parts[1]["off_blob"]
+    if payload is not None:
+        out["pay_blob"] = parts[0]["pay_blob"] + parts[1]["pay_blob"]
     return out
 
 
@@ -177,7 +197,7 @@ def _vocab_map(uniq, analyzer: StandardAnalyzer):
 
 
 def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
-                with_off: bool = False):
+                with_off: bool = False, payload=None):
     """Batch inversion of fallback-free rows (the web-text fast path).
     Offsets mode swaps findall for finditer (same C regex engine) to
     carry each token's (start, end) — fallback-free rows lowercase 1:1,
@@ -236,6 +256,8 @@ def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
     pos_k = pos[keep]
     if with_off:
         s_k, e_k = flat_s[keep], flat_e[keep]
+    if payload is not None:
+        pay_k = _payload_values(term_k, pos_k, payload)
 
     dl = np.bincount(did_k, minlength=len(arr))
     nb = _NORM_LUT[np.minimum(dl, len(_NORM_LUT) - 1)].astype(np.int64)
@@ -275,15 +297,22 @@ def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
         obuf, ooff = codec.vbyte_encode_batch(inter)
         out["off_blob"] = [obuf[ooff[2 * s]:ooff[2 * e]].tobytes()
                            for s, e in zip(run_starts, run_ends)]
+    if payload is not None:
+        # payload channel parallel to positions: one VByte value per
+        # occurrence, NO delta (payloads are not monotone)
+        pay_s = pay_k[order]
+        pbuf, pyo = codec.vbyte_encode_batch(pay_s)
+        out["pay_blob"] = [pbuf[pyo[s]:pyo[e]].tobytes()
+                           for s, e in zip(run_starts, run_ends)]
     return out
 
 
 def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
-                  with_off: bool = False):
+                  with_off: bool = False, payload=None):
     """Per-doc reference path for rows the batch path can't handle
     (mixed CJK scripts / exceptional lowercase)."""
     rows_doc, rows_term, rows_freq, rows_norm = [], [], [], []
-    rows_pos, rows_off = [], []
+    rows_pos, rows_off, rows_pay = [], [], []
     for did, text in zip(np.asarray(doc_ids), arr):
         if with_off:
             occ = analyzer.term_occurrences(text or "")
@@ -310,6 +339,11 @@ def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
                     inter.append(en - st)
                     prev = st
                 rows_off.append(_vbyte_values(inter))
+            if payload is not None:
+                vals = _payload_values(
+                    np.asarray([term] * len(ps), dtype=object),
+                    np.asarray(ps, dtype=np.int64), payload)
+                rows_pay.append(_vbyte_values([int(v) for v in vals]))
     if not rows_doc:
         return None
     out = {
@@ -322,6 +356,8 @@ def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
         out["pos_blob"] = rows_pos
     if with_off:
         out["off_blob"] = rows_off
+    if payload is not None:
+        out["pay_blob"] = rows_pay
     return out
 
 
@@ -347,6 +383,7 @@ class InvertedIndex:
     analyzer: StandardAnalyzer = field(default_factory=lambda: ENGLISH_ANALYZER)
     with_positions: bool = False
     with_offsets: bool = False       # char offsets per occurrence stored
+    with_payloads: bool = False      # per-occurrence payload channel
     raw: DataFrame | None = None     # persisted intermediate; release()-able
     timings: dict = field(default_factory=dict)   # per-stage build seconds
 
@@ -415,7 +452,7 @@ class IndexBuilder:
                  grid: int = 1 << 17, head_df: int = 4096,
                  salt_target: int = 4096, with_positions: bool = False,
                  fields: tuple = (DEFAULT_FIELD,),
-                 with_offsets: bool = False):
+                 with_offsets: bool = False, payload=None):
         """grid: doc-range cell size blocks never cross — the query shard
         unit AND the skew bound (no term contributes more than `grid`
         postings to any pack task). head_df / salt_target are retained
@@ -432,6 +469,10 @@ class IndexBuilder:
         # index/IndexOptions.java:25-53) imply positions
         self.with_offsets = with_offsets
         self.with_positions = with_positions or with_offsets
+        # payload channel (Lucene84PostingsWriter.addPosition's payload
+        # stream, PayloadAttribute): None, "position", "term_len", or a
+        # (term, position) -> int callable (e.g. model term-importance)
+        self.payload = payload
         self.fields = tuple(fields)
 
     # ------------------------------------------------------------------
@@ -444,6 +485,7 @@ class IndexBuilder:
         analyzer = self.analyzer
         with_pos = self.with_positions
         with_off = self.with_offsets
+        payload = self.payload
 
         def invert_batches(batches):
             for pdf in batches:
@@ -451,7 +493,7 @@ class IndexBuilder:
                 frames = []
                 for fld in flds:
                     arrs = invert_field_arrays(dids, pdf[fld], analyzer,
-                                               with_pos, with_off)
+                                               with_pos, with_off, payload)
                     if arrs is None:
                         continue
                     n = len(arrs["doc_id"])
@@ -465,6 +507,8 @@ class IndexBuilder:
                             arrs.get("pos_blob", [None] * n), dtype="object"),
                         "off_blob": pd.Series(
                             arrs.get("off_blob", [None] * n), dtype="object"),
+                        "pay_blob": pd.Series(
+                            arrs.get("pay_blob", [None] * n), dtype="object"),
                     }))
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
@@ -609,9 +653,11 @@ class IndexBuilder:
         grid = self.grid
         with_pos = self.with_positions
         with_off = self.with_offsets
+        with_pay = self.payload is not None
 
         def pack(batches):
-            yield from pack_partition(batches, grid, with_pos, with_off)
+            yield from pack_partition(batches, grid, with_pos, with_off,
+                                      with_pay)
 
         postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                     .sortWithinPartitions("bucket", "field", "term", "doc_id")
@@ -622,7 +668,8 @@ class IndexBuilder:
         idx = InvertedIndex(postings=postings, terms=terms, norms=norms,
                             stats=stats, analyzer=self.analyzer,
                             with_positions=self.with_positions,
-                            with_offsets=self.with_offsets, raw=raw,
+                            with_offsets=self.with_offsets,
+                            with_payloads=with_pay, raw=raw,
                             timings=timings)
         return idx
 
@@ -655,7 +702,7 @@ def _rebatch(batches, min_rows: int = _PACK_MIN_ROWS):
 
 
 def pack_partition(batches, grid: int, with_pos: bool,
-                   with_off: bool = False):
+                   with_off: bool = False, with_pay: bool = False):
     """Pack a bucket-range partition of sorted raw postings into block rows.
 
     Input arrives sorted by (bucket, field, term, doc_id); every (bucket,
@@ -681,16 +728,17 @@ def pack_partition(batches, grid: int, with_pos: bool,
         buf = pdf.iloc[start_last:]
         head = pdf.iloc[:start_last]
         if len(head):
-            yield _pack_frame(head, grid, with_pos, with_off)
+            yield _pack_frame(head, grid, with_pos, with_off, with_pay)
     if buf is not None and len(buf):
-        yield _pack_frame(buf, grid, with_pos, with_off)
+        yield _pack_frame(buf, grid, with_pos, with_off, with_pay)
 
 
 _TAIL_TAG = bytes([codec._TAG_VBYTE])
 
 
 def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool,
-                with_off: bool = False) -> pd.DataFrame:
+                with_off: bool = False,
+                with_pay: bool = False) -> pd.DataFrame:
     """Vectorized run→block packing: doc deltas and VByte tails are
     computed for the whole frame in batch numpy passes; per-block Python
     is reduced to buffer slicing plus FOR/PFOR encodes for full blocks."""
@@ -703,6 +751,7 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool,
     norms_u8 = pdf["norm"].to_numpy().astype(np.uint8)
     poss = pdf["pos_blob"].to_numpy() if with_pos else None
     offs = pdf["off_blob"].to_numpy() if with_off else None
+    pays = pdf["pay_blob"].to_numpy() if with_pay else None
 
     change = np.r_[True, (buckets[1:] != buckets[:-1])
                    | (terms_arr[1:] != terms_arr[:-1])
@@ -730,6 +779,7 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool,
     full = codec.BLOCK_SIZE
     doc_blobs, freq_blobs, norm_blobs = [], [], []
     imp_f, imp_n, pos_blobs, off_blobs = [], [], [], []
+    pay_blobs = []
     for i in range(total_blocks):
         s, e = int(b_start[i]), int(b_end[i])
         if b_len[i] == full:
@@ -774,6 +824,10 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool,
             off_blobs.append(b"".join(offs[s:e]))
         else:
             off_blobs.append(None)
+        if with_pay:
+            pay_blobs.append(b"".join(pays[s:e]))
+        else:
+            pay_blobs.append(None)
 
     return pd.DataFrame({
         "field": pd.Series(fields_arr[b_start], dtype="object"),
@@ -789,6 +843,7 @@ def _pack_frame(pdf: pd.DataFrame, grid: int, with_pos: bool,
         "imp_norms": pd.Series(imp_n, dtype="object"),
         "pos_blob": pd.Series(pos_blobs, dtype="object"),
         "off_blob": pd.Series(off_blobs, dtype="object"),
+        "pay_blob": pd.Series(pay_blobs, dtype="object"),
     })
 
 
@@ -845,3 +900,10 @@ def decode_positions_flat(pos_blob: bytes, freqs: np.ndarray) -> np.ndarray:
     # subtract the running total at each doc boundary to restart the cumsum
     base = np.repeat(csum[starts - 1] * (starts > 0), f)
     return csum - base
+
+
+def decode_payloads_flat(pay_blob: bytes, freqs: np.ndarray) -> np.ndarray:
+    """All payloads of a block as one flat array, position-parallel —
+    plain VByte values, no delta (payloads are not monotone)."""
+    total = int(np.asarray(freqs, dtype=np.int64).sum())
+    return codec.vbyte_decode(bytes(pay_blob), total)

@@ -147,6 +147,10 @@ def _params(builder: IndexBuilder) -> dict:
             "salt_target": builder.salt_target,
             "with_positions": builder.with_positions,
             "with_offsets": getattr(builder, "with_offsets", False),
+            # only recorded when set — adding an always-present key would
+            # invalidate every pre-payloads generation's resume key
+            **({"with_payloads": True}
+               if getattr(builder, "payload", None) is not None else {}),
             "fields": list(builder.fields),
             "stop_words": sorted(builder.analyzer.stop_words),
             "max_token_length": builder.analyzer.max_token_length,
@@ -225,6 +229,9 @@ def load(spark: SparkSession, path: str,
         # (append) and the unpack paths keep working
         postings = postings.withColumn("off_blob",
                                        F.lit(None).cast("binary"))
+    if "pay_blob" not in postings.columns:   # pre-payloads generation
+        postings = postings.withColumn("pay_blob",
+                                       F.lit(None).cast("binary"))
     postings = (postings
                 .repartitionByRange(
                     max(4, spark.sparkContext.defaultParallelism), "bucket")
@@ -236,6 +243,7 @@ def load(spark: SparkSession, path: str,
         stats=dict(manifest["stats"]),
         with_positions=manifest["params"]["with_positions"],
         with_offsets=manifest["params"].get("with_offsets", False),
+        with_payloads=manifest["params"].get("with_payloads", False),
         **kwargs)
     if manifest.get("has_deletes"):
         import numpy as np

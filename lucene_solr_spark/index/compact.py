@@ -45,11 +45,13 @@ def _split_pos_blob(pos_blob: bytes, freqs: np.ndarray) -> list[bytes]:
     return [b[s:e] for s, e in zip(starts, stops)]
 
 
-def _unpack_blocks(batches, with_pos: bool, with_off: bool = False):
+def _unpack_blocks(batches, with_pos: bool, with_off: bool = False,
+                   with_pay: bool = False):
     """postings block rows → raw posting rows (the pack inverse)."""
     for pdf in batches:
         out_doc, out_field, out_term = [], [], []
         out_freq, out_norm, out_pos, out_off = [], [], [], []
+        out_pay = []
         for row in pdf.itertuples(index=False):
             r = row._asdict()
             docs, freqs, norms = decode_postings_block(r)
@@ -68,6 +70,10 @@ def _unpack_blocks(batches, with_pos: bool, with_off: bool = False):
                 out_off.extend(_split_pos_blob(r["off_blob"], 2 * freqs))
             else:
                 out_off.extend([None] * n)
+            if with_pay:
+                out_pay.extend(_split_pos_blob(r["pay_blob"], freqs))
+            else:
+                out_pay.extend([None] * n)
         if not out_doc:
             continue
         yield pd.DataFrame({
@@ -78,6 +84,7 @@ def _unpack_blocks(batches, with_pos: bool, with_off: bool = False):
             "norm": np.concatenate(out_norm).astype("int32"),
             "pos_blob": pd.Series(out_pos, dtype="object"),
             "off_blob": pd.Series(out_off, dtype="object"),
+            "pay_blob": pd.Series(out_pay, dtype="object"),
         })
 
 
@@ -85,13 +92,16 @@ def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     """Rewrite postings into fresh 128-aligned blocks (layout-only)."""
     with_pos = idx.with_positions
     with_off = getattr(idx, "with_offsets", False)
+    with_pay = getattr(idx, "with_payloads", False)
     grid = idx.stats["grid"]
     raw = idx.postings.mapInPandas(
-        lambda it: _unpack_blocks(it, with_pos, with_off), schema=RAW_SCHEMA)
+        lambda it: _unpack_blocks(it, with_pos, with_off, with_pay),
+        schema=RAW_SCHEMA)
     n_part = _shuffle_n(spark)
 
     def pack(batches):
-        yield from pack_partition(batches, grid, with_pos, with_off)
+        yield from pack_partition(batches, grid, with_pos, with_off,
+                                  with_pay)
 
     postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                 .repartitionByRange(n_part, "bucket")
@@ -99,7 +109,8 @@ def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
                 .mapInPandas(pack, schema=POSTINGS_SCHEMA))
     out = InvertedIndex(postings=postings, terms=idx.terms, norms=idx.norms,
                         stats=dict(idx.stats), analyzer=idx.analyzer,
-                        with_positions=with_pos, with_offsets=with_off)
+                        with_positions=with_pos, with_offsets=with_off,
+                        with_payloads=with_pay)
     # tombstones survive compaction unchanged (doc_ids are stable): a
     # layout-only rewrite must not resurrect deleted docs — the
     # 'every query result preserved' contract includes liveDocs

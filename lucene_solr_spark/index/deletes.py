@@ -79,6 +79,7 @@ def delete_docs(spark: SparkSession, idx: InvertedIndex,
                         analyzer=idx.analyzer,
                         with_positions=idx.with_positions, raw=idx.raw)
     out.with_offsets = getattr(idx, "with_offsets", False)
+    out.with_payloads = getattr(idx, "with_payloads", False)
     out.deletes = dels
     if distributed is None:
         distributed = dels.count() > MAX_DRIVER_DELETES
@@ -111,9 +112,11 @@ def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
         return idx
     with_pos = idx.with_positions
     with_off = getattr(idx, "with_offsets", False)
+    with_pay = getattr(idx, "with_payloads", False)
     grid = idx.stats["grid"]
     raw = idx.postings.mapInPandas(
-        lambda it: _unpack_blocks(it, with_pos, with_off), schema=RAW_SCHEMA)
+        lambda it: _unpack_blocks(it, with_pos, with_off, with_pay),
+        schema=RAW_SCHEMA)
     raw = raw.join(F.broadcast(dels), "doc_id", "left_anti").persist()
 
     terms = (raw.groupBy("field", "term")
@@ -155,7 +158,8 @@ def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     n_part = _shuffle_n(spark)
 
     def pack(batches):
-        yield from pack_partition(batches, grid, with_pos, with_off)
+        yield from pack_partition(batches, grid, with_pos, with_off,
+                                  with_pay)
 
     postings = (raw.withColumn("bucket", F.expr(f"doc_id div {grid}"))
                 .repartitionByRange(n_part, "bucket")
@@ -164,4 +168,5 @@ def expunge_deletes(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
     return InvertedIndex(postings=postings, terms=terms, norms=norms,
                          stats=stats, analyzer=idx.analyzer,
                          with_positions=with_pos, with_offsets=with_off,
+                         with_payloads=with_pay,
                          raw=raw)

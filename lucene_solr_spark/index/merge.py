@@ -88,6 +88,9 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
         raise ValueError("append must match the base index's positions mode")
     if builder.with_offsets != getattr(idx, "with_offsets", False):
         raise ValueError("append must match the base index's offsets mode")
+    if ((getattr(builder, "payload", None) is not None)
+            != getattr(idx, "with_payloads", False)):
+        raise ValueError("append must match the base index's payload mode")
     delta = builder.build(spark, new_docs, doc_id_col, text_col)
 
     n_part = max(4, spark.sparkContext.defaultParallelism)
@@ -109,6 +112,7 @@ def append(spark: SparkSession, idx: InvertedIndex, new_docs: DataFrame,
                         stats=stats, analyzer=builder.analyzer,
                         with_positions=idx.with_positions,
                         with_offsets=getattr(idx, "with_offsets", False),
+                        with_payloads=getattr(idx, "with_payloads", False),
                         raw=delta.raw)
     # base-index tombstones carry over: appended docs have ids above
     # max_doc, so the base's liveDocs set stays valid verbatim — an

@@ -402,7 +402,7 @@ class Searcher:
         blocks = self.index.postings.filter(_key_filter(live))
         if not self.index.with_positions:
             blocks = blocks.drop("pos_blob")
-        blocks = blocks.drop("off_blob")   # kernels never read offsets
+        blocks = blocks.drop("off_blob", "pay_blob")   # kernel-unused
         blocks = self._with_del_col(blocks)
 
         def kernel(batches):
@@ -460,7 +460,7 @@ class Searcher:
             blocks = self.index.postings.filter(_key_filter(live_union))
             if not self.index.with_positions:
                 blocks = blocks.drop("pos_blob")
-            blocks = blocks.drop("off_blob")
+            blocks = blocks.drop("off_blob", "pay_blob")
             blocks = self._with_del_col(blocks)
 
             def kernel(batches):

@@ -138,6 +138,8 @@ def load_segments(spark: SparkSession, path: str,
         p = spark.read.parquet(f"{d}/postings")
         if "off_blob" not in p.columns:    # pre-offsets segment
             p = p.withColumn("off_blob", F.lit(None).cast("binary"))
+        if "pay_blob" not in p.columns:    # pre-payloads segment
+            p = p.withColumn("pay_blob", F.lit(None).cast("binary"))
         t = spark.read.parquet(f"{d}/terms")
         n = spark.read.parquet(f"{d}/norms")
         post = p if post is None else post.unionByName(p)
