@@ -279,6 +279,42 @@ def q_payload_score_topk(spark, sf_dir):
                       F.round("score", 4).alias("score"))
 
 
+def _offsets_searcher(spark, sf_dir) -> Searcher:
+    """Offsets-indexed searcher (IndexOptions ..._AND_OFFSETS), built
+    once per sf — feeds passage-ranked highlighting."""
+    key = ("offsets", sf_dir.rstrip("/"))
+    if key not in _RAW_CACHE:
+        docs = _raw_docs(spark, sf_dir)
+        idx = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+                           salt_target=512,
+                           with_offsets=True).build(spark, docs).cache()
+        _RAW_CACHE[key] = Searcher(spark, idx, k1=K1, b=B)
+    return _RAW_CACHE[key]
+
+
+def q_passage_highlight(spark, sf_dir):
+    """UnifiedHighlighter passage ranking (UnifiedHighlighter.java:93,
+    PassageScorer.java formulas): best 2 passages per top-5 'merge' doc
+    for query terms {merge, spark}. Rows-only gate — the PassageScorer
+    formula over char offsets is not restatable in DuckDB (no per-match
+    offset function); semantics pinned against hand-computed scores in
+    tests/test_passages.py."""
+    from lucene_solr_spark.search.passages import passage_highlight
+    s = _offsets_searcher(spark, sf_dir)
+    docs = _raw_docs(spark, sf_dir)
+    top = (s.score_all(TermQuery("merge"), mode="f64")
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
+           .select("doc_id"))
+    texts = {int(r["doc_id"]): r["text"]
+             for r in docs.join(top, "doc_id").collect()}
+    res = passage_highlight(s, ["merge", "spark"], texts, max_passages=2,
+                            max_passage_chars=120)
+    rows = [(int(d), int(ps), round(float(sc), 4), snip)
+            for d in sorted(res) for (sc, ps, _pe, snip) in res[d]]
+    return spark.createDataFrame(
+        rows, "doc_id long, pstart long, score double, snippet string")
+
+
 def _sorted_docvalues(spark, sf_dir):
     """Sort-keyed docvalues generation (IndexWriterConfig.setIndexSort
     analog), built once per sf over documents sorted by n_chars."""
@@ -3116,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_polygon_count": q_geo_polygon_count,
         "q_sorted_index_topk": q_sorted_index_topk,
         "q_payload_score_topk": q_payload_score_topk,
+        "q_passage_highlight": q_passage_highlight,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,

@@ -21,6 +21,9 @@ ROWS_ONLY_ALLOWED = {
     # Lucene-exact sloppy enumeration — pinned vs TestSloppyPhraseQuery
     # goldens in tests/test_sloppy_lucene.py
     "q_sloppy_lucene_topk",
+    # PassageScorer over char offsets — DuckDB has no per-match offset
+    # function; pinned vs hand-computed scores in tests/test_passages.py
+    "q_passage_highlight",
 }
 
 
