@@ -279,6 +279,23 @@ def q_payload_score_topk(spark, sf_dir):
                       F.round("score", 4).alias("score"))
 
 
+def q_fuzzy_suggest(spark, sf_dir):
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:77):
+    typo-tolerant completion — suggestions whose PREFIX is within 1
+    edit of the key (first char exact), df-desc ranked. One key per
+    edit type: deletion-in-key ('spak'→spark, 'jon'→join), substitution
+    ('mirge'→merge), insertion-in-key ('sparkk'→spark)."""
+    from lucene_solr_spark.search.suggest import fuzzy_suggest
+    s = _searcher(spark, sf_dir)
+    out = None
+    for key in ("spak", "jon", "mirge", "sparkk"):
+        part = (fuzzy_suggest(s.index.terms, key, k=10, max_edits=1)
+                .select(F.lit(key).alias("key"), "term",
+                        F.col("df").cast("long").alias("df")))
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("key", F.desc("df"), "term")
+
+
 def _offsets_searcher(spark, sf_dir) -> Searcher:
     """Offsets-indexed searcher (IndexOptions ..._AND_OFFSETS), built
     once per sf — feeds passage-ranked highlighting."""
@@ -1957,6 +1974,22 @@ FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
 
+    # FuzzySuggester: prefix edit distance <= 1 == bounded OR of
+    # substring levenshteins over prefix lengths |key|±1
+    def _fz(key):
+        n = len(key)
+        ors = " OR ".join(
+            f"levenshtein(substring(term, 1, {j}), '{key}') <= 1"
+            for j in range(max(1, n - 1), n + 2))
+        return (f"SELECT key, term, df FROM ("
+                f"SELECT '{key}' AS key, term, df, "
+                f"row_number() OVER (ORDER BY df DESC, term) AS rn "
+                f"FROM dfreq WHERE ({ors}) AND term LIKE '{key[0]}%'"
+                f") WHERE rn <= 10")
+    sql["q_fuzzy_suggest"] = (_PRELUDE + "\nUNION ALL\n".join(
+        _fz(k) for k in ("spak", "jon", "mirge", "sparkk"))
+        + "\nORDER BY key, df DESC, term")
+
     # payload channel: Σ (1-based raw-token-stream positions) of the
     # term's occurrences per doc — the engine's positions count stopword
     # slots (position gaps), so the unfiltered tok CTE is the oracle
@@ -3153,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_index_topk": q_sorted_index_topk,
         "q_payload_score_topk": q_payload_score_topk,
         "q_passage_highlight": q_passage_highlight,
+        "q_fuzzy_suggest": q_fuzzy_suggest,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,

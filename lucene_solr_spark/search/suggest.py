@@ -33,6 +33,45 @@ def suggest_terms(terms_df: DataFrame, prefix: str, k: int = 10,
             .select("term", "df"))
 
 
+def fuzzy_suggest(terms_df: DataFrame, key: str, k: int = 10,
+                  max_edits: int = 1, non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3,
+                  field: str = DEFAULT_FIELD) -> DataFrame:
+    """FuzzySuggester (`suggest/analyzing/FuzzySuggester.java:77` over
+    AnalyzingSuggester.java:121): typo-tolerant completion — a
+    suggestion matches when some PREFIX of it is within ``max_edits``
+    of the typed key. Defaults mirror the reference: 1 edit, the first
+    ``non_fuzzy_prefix`` chars must match exactly, and keys shorter
+    than ``min_fuzzy_length`` complete exactly (no edits). Ranked by
+    weight (df) desc then term asc → (term, df).
+
+    Exactness: prefix-edit-distance(key, t) ≤ e iff some prefix of t
+    with length in [|key|−e, |key|+e] has levenshtein ≤ e to the key —
+    so the filter is a bounded OR of 2e+1 substring levenshteins, all
+    whole-stage codegen over the dictionary scan (the reference's
+    LevenshteinAutomata ∩ FST walk restated relationally); the driver
+    sees k rows."""
+    from ..analysis.analyzer import simple_lowercase
+    key = simple_lowercase(key.strip())
+    if not key:
+        raise ValueError("empty suggestion key")
+    base = terms_df.filter(F.col("field") == field)
+    if len(key) < min_fuzzy_length or max_edits == 0:
+        cond = F.col("term").startswith(key)
+    else:
+        cond = None
+        for j in range(max(1, len(key) - max_edits),
+                       len(key) + max_edits + 1):
+            c = (F.levenshtein(F.substring("term", 1, j), F.lit(key))
+                 <= max_edits)
+            cond = c if cond is None else (cond | c)
+        if non_fuzzy_prefix > 0:
+            cond &= F.col("term").startswith(key[:non_fuzzy_prefix])
+    return (base.filter(cond)
+            .orderBy(F.desc("df"), F.asc("term")).limit(k)
+            .select("term", "df"))
+
+
 def spellcheck(terms_df: DataFrame, word: str, max_edits: int = 2,
                k: int = 5, field: str = DEFAULT_FIELD) -> DataFrame:
     """Did-you-mean corrections (`suggest/spell/DirectSpellChecker.java:49`

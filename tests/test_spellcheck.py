@@ -75,3 +75,55 @@ def test_plan_shows_partition_pruning(checker):
     plan2 = (checker.suggest("spak", max_edits=2, k=5)
              ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan2 and "gramkey" not in plan2
+
+
+def _prefix_edit_distance(key: str, term: str) -> int:
+    """Reference prefix edit distance: min lev(key, prefix of term)."""
+    import numpy as np
+    n, m = len(key), len(term)
+    dp = np.arange(m + 1)
+    best = dp[0] if n == 0 else 10**9
+    for i in range(1, n + 1):
+        prev = dp.copy()
+        dp[0] = i
+        for j in range(1, m + 1):
+            dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                        prev[j - 1] + (key[i - 1] != term[j - 1]))
+        best = best if i < n else min(int(x) for x in dp)
+    return best if n else 0
+
+
+def test_fuzzy_suggest_matches_prefix_edit_distance(idx):
+    """FuzzySuggester: hit set == {terms with prefix-edit-distance <= 1
+    and exact first char}, for several keys and both edit radii."""
+    from lucene_solr_spark.search.suggest import fuzzy_suggest
+    terms = [r["term"] for r in
+             idx.terms.select("term").distinct().collect()]
+    for key in ("spak", "jon", "mirge", "sparkk", "tble"):
+        for e in (1, 2):
+            got = {r["term"] for r in
+                   fuzzy_suggest(idx.terms, key, k=1000,
+                                 max_edits=e).collect()}
+            exp = {t for t in terms
+                   if t.startswith(key[0])
+                   and _prefix_edit_distance(key, t) <= e}
+            assert got == exp, (key, e)
+
+
+def test_fuzzy_suggest_short_key_exact(idx):
+    """Keys below min_fuzzy_length complete EXACTLY (no edits)."""
+    from lucene_solr_spark.search.suggest import fuzzy_suggest
+    got = {r["term"] for r in
+           fuzzy_suggest(idx.terms, "sp", k=1000).collect()}
+    exp = {r["term"] for r in
+           idx.terms.filter(F.col("term").startswith("sp"))
+           .select("term").collect()}
+    assert got == exp and got
+
+
+def test_fuzzy_suggest_ranking_and_k(idx):
+    from lucene_solr_spark.search.suggest import fuzzy_suggest
+    rows = fuzzy_suggest(idx.terms, "spak", k=10).collect()
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    assert len(rows) <= 10
