@@ -296,6 +296,22 @@ def q_fuzzy_suggest(spark, sf_dir):
     return out.orderBy("key", F.desc("df"), "term")
 
 
+def q_monitor_matches(spark, sf_dir):
+    """Monitor / percolator (monitor/Monitor.java:48): four registered
+    alert queries percolated against the documents batch → one
+    (query_id, doc_id) row per alert hit, all queries evaluated in ONE
+    kernel pass after the term-filtered presearcher."""
+    from lucene_solr_spark.streaming.monitor import Monitor
+    m = Monitor(ENGLISH_ANALYZER, grid=2048)
+    m.register("a_term", "merge")
+    m.register("a_conj", "spark AND table")
+    m.register("a_phrase", '"key agg"')
+    m.register("a_not", "spark NOT dup")
+    res = m.match_batch(spark, _raw_docs(spark, sf_dir))
+    return (res.select("query_id", F.col("doc_id").cast("long"))
+            .orderBy("query_id", "doc_id"))
+
+
 def _offsets_searcher(spark, sf_dir) -> Searcher:
     """Offsets-indexed searcher (IndexOptions ..._AND_OFFSETS), built
     once per sf — feeds passage-ranked highlighting."""
@@ -1974,6 +1990,31 @@ FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang, d.source
 ORDER BY d.lang, d.source"""
 
+    # Monitor/percolator: each registered alert restated as its match
+    # set over the same batch
+    sql["q_monitor_matches"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents)
+, ph AS (
+  SELECT DISTINCT a.doc_id FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'agg')
+SELECT 'a_term' AS query_id, doc_id
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+UNION ALL
+SELECT 'a_conj', doc_id FROM (
+  SELECT doc_id FROM tf WHERE term IN ('spark', 'table')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+UNION ALL
+SELECT 'a_phrase', doc_id FROM ph
+UNION ALL
+SELECT 'a_not', doc_id
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY query_id, doc_id"""
+
     # FuzzySuggester: prefix edit distance <= 1 == bounded OR of
     # substring levenshteins over prefix lengths |key|±1
     def _fz(key):
@@ -3187,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_payload_score_topk": q_payload_score_topk,
         "q_passage_highlight": q_passage_highlight,
         "q_fuzzy_suggest": q_fuzzy_suggest,
+        "q_monitor_matches": q_monitor_matches,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,
