@@ -445,6 +445,23 @@ def q_f2exp_topk(spark, sf_dir):
     return _topk(s, TermQuery("merge"))
 
 
+def q_ib_topk(spark, sf_dir):
+    """IB LL-DF-H2 single-term (IBSimilarity.java:105,
+    DistributionLL.java:29, LambdaDF.java:30): score =
+    ln((tfn+λ)/λ), λ=(df+1)/(N+1), tfn = freq·log2(1 + avgdl/dl)."""
+    s = Searcher(spark, _index(spark, sf_dir)[1], similarity="ib")
+    return _topk(s, TermQuery("merge"))
+
+
+def q_dfi_topk(spark, sf_dir):
+    """DFI standardized single-term (DFISimilarity.java:61,
+    IndependenceStandardized.java): expected = (ttf+1)·dl/(sumTTF+1);
+    score = 0 when freq ≤ expected else
+    log2((freq−expected)/√expected + 1)."""
+    s = Searcher(spark, _index(spark, sf_dir)[1], similarity="dfi")
+    return _topk(s, TermQuery("merge"))
+
+
 def q_prefix_docs(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     terms = mt.prefix_terms(s.index.terms, "f")
@@ -2109,6 +2126,32 @@ ORDER BY GREATEST(0,
 SELECT doc_id, ROUND(s, 4) AS score FROM dfr
 ORDER BY s DESC, doc_id LIMIT 10"""
 
+    # IB LL-DF-H2
+    sql["q_ib_topk"] = _PRELUDE + """
+, ib AS (
+  SELECT tf.doc_id,
+    ln((tf.freq * log2(1 + stats.avgdl / dlq.dlq)
+        + (dfreq.df + 1.0) / (stats.n + 1.0))
+       / ((dfreq.df + 1.0) / (stats.n + 1.0))) AS s
+  FROM tf JOIN dlq USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term = 'merge')
+SELECT doc_id, ROUND(s, 4) AS score FROM ib
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # DFI + IndependenceStandardized (clamped at 0 when freq <= expected)
+    sql["q_dfi_topk"] = _PRELUDE + """
+, dfi AS (
+  SELECT tf.doc_id,
+    CASE WHEN tf.freq <= (dfreq.ttf + 1.0) * dlq.dlq / (stats.sttf + 1.0)
+         THEN 0.0
+         ELSE log2((tf.freq - (dfreq.ttf + 1.0) * dlq.dlq / (stats.sttf + 1.0))
+                   / sqrt((dfreq.ttf + 1.0) * dlq.dlq / (stats.sttf + 1.0))
+                   + 1) END AS s
+  FROM tf JOIN dlq USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term = 'merge')
+SELECT doc_id, ROUND(s, 4) AS score FROM dfi
+ORDER BY s DESC, doc_id LIMIT 10"""
+
     # Axiomatic F2EXP (s=0.25, k=0.35)
     sql["q_f2exp_topk"] = _PRELUDE + """
 , f2 AS (
@@ -3229,6 +3272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_passage_highlight": q_passage_highlight,
         "q_fuzzy_suggest": q_fuzzy_suggest,
         "q_monitor_matches": q_monitor_matches,
+        "q_ib_topk": q_ib_topk,
+        "q_dfi_topk": q_dfi_topk,
         # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,

@@ -106,15 +106,21 @@ class Searcher:
     NormalizationH2(c) — score = boost × log2((N+1)/(df+0.5)) ×
     ((ttf+2)/(df+1)) × (1 − 1/(1+tfn)), tfn = freq·log2(1 + c·avgdl/dl),
     BasicModelIn.java:30, AfterEffectB.java:29, NormalizationH2.java:53),
-    or "f2exp" (AxiomaticF2EXP.java — score = boost ×
+    "f2exp" (AxiomaticF2EXP.java — score = boost ×
     ((N+1)/df)^k × freq/(freq + s + s·dl/avgdl), Axiomatic.java:52
-    defaults s=0.25, k=0.35).
+    defaults s=0.25, k=0.35), "ib" (IBSimilarity.java:105 with
+    DistributionLL + LambdaDF + NormalizationH2(c) — score = boost ×
+    ln((tfn+λ)/λ), λ = (df+1)/(N+1), LambdaDF.java:30,
+    DistributionLL.java:29), or "dfi" (DFISimilarity.java:61 with
+    IndependenceStandardized — expected = (ttf+1)·dl/(sumTTF+1);
+    score = 0 when freq ≤ expected else boost ×
+    log2((freq−expected)/√expected + 1)).
     Non-BM25 similarities run in f64 mode over TERM clauses and their
     boolean compositions (the pluggable-Similarity surface);
     phrase/span leaves remain BM25-only."""
 
     SIMILARITIES = ("bm25", "classic", "lmdirichlet", "lmjelinekmercer",
-                    "boolean", "dfr", "f2exp")
+                    "boolean", "dfr", "f2exp", "ib", "dfi")
 
     def __init__(self, spark: SparkSession, index: InvertedIndex,
                  k1: float = 1.2, b: float = 0.75,
@@ -313,6 +319,12 @@ class Searcher:
                                * (ttf + 2.0) / (df + 1.0)),
                     # AxiomaticF2EXP idf component ((N+1)/df)^k
                     "f2w64": ((n + 1.0) / df) ** self.ax_k,
+                    # IB LambdaDF (LambdaDF.java:30; the ==1 guard only
+                    # bites on a 1-doc corpus)
+                    "ibl64": min((df + 1.0) / (n + 1.0), 1.0 - 1e-12),
+                    # DFI expected-rate: expected = rate × dl
+                    # (DFISimilarity.java:63 with numberOfFieldTokens)
+                    "dfir64": (ttf + 1.0) / (fstats[f]["sum_ttf"] + 1.0),
                 }
         return st, cache32, avgdl64, weights
 
@@ -1039,6 +1051,11 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
             return dict(c, w32=None, w64=b * w["f2w64"])
         if sim in ("lmdirichlet", "lmjelinekmercer"):
             return dict(c, w32=None, w64=b, cp64=w["cp64"])
+        if sim == "ib":
+            # cp64 carries the per-key collection constant (λ here)
+            return dict(c, w32=None, w64=b, cp64=w["ibl64"])
+        if sim == "dfi":
+            return dict(c, w32=None, w64=b, cp64=w["dfir64"])
         if sim == "boolean":
             # BooleanSimilarity.java:38 — score == boost, tf/idf ignored
             return dict(c, w32=None, w64=b)
@@ -1727,6 +1744,18 @@ def _score_freqs(freqs, norms, w, field, spec, dtype, cp=None):
             # boost × ((N+1)/df)^k; tfln = f/(f + s + s·dl/avgdl)
             s = spec["ax_s"]
             return w * f / (f + s + s * dl / spec["avgdl64"][field])
+        if sim == "ib":
+            # IB LL-DF-H2 (IBSimilarity.java:105): cp carries λ;
+            # tfn shares the H2 normalization (and its c) with DFR
+            tfn = f * np.log2(1.0 + spec["dfr_c"]
+                              * spec["avgdl64"][field] / dl)
+            return w * np.log((tfn + cp) / cp)
+        if sim == "dfi":
+            # DFI standardized (DFISimilarity.java:61): cp carries the
+            # expected rate; clamp at 0 when freq <= expected
+            expected = cp * dl
+            m = np.maximum((f - expected) / np.sqrt(expected), 0.0)
+            return w * np.log2(m + 1.0)
         if sim == "lmjelinekmercer":
             # LMJelinekMercerSimilarity.java:63-69:
             # boost × ln(1 + ((1−λ)·freq/dl) / (λ·cp))

@@ -109,6 +109,39 @@ def _f2exp_scores(oracle, term, boost=1.0, field="text", s=0.25, k=0.35):
             for d, f in plist.items()}
 
 
+def _ib_scores(oracle, term, boost=1.0, field="text", c=1.0):
+    """IB LL-DF-H2 (IBSimilarity.java:105, LambdaDF.java:30,
+    DistributionLL.java:29, NormalizationH2.java:53)."""
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    n = oracle.field_doc_count[field]
+    avgdl = oracle.field_sum_ttf[field] / float(n)
+    lam = (len(plist) + 1.0) / (n + 1.0)
+    out = {}
+    for d, f in plist.items():
+        tfn = f * math.log2(1.0 + c * avgdl / _dl(oracle, field, d))
+        out[d] = boost * math.log((tfn + lam) / lam)
+    return out
+
+
+def _dfi_scores(oracle, term, boost=1.0, field="text"):
+    """DFI + IndependenceStandardized (DFISimilarity.java:61)."""
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    rate = (sum(plist.values()) + 1.0) / (oracle.field_sum_ttf[field] + 1.0)
+    out = {}
+    for d, f in plist.items():
+        expected = rate * _dl(oracle, field, d)
+        if f <= expected:
+            out[d] = 0.0
+        else:
+            out[d] = boost * math.log2((f - expected)
+                                       / math.sqrt(expected) + 1.0)
+    return out
+
+
 def _top_terms(oracle, n=6):
     post = oracle.postings["text"]
     return sorted(post, key=lambda t: (-len(post[t]), t))[:n]
@@ -174,10 +207,35 @@ def test_f2exp_custom_params(spark, corpus):
     _check(pdf, _expect_topk(_f2exp_scores(oracle, t, s=0.5, k=0.2)))
 
 
+def test_ib_single_term(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="ib")
+    t = _top_terms(oracle)[4]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_ib_scores(oracle, t)))
+
+
+def test_dfi_single_term_and_clamp(spark, corpus):
+    _, oracle, idx = corpus
+    s = Searcher(spark, idx, similarity="dfi")
+    t = _top_terms(oracle)[0]
+    pdf = s.top_k(TermQuery(t), k=K)
+    _check(pdf, _expect_topk(_dfi_scores(oracle, t)))
+    all_pdf = s.score_all(TermQuery(t)).toPandas()
+    assert (all_pdf["score"] >= 0).all()
+    exp = _dfi_scores(oracle, t)
+    got = dict(zip(all_pdf["doc_id"].astype(int), all_pdf["score"]))
+    assert got.keys() == exp.keys()
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12, abs=1e-15)
+
+
 @pytest.mark.parametrize("sim,fn", [("classic", _classic_scores),
                                     ("lmdirichlet", _lm_scores),
                                     ("dfr", _dfr_scores),
-                                    ("f2exp", _f2exp_scores)])
+                                    ("f2exp", _f2exp_scores),
+                                    ("ib", _ib_scores),
+                                    ("dfi", _dfi_scores)])
 def test_boolean_composition(spark, corpus, sim, fn):
     """MUST t0 SHOULD t1 t2 — scores sum across clauses; matches are the
     MUST set (ReqOptSumScorer), identical boolean semantics to BM25."""
