@@ -1310,6 +1310,46 @@ def q_interval_prefix_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_interval_before_topk(spark, sf_dir):
+    """Intervals.before (Intervals.java: containedBy against the
+    right-extended reference): minimal ordered(key, agg) intervals that
+    end before some 'merge' occurrence; the surviving subset is NOT
+    re-minimalized, matching FilteringIntervalIterator."""
+    from lucene_solr_spark.search.ast import (IntervalBefore,
+                                              IntervalOrdered,
+                                              IntervalQuery, IntervalTerm)
+    q = IntervalQuery(IntervalBefore(
+        IntervalOrdered((IntervalTerm("key"), IntervalTerm("agg"))),
+        IntervalTerm("merge")))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_interval_within_topk(spark, sf_dir):
+    """Intervals.within(source, 2, reference) (Intervals.java:
+    containedBy(source, extend(reference, 2, 2))): ordered(key, agg)
+    intervals inside the ±2 extension of some 'merge' position."""
+    from lucene_solr_spark.search.ast import (IntervalOrdered,
+                                              IntervalQuery, IntervalTerm,
+                                              IntervalWithin)
+    q = IntervalQuery(IntervalWithin(
+        IntervalOrdered((IntervalTerm("key"), IntervalTerm("agg"))),
+        2, IntervalTerm("merge")))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_interval_nonoverlap_topk(spark, sf_dir):
+    """Intervals.nonOverlapping (NonOverlappingIntervalsSource):
+    ordered(key, agg) intervals that overlap NO 'merge' position —
+    docs with no 'merge' at all keep their full interval set."""
+    from lucene_solr_spark.search.ast import (IntervalNonOverlapping,
+                                              IntervalOrdered,
+                                              IntervalQuery, IntervalTerm)
+    q = IntervalQuery(IntervalNonOverlapping(
+        IntervalOrdered((IntervalTerm("key"), IntervalTerm("agg"))),
+        IntervalTerm("merge")))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_edismax_topk(spark, sf_dir):
     """DisMax handler surface (qf={text:1, title:2}, tie=0.3): each
     query term scores as max-over-fields + tie x rest
@@ -2673,6 +2713,49 @@ FROM pf ORDER BY 1.0 - 1.0 / (1.0 + freq) DESC, doc_id LIMIT 10"""
   FROM held GROUP BY doc_id
 )""" + _IV_TAIL
 
+    # relative-position filters over the same minimal ordered(key,agg)
+    # set: before = ends before some ref start; within p = inside the
+    # ±p extension of some ref; nonOverlapping = overlaps no ref
+    _OMIN_CTES = """
+, opair AS (
+  SELECT a.doc_id, a.p AS s, b.p AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.p < b.p
+  WHERE a.term = 'key' AND b.term = 'agg'
+), omin1 AS (
+  SELECT doc_id, s, MIN(e) AS e FROM opair GROUP BY doc_id, s
+), omin AS (
+  SELECT doc_id, s, e FROM omin1 m
+  WHERE NOT EXISTS (SELECT 1 FROM omin1 m2 WHERE m2.doc_id = m.doc_id
+                    AND m2.s > m.s AND m2.e <= m.e)
+)"""
+    _OMIN_PF = """, pf AS (
+  SELECT doc_id, SUM(1.0 / GREATEST(e - s + 1 - 2 + 1, 1)) AS freq
+  FROM kept GROUP BY doc_id
+)"""
+
+    sql["q_interval_before_topk"] = _PRELUDE + _POS_CTE + _OMIN_CTES + """
+, kept AS (
+  SELECT o.doc_id, o.s, o.e FROM omin o
+  WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = o.doc_id
+                AND p.term = 'merge' AND o.e < p.p)
+)""" + _OMIN_PF + _IV_TAIL
+
+    sql["q_interval_within_topk"] = _PRELUDE + _POS_CTE + _OMIN_CTES + """
+, kept AS (
+  SELECT o.doc_id, o.s, o.e FROM omin o
+  WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = o.doc_id
+                AND p.term = 'merge'
+                AND p.p - 2 <= o.s AND p.p + 2 >= o.e)
+)""" + _OMIN_PF + _IV_TAIL
+
+    sql["q_interval_nonoverlap_topk"] = _PRELUDE + _POS_CTE + _OMIN_CTES + """
+, kept AS (
+  SELECT o.doc_id, o.s, o.e FROM omin o
+  WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = o.doc_id
+                    AND p.term = 'merge'
+                    AND p.p >= o.s AND p.p <= o.e)
+)""" + _OMIN_PF + _IV_TAIL
+
     # edismax qf={text:1,title:2} tie=0.3 over terms (part, merge):
     # per term, dismax of the per-field BM25 partials; sum over terms
     sql["q_edismax_topk"] = _PRELUDE + _TITLE_CTES + """
@@ -3240,6 +3323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_prefix_topk": q_interval_prefix_topk,
         "q_interval_or_topk": q_interval_or_topk,
         "q_interval_containing_topk": q_interval_containing_topk,
+        "q_interval_before_topk": q_interval_before_topk,
+        "q_interval_within_topk": q_interval_within_topk,
+        "q_interval_nonoverlap_topk": q_interval_nonoverlap_topk,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,

@@ -453,6 +453,33 @@ class OracleIndex:
                 if kept:
                     out[d] = kept
             return out
+        if o in ("ibefore", "iafter", "ioverlap", "inonoverlap",
+                 "iwithin"):
+            srcs = self._interval_op_intervals(op["src"], field)
+            refs = self._interval_op_intervals(op["ref"], field)
+            p = op.get("positions", 0)
+            out = {}
+            for d, sp in srcs.items():
+                rf = refs.get(d, [])
+                if o == "ibefore":
+                    kept = [x for x in sp
+                            if any(x[1] < s for s, e, _ in rf)]
+                elif o == "iafter":
+                    kept = [x for x in sp
+                            if any(x[0] > e for s, e, _ in rf)]
+                elif o == "iwithin":
+                    kept = [x for x in sp
+                            if any(s - p <= x[0] and e + p >= x[1]
+                                   for s, e, _ in rf)]
+                else:
+                    overlap = [x for x in sp
+                               if any(s - p <= x[1] and e + p >= x[0]
+                                      for s, e, _ in rf)]
+                    kept = (overlap if o == "ioverlap"
+                            else [x for x in sp if x not in overlap])
+                if kept:
+                    out[d] = kept
+            return out
         inner = self._interval_op_intervals(op["child"], field)
         if o == "imaxgaps":
             out = {d: [x for x in sp if x[1] - x[0] + 1 - x[2] <= op["gaps"]]

@@ -269,6 +269,60 @@ class IntervalNotContainedBy:
 
 
 @dataclass(frozen=True)
+class IntervalBefore:
+    """`Intervals.before` (Intervals.java: containedBy(source,
+    extend(offset(reference, start), MAX, 0))): intervals of ``source``
+    that end BEFORE the start of some ``reference`` interval."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IntervalAfter:
+    """`Intervals.after`: intervals of ``source`` that start AFTER the
+    end of some ``reference`` interval."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IntervalOverlapping:
+    """`Intervals.overlapping` (`OverlappingIntervalsSource`): intervals
+    of ``source`` that overlap some ``reference`` interval
+    (s.start ≤ r.end AND s.end ≥ r.start)."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IntervalNonOverlapping:
+    """`Intervals.nonOverlapping` (`NonOverlappingIntervalsSource`):
+    intervals of ``minuend`` overlapping NO ``subtrahend`` interval."""
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IntervalNotWithin:
+    """`Intervals.notWithin` (Intervals.java: nonOverlapping(minuend,
+    extend(subtrahend, positions, positions))): minuend intervals at
+    least ``positions``+1 away from every subtrahend interval."""
+    minuend: object
+    positions: int
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IntervalWithin:
+    """`Intervals.within`: source intervals within ``positions`` of
+    some reference interval (containedBy against the ±positions
+    extension)."""
+    source: object
+    positions: int
+    reference: object
+
+
+@dataclass(frozen=True)
 class IntervalPrefix:
     """`Intervals.prefix` (`MultiTermIntervalsSource.java` /
     Intervals.java DEFAULT_MAX_EXPANSIONS = 128): expands against the
@@ -292,7 +346,9 @@ INTERVAL_SOURCES = (IntervalTerm, IntervalOrdered, IntervalUnordered,
                     IntervalBlock, IntervalMaxGaps, IntervalMaxWidth,
                     IntervalOr, IntervalContaining, IntervalNotContaining,
                     IntervalContainedBy, IntervalNotContainedBy,
-                    IntervalPrefix, IntervalWildcard)
+                    IntervalBefore, IntervalAfter, IntervalOverlapping,
+                    IntervalNonOverlapping, IntervalNotWithin,
+                    IntervalWithin, IntervalPrefix, IntervalWildcard)
 
 
 @dataclass(frozen=True)

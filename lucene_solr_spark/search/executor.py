@@ -75,11 +75,13 @@ from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
 from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
                   BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
-                  IntervalBlock, IntervalContainedBy, IntervalContaining,
-                  IntervalMaxGaps, IntervalMaxWidth,
+                  IntervalAfter, IntervalBefore, IntervalBlock,
+                  IntervalContainedBy, IntervalContaining,
+                  IntervalMaxGaps, IntervalMaxWidth, IntervalNonOverlapping,
                   IntervalNotContainedBy, IntervalNotContaining,
-                  IntervalOr, IntervalOrdered, IntervalQuery, IntervalTerm,
-                  IntervalUnordered,
+                  IntervalNotWithin, IntervalOr, IntervalOrdered,
+                  IntervalOverlapping, IntervalQuery, IntervalTerm,
+                  IntervalUnordered, IntervalWithin,
                   MatchAllQuery, MatchNoQuery, MultiPhraseQuery, Occur,
                   PhraseQuery, PrefixQuery,
                   RegexpQuery, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
@@ -231,6 +233,7 @@ class Searcher:
                           IntervalNotContainedBy, IntervalNotContaining,
                           IntervalOr, IntervalOrdered, IntervalPrefix,
                           IntervalUnordered, IntervalWildcard)
+        # (relative-position filters are imported at module level)
         s = src
         if isinstance(s, (IntervalPrefix, IntervalWildcard)):
             if isinstance(s, IntervalPrefix):
@@ -263,6 +266,17 @@ class Searcher:
             return IntervalContainedBy(rec(s.small), rec(s.big))
         if isinstance(s, IntervalNotContainedBy):
             return IntervalNotContainedBy(rec(s.small), rec(s.big))
+        if isinstance(s, (IntervalBefore, IntervalAfter,
+                          IntervalOverlapping)):
+            return type(s)(rec(s.source), rec(s.reference))
+        if isinstance(s, IntervalNonOverlapping):
+            return IntervalNonOverlapping(rec(s.minuend), rec(s.subtrahend))
+        if isinstance(s, IntervalNotWithin):
+            return IntervalNotWithin(rec(s.minuend), s.positions,
+                                     rec(s.subtrahend))
+        if isinstance(s, IntervalWithin):
+            return IntervalWithin(rec(s.source), s.positions,
+                                  rec(s.reference))
         return s
 
     # ------------------------------------------------------------------
@@ -693,6 +707,34 @@ def _interval_op(src, field: str):
         big = _interval_op(src.big, field)
         return {"op": "inotcontainedby", "small": small, "big": big,
                 "min_extent": small["min_extent"]}
+    if isinstance(src, (IntervalBefore, IntervalAfter,
+                        IntervalOverlapping)):
+        s_op = _interval_op(src.source, field)
+        r_op = _interval_op(src.reference, field)
+        name = {IntervalBefore: "ibefore", IntervalAfter: "iafter",
+                IntervalOverlapping: "ioverlap"}[type(src)]
+        return {"op": name, "src": s_op, "ref": r_op, "positions": 0,
+                "min_extent": s_op["min_extent"]}
+    if isinstance(src, IntervalNonOverlapping):
+        return {"op": "inonoverlap",
+                "src": _interval_op(src.minuend, field),
+                "ref": _interval_op(src.subtrahend, field), "positions": 0,
+                "min_extent": _interval_op(src.minuend,
+                                           field)["min_extent"]}
+    if isinstance(src, IntervalNotWithin):
+        # Intervals.java: nonOverlapping(minuend, extend(sub, p, p))
+        s_op = _interval_op(src.minuend, field)
+        return {"op": "inonoverlap", "src": s_op,
+                "ref": _interval_op(src.subtrahend, field),
+                "positions": int(src.positions),
+                "min_extent": s_op["min_extent"]}
+    if isinstance(src, IntervalWithin):
+        # containedBy(source, extend(reference, p, p))
+        s_op = _interval_op(src.source, field)
+        return {"op": "iwithin", "src": s_op,
+                "ref": _interval_op(src.reference, field),
+                "positions": int(src.positions),
+                "min_extent": s_op["min_extent"]}
     if isinstance(src, IntervalMaxGaps):
         kid = _interval_op(src.source, field)
         return {"op": "imaxgaps", "child": kid, "gaps": int(src.gaps),
@@ -915,6 +957,8 @@ def _interval_op_keys(op) -> list:
         return _interval_op_keys(op["big"]) + _interval_op_keys(op["small"])
     if o in ("icontainedby", "inotcontainedby"):
         return _interval_op_keys(op["small"]) + _interval_op_keys(op["big"])
+    if o in ("ibefore", "iafter", "ioverlap", "inonoverlap", "iwithin"):
+        return _interval_op_keys(op["src"]) + _interval_op_keys(op["ref"])
     return _interval_op_keys(op["child"])    # imaxgaps / imaxwidth
 
 
@@ -944,6 +988,12 @@ def _interval_required_keys(op) -> list:
                 + _interval_required_keys(op["big"]))
     if o == "inotcontainedby":
         return _interval_required_keys(op["small"])
+    if o in ("ibefore", "iafter", "ioverlap", "iwithin"):
+        # positive relative filters need BOTH sides to emit anything
+        return (_interval_required_keys(op["src"])
+                + _interval_required_keys(op["ref"]))
+    if o == "inonoverlap":
+        return _interval_required_keys(op["src"])
     return _interval_required_keys(op["child"])
 
 
@@ -2444,6 +2494,66 @@ def _eval_interval_op(op, data: _BucketData):
             ok = (i >= 0) & (prefmax[ir] >= (fd << _POS_SHIFT) + fe)
         m = ok if o == "icontainedby" else ~ok
         return fd[m], fs[m], fe[m], fl[m]
+    if o in ("ibefore", "iafter"):
+        fd, fs, fe, fl = _eval_interval_op(op["src"], data)
+        if len(fd) == 0:
+            return _IV_EMPTY
+        rd, rs, re, _ = _eval_interval_op(op["ref"], data)
+        if len(rd) == 0:
+            return _IV_EMPTY
+        if o == "ibefore":
+            # ∃ ref with start > s.end ⟺ s.end < per-doc MAX ref start;
+            # starts increase per doc → the doc's LAST ref row carries it
+            i = np.searchsorted(rd, fd, side="right") - 1
+            ir = np.maximum(i, 0)
+            ok = (i >= 0) & (rd[ir] == fd) & (fe < rs[ir])
+        else:
+            # ∃ ref with end < s.start ⟺ s.start > per-doc MIN ref end;
+            # ends increase per doc → the doc's FIRST ref row carries it
+            i = np.searchsorted(rd, fd, side="left")
+            ir = np.minimum(i, len(rd) - 1)
+            ok = (i < len(rd)) & (rd[ir] == fd) & (fs > re[ir])
+        return fd[ok], fs[ok], fe[ok], fl[ok]
+    if o in ("ioverlap", "inonoverlap"):
+        fd, fs, fe, fl = _eval_interval_op(op["src"], data)
+        if len(fd) == 0:
+            return _IV_EMPTY
+        rd, rs, re, _ = _eval_interval_op(op["ref"], data)
+        pos = op["positions"]
+        if len(rd) == 0:
+            ok = np.zeros(len(fd), dtype=bool)
+        else:
+            # overlap with refs extended ±pos: rs−pos ≤ s.end AND
+            # re+pos ≥ s.start. Refs sorted by (doc, start) with ends
+            # increasing per doc (minimal stream): the prefix of refs
+            # with start ≤ s.end+pos has its max end at its LAST row
+            i = np.searchsorted((rd << _POS_SHIFT) + rs,
+                                (fd << _POS_SHIFT) + fe + pos,
+                                side="right") - 1
+            ir = np.maximum(i, 0)
+            ok = (i >= 0) & (rd[ir] == fd) & (re[ir] >= fs - pos)
+        if o == "inonoverlap":
+            ok = ~ok
+        return fd[ok], fs[ok], fe[ok], fl[ok]
+    if o == "iwithin":
+        fd, fs, fe, fl = _eval_interval_op(op["src"], data)
+        if len(fd) == 0:
+            return _IV_EMPTY
+        rd, rs, re, _ = _eval_interval_op(op["ref"], data)
+        pos = op["positions"]
+        if len(rd) == 0:
+            return _IV_EMPTY
+        # containedBy vs refs extended ±pos: the icontainedby sweep with
+        # shifted bounds; threshold floors at the doc base so a previous
+        # doc's prefix-max can never leak in
+        enc_rs = (rd << _POS_SHIFT) + rs
+        prefmax = np.maximum.accumulate((rd << _POS_SHIFT) + re)
+        i = np.searchsorted(enc_rs, (fd << _POS_SHIFT) + fs + pos,
+                            side="right") - 1
+        ir = np.maximum(i, 0)
+        thr = (fd << _POS_SHIFT) + np.maximum(fe - pos, 0)
+        ok = (i >= 0) & (prefmax[ir] >= thr)
+        return fd[ok], fs[ok], fe[ok], fl[ok]
     fd, fs, fe, fl = _eval_interval_op(op["child"], data)
     if len(fd) == 0:
         return _IV_EMPTY

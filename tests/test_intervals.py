@@ -347,3 +347,67 @@ def test_interval_prefix_wildcard_expansion(spark):
     q_dead = IntervalQuery(IntervalOrdered((IntervalPrefix("zz"),
                                             IntervalTerm("bb"))))
     assert len(s.top_k(q_dead, k=10)) == 0
+
+
+def test_interval_relative_position_filters(spark):
+    """Intervals.before/after/overlapping/nonOverlapping/notWithin/
+    within (Intervals.java factory compositions) — deterministic corpus
+    then engine-vs-brute-oracle on every shape."""
+    from lucene_solr_spark.search.ast import (
+        IntervalAfter, IntervalBefore, IntervalNonOverlapping,
+        IntervalNotWithin, IntervalOrdered, IntervalOverlapping,
+        IntervalWithin)
+    rows = [
+        "aa bb xx",          # 0: ab=[0,1], xx@2 after; aa before xx
+        "xx aa bb",          # 1: ab=[1,2], xx@0 before ab
+        "aa xx bb",          # 2: ab=[0,2] overlaps xx@1
+        "aa bb",             # 3: no xx at all
+        "xx yy zz aa bb",    # 4: ab=[3,4], xx@0 far before
+    ]
+    oracle, s = _mk(spark, rows)
+    ab = IntervalOrdered((IntervalTerm("aa"), IntervalTerm("bb")))
+    xx = IntervalTerm("xx")
+    # ab intervals entirely BEFORE some xx
+    q = IntervalQuery(IntervalBefore(ab, xx))
+    _check(oracle, s, q, "before", expect_ids=[0])
+    # ab intervals entirely AFTER some xx
+    q = IntervalQuery(IntervalAfter(ab, xx))
+    _check(oracle, s, q, "after", expect_ids=[1, 4])
+    # ab intervals OVERLAPPING some xx (xx inside [0,2] overlaps)
+    q = IntervalQuery(IntervalOverlapping(ab, xx))
+    _check(oracle, s, q, "overlapping", expect_ids=[2])
+    # ab intervals overlapping NO xx (docs without xx keep all)
+    q = IntervalQuery(IntervalNonOverlapping(ab, xx))
+    _check(oracle, s, q, "non-overlapping", expect_ids=[0, 1, 3, 4])
+    # notWithin 1: ab at least 2 positions from every xx
+    q = IntervalQuery(IntervalNotWithin(ab, 1, xx))
+    _check(oracle, s, q, "not-within", expect_ids=[3, 4])
+    # within 2: ab within 2 positions of some xx (containedBy ±2)
+    q = IntervalQuery(IntervalWithin(ab, 2, xx))
+    _check(oracle, s, q, "within", expect_ids=[0, 1, 2])
+
+
+def test_interval_relative_randomized(spark):
+    import random
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "xx"]
+    rows = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+            for _ in range(40)]
+    oracle, s = _mk(spark, rows)
+    from lucene_solr_spark.search.ast import (
+        IntervalAfter, IntervalBefore, IntervalNonOverlapping,
+        IntervalNotWithin, IntervalOverlapping, IntervalWithin)
+    ab = IntervalOrdered((IntervalTerm("aa"), IntervalTerm("bb")))
+    xx = IntervalTerm("xx")
+    cc = IntervalTerm("cc")
+    shapes = [
+        IntervalBefore(ab, xx), IntervalAfter(ab, xx),
+        IntervalOverlapping(ab, xx), IntervalNonOverlapping(ab, xx),
+        IntervalNotWithin(ab, 1, xx), IntervalWithin(ab, 2, xx),
+        IntervalBefore(cc, ab), IntervalAfter(cc, ab),
+        IntervalOverlapping(IntervalUnordered((IntervalTerm("aa"),
+                                               cc)), xx),
+        IntervalWithin(cc, 1, ab),
+    ]
+    for i, src in enumerate(shapes):
+        _check(oracle, s, IntervalQuery(src), f"rand-rel-{i}")
