@@ -1062,6 +1062,41 @@ def q_span_first_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_span_containing_topk(spark, sf_dir):
+    """SpanContaining(big=near(key, agg, slop 3), little=merge)
+    (SpanContainingQuery.java:36 / ContainSpans.java): big spans that
+    hold a 'merge' occurrence keep their gap-sum width; freq = Σ
+    1/(1+width); weight from BOTH sides' terms (SpanContainQuery
+    extractTermStates)."""
+    from lucene_solr_spark.search.ast import (SpanContainingQuery,
+                                              SpanNearQuery, SpanTermQuery)
+    q = SpanContainingQuery(SpanNearQuery(("key", "agg"), slop=3,
+                                          in_order=True),
+                            SpanTermQuery("merge"))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_span_within_topk(spark, sf_dir):
+    """SpanWithin(big=near(key, agg, slop 3), little=merge)
+    (SpanWithinQuery.java:36): the 'merge' occurrences enclosed by a
+    big span are the result spans (width 0 → each contributes 1)."""
+    from lucene_solr_spark.search.ast import (SpanNearQuery, SpanTermQuery,
+                                              SpanWithinQuery)
+    q = SpanWithinQuery(SpanNearQuery(("key", "agg"), slop=3,
+                                      in_order=True),
+                        SpanTermQuery("merge"))
+    return _topk(_searcher(spark, sf_dir), q)
+
+
+def q_span_posrange_topk(spark, sf_dir):
+    """SpanPositionRange(key, 2, 20) (SpanPositionRangeQuery.java:33):
+    'key' occurrences with start ≥ 2 and end ≤ 20."""
+    from lucene_solr_spark.search.ast import (SpanPositionRangeQuery,
+                                              SpanTermQuery)
+    q = SpanPositionRangeQuery(SpanTermQuery("key"), start=2, end=20)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_infix_suggest(spark, sf_dir):
     """AnalyzingInfixSuggester (AnalyzingInfixSuggester.java:92):
     titles containing a token starting with 'par', weighted by n_chars
@@ -1545,6 +1580,95 @@ def q_rescore_topk(spark, sf_dir):
     return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
             .select(F.col("doc_id").cast("long"),
                     F.round("score", 4).alias("score")))
+
+
+def q_ltr_rescore(spark, sf_dir):
+    """Solr LTR (contrib/ltr LTRRescorer.java:40 + LinearModel.java:58):
+    rerank the top-20 of OR(spark, fast) with
+    0.6·originalScore + 0.001·n_chars + 1.5·phraseScore("key agg")."""
+    from lucene_solr_spark.search.ltr import (LinearModel,
+                                              field_value_feature,
+                                              ltr_rescore,
+                                              original_score_feature,
+                                              solr_feature)
+    docs, _, s = _index(spark, sf_dir)
+    first = s.score_all(_should("spark", "fast"), mode="f64")
+    feats = [original_score_feature("orig"),
+             field_value_feature("nlen", "n_chars"),
+             solr_feature("ph", PhraseQuery(("key", "agg")))]
+    model = LinearModel((("orig", 0.6), ("nlen", 0.001), ("ph", 1.5)))
+    res = ltr_rescore(s, docs, first, feats, model, rerank_docs=20)
+    return (res.limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_facet_interval(spark, sf_dir):
+    """Solr facet.interval (IntervalFacets): overlapping n_chars
+    intervals with per-end inclusivity over the 'merge' match set —
+    a doc counts in EVERY containing interval."""
+    from lucene_solr_spark.search.facets import interval_facets
+    docs, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("merge"), mode="f64")
+    res = interval_facets(docs, matches, "n_chars",
+                          [("short", 0, 120, True, False),
+                           ("mid", 80, 200, True, True),
+                           ("long", 200, 100000, False, True)])
+    return res.select("key", F.col("count").cast("long"))
+
+
+def q_drill_sideways(spark, sf_dir):
+    """DrillSideways (facet/DrillSideways.java:56): drill-down =
+    merge ∧ lang='en' ∧ source∈{web,wiki}; each dim's sideways counts
+    drop only that dim's own filter."""
+    from lucene_solr_spark.search.facets import drill_sideways
+    docs, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("merge"), mode="f64")
+    _, sideways = drill_sideways(docs, matches,
+                                 {"lang": ["en"],
+                                  "source": ["src1", "src2", "src3"]})
+    parts = []
+    for dim in sorted(sideways):
+        parts.append(sideways[dim].select(
+            F.lit(dim).alias("dim"), F.col("value"),
+            F.col("count").cast("long")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dim", F.desc("count"), F.asc("value"))
+
+
+_NB_TEXT = "key agg merge spark fast table row scan"
+_KNN_TEXT = "spark merge fast table"
+
+
+def q_nb_classify(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (classification/
+    SimpleNaiveBayesClassifier.java:48) over class field 'lang': per
+    class, log prior + add-1-smoothed log likelihood with den =
+    avgUniqueTermsPerDoc x df(c) + docsWithClass, softmax-normalized
+    (normClassificationResults)."""
+    from lucene_solr_spark.pipeline.classify import NaiveBayesClassifier
+    nb = NaiveBayesClassifier(_raw(spark, sf_dir, "documents"),
+                              class_col="lang")
+    res = nb.class_scores(_NB_TEXT)
+    return (spark.createDataFrame(res, "cls string, score double")
+            .select("cls", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("cls")))
+
+
+def q_knn_classify(spark, sf_dir):
+    """KNearestNeighborClassifier (classification/
+    KNearestNeighborClassifier.java:60): MLT top-10 over the input
+    text, class votes weighted by score/maxScore, / k."""
+    from lucene_solr_spark.pipeline.classify import KNNClassifier
+    docs, _, s = _index(spark, sf_dir)
+    knn = KNNClassifier(s, docs, class_col="lang", k=10, max_terms=5)
+    res = knn.class_scores(_KNN_TEXT, mode="f64")
+    return (spark.createDataFrame(res, "cls string, score double, "
+                                       "votes long")
+            .select("cls", F.round("score", 4).alias("score"), "votes")
+            .orderBy(F.desc("score"), F.asc("cls")))
 
 
 def q_term_vectors(spark, sf_dir):
@@ -2713,6 +2837,178 @@ FROM pf ORDER BY 1.0 - 1.0 / (1.0 + freq) DESC, doc_id LIMIT 10"""
   FROM held GROUP BY doc_id
 )""" + _IV_TAIL
 
+    # LTR linear rescore of the OR(spark, fast) top-20:
+    # 0.6*orig + 0.001*n_chars + 1.5*phrase("key agg")
+    sql["q_ltr_rescore"] = _PRELUDE + """
+, hits AS (SELECT doc_id, SUM(s) AS s FROM sc
+           WHERE term IN ('spark', 'fast') GROUP BY doc_id)
+, cut AS (SELECT doc_id, s FROM hits ORDER BY s DESC, doc_id LIMIT 20)
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+), ph AS (
+  SELECT pf.doc_id,
+    idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+    AS s2
+  FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id
+  CROSS JOIN stats CROSS JOIN idfs)
+SELECT cut.doc_id,
+       ROUND(0.6 * cut.s + 0.001 * d.n_chars
+             + 1.5 * COALESCE(ph.s2, 0), 4) AS score
+FROM cut JOIN documents d USING (doc_id)
+LEFT JOIN ph ON cut.doc_id = ph.doc_id
+ORDER BY 0.6 * cut.s + 0.001 * d.n_chars + 1.5 * COALESCE(ph.s2, 0)
+  DESC, cut.doc_id
+LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # facet.interval over n_chars on the merge match set (overlapping,
+    # per-end inclusivity)
+    sql["q_facet_interval"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, md AS (SELECT d.n_chars FROM documents d JOIN m USING (doc_id))
+SELECT * FROM (
+  SELECT 'short' AS key,
+         SUM(CASE WHEN n_chars >= 0 AND n_chars < 120
+             THEN 1 ELSE 0 END)::BIGINT AS count FROM md
+  UNION ALL
+  SELECT 'mid',
+         SUM(CASE WHEN n_chars >= 80 AND n_chars <= 200
+             THEN 1 ELSE 0 END)::BIGINT FROM md
+  UNION ALL
+  SELECT 'long',
+         SUM(CASE WHEN n_chars > 200 AND n_chars <= 100000
+             THEN 1 ELSE 0 END)::BIGINT FROM md)"""
+
+    # drill-sideways: dims lang={en}, source={src1,src2,src3} over the
+    # merge match set; each dim counts with the OTHER dim's filter only
+    sql["q_drill_sideways"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, md AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
+SELECT dim, value, count FROM (
+  SELECT 'lang' AS dim, lang AS value, COUNT(*)::BIGINT AS count
+  FROM md WHERE source IN ('src1', 'src2', 'src3') GROUP BY lang
+  UNION ALL
+  SELECT 'source', source, COUNT(*)::BIGINT
+  FROM md WHERE lang = 'en' GROUP BY source)
+ORDER BY dim, count DESC, value"""
+
+    # span containing / within over big = ordered near(key, agg, slop 3)
+    # (greedy chain: per key@ap the FIRST agg after it), little = merge
+    _CHAIN_CTE = """
+, chain AS (
+  SELECT a.doc_id, a.p AS ap, MIN(b.p) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id, a.p
+), spans AS (
+  SELECT doc_id, ap, bp FROM chain WHERE bp - ap - 1 <= 3
+)"""
+    sql["q_span_containing_topk"] = _PRELUDE + _POS_CTE + _CHAIN_CTE + """
+, pf AS (
+  SELECT s.doc_id, SUM(1.0 / (1 + (s.bp - s.ap - 1))) AS pf
+  FROM spans s
+  WHERE EXISTS (SELECT 1 FROM pos m WHERE m.doc_id = s.doc_id
+                AND m.term = 'merge' AND m.p BETWEEN s.ap AND s.bp)
+  GROUP BY s.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq.term IN ('key', 'agg', 'merge')
+)""" + _SPAN_TAIL
+
+    sql["q_span_within_topk"] = _PRELUDE + _POS_CTE + _CHAIN_CTE + """
+, pf AS (
+  SELECT m.doc_id, count(*)::DOUBLE AS pf FROM pos m
+  WHERE m.term = 'merge' AND EXISTS (
+    SELECT 1 FROM spans s WHERE s.doc_id = m.doc_id
+      AND s.ap <= m.p AND m.p <= s.bp)
+  GROUP BY m.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq.term IN ('key', 'agg', 'merge')
+)""" + _SPAN_TAIL
+
+    sql["q_span_posrange_topk"] = _PRELUDE + _POS_CTE + """
+, pf AS (
+  SELECT doc_id, count(*)::DOUBLE AS pf FROM pos
+  WHERE term = 'key' AND p >= 2 AND p + 1 <= 20 GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
+)""" + _SPAN_TAIL
+
+    # SimpleNaiveBayesClassifier over lang: raw (pre-stop) tokens on
+    # both sides; den = avg-unique-terms-per-doc x df(c) + docsWithClass
+    import re as _re
+    _nb_toks = _re.findall("[a-z0-9]+", _NB_TEXT)
+    _nb_vals = ", ".join(
+        f"('{t}', {_nb_toks.count(t)})" for t in sorted(set(_nb_toks)))
+    sql["q_nb_classify"] = _PRELUDE + f"""
+, q(term, qn) AS (SELECT * FROM (VALUES {_nb_vals}))
+, dterm AS (
+  SELECT DISTINCT t.doc_id, t.term FROM tok t
+  JOIN documents d ON t.doc_id = d.doc_id AND d.lang IS NOT NULL
+), nwc AS (SELECT COUNT(*)::DOUBLE AS n FROM documents
+           WHERE lang IS NOT NULL)
+, uq AS (SELECT (SELECT COUNT(*)::DOUBLE FROM dterm) / n AS avg_unique
+         FROM nwc)
+, h AS (
+  SELECT dt.term, d.lang AS cls, COUNT(*)::DOUBLE AS h
+  FROM dterm dt JOIN documents d ON dt.doc_id = d.doc_id
+  GROUP BY dt.term, d.lang
+), cl AS (SELECT lang AS cls, COUNT(*)::DOUBLE AS dfc FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang)
+, raw AS (
+  SELECT c.cls,
+         ln(c.dfc) - ln(nwc.n)
+         - (SELECT SUM(qn) FROM q)
+           * ln(uq.avg_unique * c.dfc + nwc.n)
+         + COALESCE((SELECT SUM(q.qn * ln(h.h + 1)) FROM q
+                     JOIN h ON h.term = q.term AND h.cls = c.cls), 0)
+         AS lp
+  FROM cl c CROSS JOIN nwc CROSS JOIN uq)
+, mx AS (SELECT MAX(lp) AS m FROM raw)
+, lse AS (SELECT mx.m + ln(SUM(exp(raw.lp - mx.m))) AS loga
+          FROM raw CROSS JOIN mx GROUP BY mx.m)
+SELECT raw.cls, ROUND(exp(raw.lp - lse.loga), 4) AS score
+FROM raw CROSS JOIN lse
+ORDER BY exp(raw.lp - lse.loga) DESC, raw.cls"""
+
+    # KNearestNeighborClassifier: MLT top-5 interesting terms from the
+    # ANALYZED input (tf x ln(N/df), term asc ties), BM25 top-10, class
+    # votes Σ(s/maxs)/k
+    _knn_tf = ENGLISH_ANALYZER.term_freqs(_KNN_TEXT)
+    _knn_vals = ", ".join(f"('{t}', {c})" for t, c in sorted(_knn_tf.items()))
+    sql["q_knn_classify"] = _PRELUDE + f"""
+, qtf(term, qf) AS (SELECT * FROM (VALUES {_knn_vals}))
+, mlt AS (
+  SELECT qtf.term FROM qtf JOIN dfreq USING (term) CROSS JOIN stats
+  ORDER BY qtf.qf * ln(stats.n / dfreq.df) DESC, qtf.term LIMIT 5
+), top AS (
+  SELECT doc_id, SUM(s) AS sc FROM sc JOIN mlt USING (term)
+  GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10
+), mx AS (SELECT MAX(sc) AS m FROM top)
+, sd AS (SELECT COUNT(*)::BIGINT AS c FROM top t
+         JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL)
+SELECT d.lang AS cls,
+       ROUND(SUM(t.sc / mx.m)
+             / (CASE WHEN sd.c < 10 THEN sd.c ELSE 10 END), 4) AS score,
+       COUNT(*)::BIGINT AS votes
+FROM top t JOIN documents d USING (doc_id) CROSS JOIN mx CROSS JOIN sd
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang, mx.m, sd.c
+ORDER BY SUM(t.sc / mx.m) DESC, d.lang"""
+
     # relative-position filters over the same minimal ordered(key,agg)
     # set: before = ends before some ref start; within p = inside the
     # ±p extension of some ref; nonOverlapping = overlaps no ref
@@ -3326,6 +3622,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_before_topk": q_interval_before_topk,
         "q_interval_within_topk": q_interval_within_topk,
         "q_interval_nonoverlap_topk": q_interval_nonoverlap_topk,
+        # span position filters (round 4)
+        "q_span_containing_topk": q_span_containing_topk,
+        "q_span_within_topk": q_span_within_topk,
+        "q_span_posrange_topk": q_span_posrange_topk,
+        # lucene/classification (round 4)
+        "q_nb_classify": q_nb_classify,
+        "q_knn_classify": q_knn_classify,
+        # LTR + drill-sideways + interval facets (round 4)
+        "q_ltr_rescore": q_ltr_rescore,
+        "q_facet_interval": q_facet_interval,
+        "q_drill_sideways": q_drill_sideways,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,

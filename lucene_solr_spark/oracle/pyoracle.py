@@ -301,6 +301,29 @@ class OracleIndex:
             out = {d: [x for x in sp if x[1] <= op["end"]]
                    for d, sp in inner.items()}
             return {d: sp for d, sp in out.items() if sp}
+        if o == "sposrange":
+            inner = self._span_op_spans(op["child"], field)
+            out = {d: [x for x in sp
+                       if x[0] >= op["start"] and x[1] <= op["end"]]
+                   for d, sp in inner.items()}
+            return {d: sp for d, sp in out.items() if sp}
+        if o in ("scontain", "swithin"):
+            bigs = self._span_op_spans(op["big"], field)
+            littles = self._span_op_spans(op["little"], field)
+            out = {}
+            for d, bsp in bigs.items():
+                lsp = littles.get(d, [])
+                if o == "scontain":
+                    kept = [b for b in bsp
+                            if any(b[0] <= s and e <= b[1]
+                                   for s, e, _ in lsp)]
+                else:
+                    kept = [x for x in lsp
+                            if any(b[0] <= x[0] and x[1] <= b[1]
+                                   for b in bsp)]
+                if kept:
+                    out[d] = sorted(kept)
+            return out
         if o == "snot":
             inc = self._span_op_spans(op["include"], field)
             exc = self._span_op_spans(op["exclude"], field)

@@ -160,8 +160,42 @@ class SpanFirstQuery:
     field: str = DEFAULT_FIELD
 
 
+@dataclass(frozen=True)
+class SpanContainingQuery:
+    """`search/spans/SpanContainingQuery.java:36` / `ContainSpans.java`:
+    spans of ``big`` that contain at least one ``little`` span
+    (big.start ≤ little.start AND little.end ≤ big.end). Result spans
+    are the BIG spans (width passes through); scoring stats are built
+    from BOTH sides' terms (SpanContainQuery extractTermStates)."""
+    big: object
+    little: object
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery:
+    """`search/spans/SpanWithinQuery.java:36`: spans of ``little`` that
+    are enclosed by some ``big`` span — the mirror of containing; the
+    LITTLE spans are the results."""
+    big: object
+    little: object
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanPositionRangeQuery:
+    """`search/spans/SpanPositionRangeQuery.java:33`: child spans with
+    start ≥ ``start`` AND end ≤ ``end`` (SpanFirstQuery is the
+    start=0 special case)."""
+    match: object
+    start: int
+    end: int
+    field: str = DEFAULT_FIELD
+
+
 SPAN_NODES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanNotQuery,
-              SpanFirstQuery)
+              SpanFirstQuery, SpanContainingQuery, SpanWithinQuery,
+              SpanPositionRangeQuery)
 
 
 # ---- interval sources (queries/intervals — minimal-interval semantics) ----
@@ -581,6 +615,10 @@ def span_leaf_keys(n) -> list[tuple[str, str]]:
     if isinstance(n, SpanNotQuery):
         return span_leaf_keys(n.include) + span_leaf_keys(n.exclude)
     if isinstance(n, SpanFirstQuery):
+        return span_leaf_keys(n.match)
+    if isinstance(n, (SpanContainingQuery, SpanWithinQuery)):
+        return span_leaf_keys(n.big) + span_leaf_keys(n.little)
+    if isinstance(n, SpanPositionRangeQuery):
         return span_leaf_keys(n.match)
     raise ValueError(f"not a span node: {n!r}")
 

@@ -84,7 +84,9 @@ from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
                   IntervalUnordered, IntervalWithin,
                   MatchAllQuery, MatchNoQuery, MultiPhraseQuery, Occur,
                   PhraseQuery, PrefixQuery,
-                  RegexpQuery, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
+                  RegexpQuery, SpanContainingQuery, SpanFirstQuery,
+                  SpanNearQuery, SpanNotQuery,
+                  SpanPositionRangeQuery, SpanWithinQuery,
                   SpanOrQuery, SpanTermQuery, TermQuery, TermRangeQuery,
                   WildcardQuery, rewrite)
 
@@ -630,6 +632,14 @@ def _span_op(q):
     if isinstance(q, SpanFirstQuery):
         return {"op": "sfirst", "child": _span_op(q.match),
                 "end": int(q.end)}
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        op = ("scontain" if isinstance(q, SpanContainingQuery)
+              else "swithin")
+        return {"op": op, "big": _span_op(q.big),
+                "little": _span_op(q.little)}
+    if isinstance(q, SpanPositionRangeQuery):
+        return {"op": "sposrange", "child": _span_op(q.match),
+                "start": int(q.start), "end": int(q.end)}
     raise ValueError(f"not a span query: {q!r}")
 
 
@@ -1013,7 +1023,12 @@ def _span_op_keys(op, scoring_only: bool) -> list:
         if not scoring_only:
             out += _span_op_keys(op["exclude"], scoring_only)
         return out
-    return _span_op_keys(op["child"], scoring_only)    # sfirst
+    if o in ("scontain", "swithin"):
+        # both sides feed the SimWeight (SpanContainQuery
+        # extractTermStates collects big AND little)
+        return (_span_op_keys(op["big"], scoring_only)
+                + _span_op_keys(op["little"], scoring_only))
+    return _span_op_keys(op["child"], scoring_only)    # sfirst/sposrange
 
 
 def _span_required_keys(op) -> list:
@@ -1029,7 +1044,11 @@ def _span_required_keys(op) -> list:
         return []
     if o == "snot":
         return _span_required_keys(op["include"])
-    return _span_required_keys(op["child"])            # sfirst
+    if o in ("scontain", "swithin"):
+        # positive filters: no span without both streams emitting
+        return (_span_required_keys(op["big"])
+                + _span_required_keys(op["little"]))
+    return _span_required_keys(op["child"])            # sfirst/sposrange
 
 
 def _annotate_span_op(op, st):
@@ -1059,7 +1078,13 @@ def _annotate_span_op(op, st):
         if exc is None:
             return inc
         return dict(op, include=inc, exclude=exc)
-    ch = _annotate_span_op(op["child"], st)             # sfirst
+    if o in ("scontain", "swithin"):
+        big = _annotate_span_op(op["big"], st)
+        little = _annotate_span_op(op["little"], st)
+        if big is None or little is None:
+            return None
+        return dict(op, big=big, little=little)
+    ch = _annotate_span_op(op["child"], st)             # sfirst/sposrange
     return None if ch is None else dict(op, child=ch)
 
 
@@ -2213,6 +2238,40 @@ def _eval_span_op(op, data: _BucketData):
         rejected = (j > 0) & (runmax_end[jr] > thr)
         keep = ~rejected
         return fd[keep], fs[keep], fe[keep], fw[keep]
+    if o == "sposrange":
+        fd, fs, fe, fw = _eval_span_op(op["child"], data)
+        m = (fs >= op["start"]) & (fe <= op["end"])
+        return fd[m], fs[m], fe[m], fw[m]
+    if o in ("scontain", "swithin"):
+        bd, bs, be, bw = _eval_span_op(op["big"], data)
+        ld, ls, le, lw = _eval_span_op(op["little"], data)
+        if len(bd) == 0 or len(ld) == 0:
+            return _SPAN_EMPTY
+        if o == "scontain":
+            # keep big [S,E) with ∃ little s≥S, e≤E. Littles sorted by
+            # (doc, start); any little with s > E has e > E, so the
+            # suffix-min of doc-encoded ends from the first little with
+            # s ≥ S answers "min end among s ≥ S" — later docs encode
+            # HIGHER and cannot lower a same-doc min below threshold
+            enc_ls = (ld << _POS_SHIFT) + ls
+            sufmin = np.minimum.accumulate(
+                ((ld << _POS_SHIFT) + le)[::-1])[::-1]
+            j = np.searchsorted(enc_ls, (bd << _POS_SHIFT) + bs,
+                                side="left")
+            jr = np.minimum(j, len(enc_ls) - 1)
+            ok = (j < len(enc_ls)) & (sufmin[jr]
+                                      <= (bd << _POS_SHIFT) + be)
+            return bd[ok], bs[ok], be[ok], bw[ok]
+        # swithin: keep little [s,e) with ∃ big S≤s, E≥e. Prefix-max of
+        # doc-encoded big ends over start order; earlier docs encode
+        # LOWER than the little's threshold, so no cross-doc leak
+        enc_bs = (bd << _POS_SHIFT) + bs
+        prefmax = np.maximum.accumulate((bd << _POS_SHIFT) + be)
+        j = np.searchsorted(enc_bs, (ld << _POS_SHIFT) + ls,
+                            side="right") - 1
+        jr = np.maximum(j, 0)
+        ok = (j >= 0) & (prefmax[jr] >= (ld << _POS_SHIFT) + le)
+        return ld[ok], ls[ok], le[ok], lw[ok]
     # snear
     kids = [_eval_span_op(ch, data) for ch in op["children"]]
     if any(len(k[0]) == 0 for k in kids):

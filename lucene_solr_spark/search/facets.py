@@ -150,3 +150,69 @@ def facet_metrics(docs: DataFrame, matches: DataFrame | None, field: str,
                  F.max(metric_col).alias("max"))
             .filter(F.col("count") >= min_count)
             .orderBy(F.desc("count"), F.asc("value")))
+
+
+def interval_facets(docs: DataFrame, matches: DataFrame | None,
+                    field: str, intervals: list[tuple]) -> DataFrame:
+    """Solr ``facet.interval`` (org.apache.solr.request.IntervalFacets /
+    IntervalFacets.FacetInterval parse semantics): arbitrary, possibly
+    OVERLAPPING intervals with per-end inclusivity — ``intervals`` is
+    [(key, lo, hi, lo_inc, hi_inc)], e.g. Solr's "[0,10)" ↔
+    (key, 0, 10, True, False); a doc counts in EVERY interval that
+    contains its value. → (key, count) in the requested order, empty
+    intervals kept at 0 (Solr returns all requested intervals).
+
+    Shape: per-interval conditional SUMs in one whole-stage-codegen agg
+    (a single pass over the match set regardless of interval count),
+    then an unpivot of the 1-row result — |intervals| rows total to the
+    driver."""
+    m = _matched(docs, matches)
+    v = F.col(field)
+    aggs = []
+    for i, (key, lo, hi, lo_inc, hi_inc) in enumerate(intervals):
+        cond = ((v >= F.lit(lo)) if lo_inc else (v > F.lit(lo))) & \
+               ((v <= F.lit(hi)) if hi_inc else (v < F.lit(hi)))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"_i{i}"))
+    wide = m.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(key).alias("key"), F.col(f"_i{i}").alias("count"),
+                 F.lit(i).alias("_o"))
+        for i, (key, *_rest) in enumerate(intervals)])
+    return (wide.select(F.explode(pairs).alias("r"))
+            .select("r.key", "r.count", "r._o")
+            .orderBy("_o").drop("_o"))
+
+
+def drill_sideways(docs: DataFrame, base_matches: DataFrame | None,
+                   drill_downs: dict, min_count: int = 1):
+    """DrillSideways (`lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:56` / DrillSidewaysQuery): the drill-down query
+    is base ∧ AND-of-dims (OR within a dim's values,
+    DrillDownQuery.java:37); for each dim, the SIDEWAYS counts are the
+    facet counts of that dim over docs matching base ∧ every OTHER
+    dim's filter — "what would this dim offer if its own filter were
+    lifted". → (hits_df, {dim: counts_df}).
+
+    Shape: the base match set semi-joins the doc table ONCE and is
+    reused (cheap reuse of the narrowed frame); each dim's sideways
+    counts are one filter + one map-side-combined agg — d+1 scans of
+    the already-filtered slice, never of the corpus."""
+    m = _matched(docs, base_matches)
+    dims = dict(drill_downs)
+
+    def _filt(frame, skip=None):
+        for dim, values in dims.items():
+            if dim != skip:
+                frame = frame.filter(F.col(dim).isin(list(values)))
+        return frame
+
+    hits = _filt(m)
+    sideways = {}
+    for dim in dims:
+        sideways[dim] = (_filt(m, skip=dim)
+                         .groupBy(F.col(dim).alias("value"))
+                         .agg(F.count(F.lit(1)).alias("count"))
+                         .filter(F.col("count") >= min_count)
+                         .orderBy(F.desc("count"), F.asc("value")))
+    return hits, sideways
