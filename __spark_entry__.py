@@ -1638,6 +1638,32 @@ def q_drill_sideways(spark, sf_dir):
     return out.orderBy("dim", F.desc("count"), F.asc("value"))
 
 
+def q_expression_sort(spark, sf_dir):
+    """lucene/expressions (JavascriptCompiler.java:87 +
+    Expression#getSortField): top-10 'merge' hits re-ranked by the
+    compiled expression `_score + ln(1 + n_chars) * (n_chars > 150 ?
+    0.5 : 0.25)` — parsed once on the driver, evaluated entirely in
+    Catalyst codegen."""
+    from lucene_solr_spark.search.expressions import expression_sort
+    _, _, s = _index(spark, sf_dir)
+    docs = _raw(spark, sf_dir, "documents")
+    res = expression_sort(
+        s, TermQuery("merge"), docs,
+        "_score + ln(1 + n_chars) * (n_chars > 150 ? 0.5 : 0.25)", k=10)
+    return res.select(F.col("doc_id").cast("long"),
+                      F.round("score", 4).alias("score"))
+
+
+def q_terms_enum(spark, sf_dir):
+    """Solr TermsComponent (TermsComponent.java:54): dictionary terms
+    with prefix 's', terms.sort=count (df desc, term asc), limit 15 —
+    a pushed-prefix scan of the terms table."""
+    from lucene_solr_spark.search.extras import terms_enum
+    _, _, s = _index(spark, sf_dir)
+    return (terms_enum(s, prefix="s", sort="count", limit=15)
+            .select("term", F.col("df").cast("long")))
+
+
 _NB_TEXT = "key agg merge spark fast table row scan"
 _KNN_TEXT = "spark merge fast table"
 
@@ -2870,6 +2896,25 @@ ORDER BY 0.6 * cut.s + 0.001 * d.n_chars + 1.5 * COALESCE(ph.s2, 0)
   DESC, cut.doc_id
 LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
+    # expression sort: _score + ln(1+n_chars) * (n_chars>150 ? .5 : .25)
+    sql["q_expression_sort"] = _PRELUDE + """
+, hits AS (SELECT doc_id, SUM(s) AS s FROM sc
+           WHERE term = 'merge' GROUP BY doc_id)
+SELECT h.doc_id,
+       ROUND(h.s + ln(1 + d.n_chars)
+             * (CASE WHEN d.n_chars > 150 THEN 0.5 ELSE 0.25 END), 4)
+       AS score
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.s + ln(1 + d.n_chars)
+         * (CASE WHEN d.n_chars > 150 THEN 0.5 ELSE 0.25 END) DESC,
+         h.doc_id
+LIMIT 10"""
+
+    # terms component: prefix 's', count sort, limit 15
+    sql["q_terms_enum"] = _PRELUDE + """
+SELECT term, df FROM dfreq WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 15"""
+
     # facet.interval over n_chars on the merge match set (overlapping,
     # per-end inclusivity)
     sql["q_facet_interval"] = _PRELUDE + """
@@ -3633,6 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ltr_rescore": q_ltr_rescore,
         "q_facet_interval": q_facet_interval,
         "q_drill_sideways": q_drill_sideways,
+        # expressions + terms component (round 4)
+        "q_expression_sort": q_expression_sort,
+        "q_terms_enum": q_terms_enum,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,

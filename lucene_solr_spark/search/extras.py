@@ -375,3 +375,37 @@ def _and_all(preds):
     for p in preds[1:]:
         out = out & p
     return out
+
+
+def terms_enum(searcher, field: str = DEFAULT_FIELD,
+               prefix: str | None = None, regex: str | None = None,
+               lower: str | None = None, upper: str | None = None,
+               lower_incl: bool = True, upper_incl: bool = False,
+               mincount: int = 1, maxcount: int | None = None,
+               sort: str = "count", limit: int = 10) -> DataFrame:
+    """Solr TermsComponent (`solr/core/src/java/org/apache/solr/handler/
+    component/TermsComponent.java:54`): enumerate dictionary terms of a
+    field with prefix/regex/range bounds and df counts → (term, df).
+
+    `sort` is 'count' (df desc, term asc — terms.sort=count) or 'index'
+    (term asc). The whole enumeration is a pushed-predicate scan over
+    the terms table — prefix and range bounds reach the Parquet
+    row-group stats on the sorted `term` column; the driver receives at
+    most `limit` rows (TakeOrderedAndProject)."""
+    t = searcher.index.terms.filter(F.col("field") == field)
+    if prefix is not None:
+        t = t.filter(F.col("term").startswith(prefix))
+    if regex is not None:
+        t = t.filter(F.col("term").rlike(regex))
+    if lower is not None:
+        t = t.filter(F.col("term") >= lower if lower_incl
+                     else F.col("term") > lower)
+    if upper is not None:
+        t = t.filter(F.col("term") <= upper if upper_incl
+                     else F.col("term") < upper)
+    t = t.filter(F.col("df") >= mincount)
+    if maxcount is not None:
+        t = t.filter(F.col("df") <= maxcount)
+    order = ([F.desc("df"), F.asc("term")] if sort == "count"
+             else [F.asc("term")])
+    return t.select("term", "df").orderBy(*order).limit(limit)
