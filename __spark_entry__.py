@@ -1712,6 +1712,20 @@ def q_stream_unique_top(spark, sf_dir):
                      F.col("n_chars").cast("long"))
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1; used by RefinedWeb/
+    Dolma): per-doc rule inputs + keep flag — one codegen map stage that
+    fuses with the parquet scan."""
+    from lucene_solr_spark.pipeline.textstats import gopher_rules
+    res = gopher_rules(_raw_docs(spark, sf_dir), min_words=20)
+    return res.select(
+        F.col("doc_id").cast("long"), F.col("n_words"),
+        F.round("mean_wlen", 4).alias("mean_wlen"),
+        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("alpha_frac", 4).alias("alpha_frac"),
+        F.col("stop_hits"), F.col("keep").cast("int").alias("keep"))
+
+
 _NB_TEXT = "key agg merge spark fast table row scan"
 _KNN_TEXT = "spark merge fast table"
 
@@ -2963,6 +2977,41 @@ LIMIT 10"""
 SELECT term, df FROM dfreq WHERE term LIKE 's%'
 ORDER BY df DESC, term ASC LIMIT 15"""
 
+    # Gopher rules: exact integer-ratio reproduction of every rule input
+    sql["q_gopher_filter"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words,
+         string_split(text, chr(10)) AS lines, text
+  FROM documents
+), base AS (
+  SELECT doc_id, len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE
+      / greatest(len(words), 1) AS mean_wlen,
+    (length(text) - length(regexp_replace(text, '#|…', '', 'g'))
+     + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+      / greatest(len(words), 1) AS symbol_ratio,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-\*]')))
+      ::DOUBLE / greatest(len(lines), 1) AS bullet_frac,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l),
+                                               '(…|\.\.\.)$')))::DOUBLE
+      / greatest(len(lines), 1) AS ellipsis_frac,
+    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      / greatest(len(words), 1) AS alpha_frac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(list_transform(words, x -> lower(x)), s)))
+      AS stop_hits
+  FROM w)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       ROUND(mean_wlen, 4) AS mean_wlen,
+       ROUND(symbol_ratio, 4) AS symbol_ratio,
+       ROUND(alpha_frac, 4) AS alpha_frac,
+       stop_hits::BIGINT AS stop_hits,
+       (n_words >= 20 AND n_words <= 100000 AND mean_wlen >= 3.0
+        AND mean_wlen <= 10.0 AND symbol_ratio <= 0.1
+        AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        AND alpha_frac >= 0.8 AND stop_hits >= 2)::INT AS keep
+FROM base"""
+
     # streaming rollup over lang of the merge match set, having cnt > 1
     sql["q_stream_rollup"] = _PRELUDE + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
@@ -3758,6 +3807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_rollup": q_stream_rollup,
         "q_stream_innerjoin": q_stream_innerjoin,
         "q_stream_unique_top": q_stream_unique_top,
+        # Gopher quality rules (round 4)
+        "q_gopher_filter": q_gopher_filter,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,

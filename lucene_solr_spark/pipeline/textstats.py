@@ -143,3 +143,74 @@ def repetition_stats(docs: DataFrame, n: int = 3,
         F.when(F.col("n_ngrams") > 0,
                F.col("top_c") / F.col("n_ngrams"))
         .otherwise(0.0).alias("top_frac"))
+
+
+# the Gopher rule-set's required stop words (Rae et al. 2021 §A1.1)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_wlen: float = 3.0, max_wlen: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 §A1.1, also used by
+    RefinedWeb/Dolma): per doc the rule inputs plus a per-rule flag and
+    an overall `keep`.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_wlen, max_wlen]; symbol-to-word ratio ('#'/'…'/'...') ≤ 0.1;
+    ≤90% of lines bullet-initial; ≤30% of lines ellipsis-terminal;
+    ≥80% of words contain an alphabetic character; ≥2 of the 8 required
+    stop words present.
+
+    → (doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, keep). One narrow projection,
+    all in whole-stage codegen (split + higher-order array folds) — no
+    shuffle, no Python per row; at 100 TB this is a pure map stage that
+    fuses with the scan."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    n = F.size(words)
+    nl = F.size(lines)
+    mean_wlen = (F.aggregate(words, F.lit(0),
+                             lambda a, w: a + F.length(w))
+                 / F.greatest(n, F.lit(1)))
+    n_symbols = (F.length(F.col(text_col))
+                 - F.length(F.regexp_replace(F.col(text_col),
+                                             r"#|…", "")))
+    n_symbols = n_symbols + F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"\.\.\."), 0))
+    symbol_ratio = n_symbols / F.greatest(n, F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[•\-\*]")))
+    ellip = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(…|\.\.\.)$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    low = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        lambda s: F.array_contains(low, s)))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_words"),
+        mean_wlen.cast("double").alias("mean_wlen"),
+        symbol_ratio.cast("double").alias("symbol_ratio"),
+        (bullet / F.greatest(nl, F.lit(1))).alias("bullet_frac"),
+        (ellip / F.greatest(nl, F.lit(1))).alias("ellipsis_frac"),
+        (alpha / F.greatest(n, F.lit(1))).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_wlen") >= min_wlen)
+            & (F.col("mean_wlen") <= max_wlen)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("bullet_frac") <= max_bullet_frac)
+            & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (F.col("stop_hits") >= min_stop_hits))
+    return out.withColumn("keep", keep)

@@ -274,6 +274,52 @@ class StreamFactory:
             raise ValueError("search without sort= needs qt=/export")
         return Stream(out, sort)
 
+    def _facet(self, node: Expr) -> Stream:
+        """FacetStream.java:63: aggregate the q match set over bucket
+        dims with metrics, ordered by bucketSorts, bucketSizeLimit rows.
+        Compiles to one groupBy over the kernel match set — the
+        reference pushes this to the JSON facet API; here Catalyst's
+        partial aggregation is the same two-phase shape."""
+        inner = Expr("search")
+        inner.args = [node.args[0]]
+        buckets = [b.strip() for b in node.params["buckets"].split(",")]
+        metrics = [a for a in node.args[1:]
+                   if isinstance(a, Expr) and a.name in _METRICS]
+        if not metrics:
+            raise ValueError("facet needs at least one metric")
+        fields = set(buckets)
+        for mx in metrics:
+            if mx.args and mx.args[0] != "*":
+                fields.add(mx.args[0])
+        inner.params = {"q": node.params.get("q", "*:*"),
+                        "fl": ",".join(sorted(fields)), "qt": "/export"}
+        src = self._search(inner)
+        aggs = [_metric_col(mx)[0] for mx in metrics]
+        out = src.df.groupBy(*buckets).agg(*aggs)
+        sorts = _parse_sort(node.params.get(
+            "bucketSorts", ", ".join(f"{b} asc" for b in buckets)))
+        ob = [F.asc(f) if a else F.desc(f) for f, a in sorts]
+        lim = int(node.params.get("bucketSizeLimit", 10))
+        return Stream(out.orderBy(*ob).limit(lim), sorts)
+
+    def _stats(self, node: Expr) -> Stream:
+        """StatsStream.java:47: one global-aggregate tuple over the q
+        match set."""
+        inner = Expr("search")
+        inner.args = [node.args[0]]
+        metrics = [a for a in node.args[1:]
+                   if isinstance(a, Expr) and a.name in _METRICS]
+        if not metrics:
+            raise ValueError("stats needs at least one metric")
+        fields = {mx.args[0] for mx in metrics
+                  if mx.args and mx.args[0] != "*"}
+        inner.params = {"q": node.params.get("q", "*:*"),
+                        "fl": ",".join(sorted(fields) or ["doc_id"]),
+                        "qt": "/export"}
+        src = self._search(inner)
+        aggs = [_metric_col(mx)[0] for mx in metrics]
+        return Stream(src.df.agg(*aggs), [])
+
     # -- decorators ------------------------------------------------------
     def _select(self, node: Expr) -> Stream:
         src = self.compile(node.args[0])
@@ -393,6 +439,10 @@ class StreamFactory:
         fn = node.name
         if fn == "search":
             return self._search(node)
+        if fn == "facet":
+            return self._facet(node)
+        if fn == "stats":
+            return self._stats(node)
         if fn == "select":
             return self._select(node)
         if fn == "unique":

@@ -245,3 +245,38 @@ def test_minhash_query_self_match(spark):
     res2 = minhash_query(spark, docs, "aa bb cc dd ee ff",
                          num_perms=16, sim=by[1] + 1e-9, top=10).collect()
     assert [r["doc_id"] for r in res2] == [0]
+
+
+def test_gopher_rules(spark):
+    """Gopher §A1.1 rules on handcrafted edge docs."""
+    from lucene_solr_spark.pipeline.textstats import gopher_rules
+    good = " ".join(["the quick brown fixes of engine that have with "
+                     "improvements"] * 3)   # 30 words, mean len 5.0
+    bullets = "\n".join(["• item one", "- item two", "* item three",
+                         "plain line"])
+    ellipses = "\n".join(["to be continued...", "the end…", "of plain"])
+    symbols = "the of " + "# " * 10
+    nonalpha = "the of " + "123 456 789 " * 10
+    docs = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, ellipses), (3, symbols),
+         (4, nonalpha), (5, "tiny of the")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           gopher_rules(docs, min_words=5).collect()}
+    assert got[0]["keep"] and got[0]["n_words"] == 30
+    assert got[0]["stop_hits"] == 5
+    # 3/4 bullet-initial lines < 0.9 → bullets alone don't kill it, but
+    # stop_hits==0 does
+    assert got[1]["bullet_frac"] == pytest.approx(0.75)
+    assert not got[1]["keep"]
+    # 2/3 ellipsis-terminal > 0.3
+    assert got[2]["ellipsis_frac"] == pytest.approx(2 / 3)
+    assert not got[2]["keep"]
+    # 10 '#' over 12 words > 0.1
+    assert got[3]["symbol_ratio"] == pytest.approx(10 / 12)
+    assert not got[3]["keep"]
+    # 2/32 alpha words < 0.8
+    assert got[4]["alpha_frac"] == pytest.approx(2 / 32)
+    assert not got[4]["keep"]
+    # 3 words < min_words=5
+    assert not got[5]["keep"]

@@ -138,3 +138,17 @@ def test_search_errors(factory):
     with pytest.raises(ValueError, match="unknown stream function"):
         factory.dataframe('frobnicate(search(docs, q="x", fl="a", '
                           'sort="a asc"))')
+
+
+def test_facet_and_stats(factory):
+    fc = factory.dataframe(
+        'facet(docs, q="merge", buckets="lang", '
+        'bucketSorts="count(*) desc, lang asc", bucketSizeLimit="2", '
+        'count(*), sum(n))').collect()
+    assert [(r["lang"], r["count(*)"], r["sum(n)"]) for r in fc] == [
+        ("en", 2, 40), ("de", 1, 50)]
+    st = factory.dataframe(
+        'stats(docs, q="merge", sum(n), avg(n), count(*))').collect()
+    assert len(st) == 1
+    assert (st[0]["sum(n)"], st[0]["count(*)"]) == (110, 4)
+    assert st[0]["avg(n)"] == pytest.approx(110 / 4)
