@@ -1726,6 +1726,57 @@ def q_gopher_filter(spark, sf_dir):
         F.col("stop_hits"), F.col("keep").cast("int").alias("keep"))
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the corpus
+    itself is keyword soup with no PII; the injection makes the scrub
+    observable and is reproduced verbatim in the oracle SQL)."""
+    inject = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or 192.168."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" call 555-123-4567")).otherwise(F.lit("")))
+    return _raw_docs(spark, sf_dir).select("doc_id", inject.alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect+mask (Dolma-style email/phone/IPv4 rules): pure
+    codegen regexp projection, no shuffle; masked text value-hashed."""
+    from lucene_solr_spark.pipeline.scrub import pii_scrub
+    res = pii_scrub(_pii_docs(spark, sf_dir))
+    return res.select(F.col("doc_id").cast("long"), "n_email", "n_phone",
+                      "n_ipv4", "clean_text")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C / Gopher §A3): 8-gram
+    overlap of each doc vs a broadcast benchmark gram set (docs with
+    doc_id % 97 == 0 stand in for the eval set)."""
+    from lucene_solr_spark.pipeline.scrub import (benchmark_grams,
+                                                  decontaminate)
+    docs = _raw_docs(spark, sf_dir)
+    bench = benchmark_grams(docs.filter(F.col("doc_id") % 97 == 0), n=8)
+    res = decontaminate(docs, bench, n=8)
+    return res.select(F.col("doc_id").cast("long"),
+                      F.col("n_grams").cast("long"),
+                      F.col("n_hits").cast("long"),
+                      F.col("contaminated").cast("int")
+                      .alias("contaminated"))
+
+
+def q_substring_dup(spark, sf_dir):
+    """Exact-substring duplication per doc (Lee et al. 2022 ExactSubstr
+    re-expressed as stride-1 13-token windows): docs whose windows also
+    occur verbatim in another doc."""
+    from lucene_solr_spark.pipeline.dedup import substring_dup_stats
+    res = substring_dup_stats(_raw_docs(spark, sf_dir), width=13)
+    return (res.filter(F.col("dup_windows") > 0)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("n_windows").cast("long"),
+                    F.col("dup_windows").cast("long"),
+                    F.round("dup_frac", 4).alias("dup_frac")))
+
+
 _NB_TEXT = "key agg merge spark fast table row scan"
 _KNN_TEXT = "spark merge fast table"
 
@@ -3012,6 +3063,64 @@ SELECT doc_id, n_words::BIGINT AS n_words,
         AND alpha_frac >= 0.8 AND stop_hits >= 2)::INT AS keep
 FROM base"""
 
+    # PII scrub: identical injection + identical Java∩RE2 regex subset
+    sql["q_pii_scrub"] = r"""
+WITH p AS (
+  SELECT doc_id, text || ' contact user' || doc_id
+         || '@example.com or 192.168.' || (doc_id % 256) || '.7'
+         || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567'
+                 ELSE '' END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '|||EMAIL|||', 'g') AS t1 FROM p),
+s2 AS (SELECT doc_id, n_email,
+  len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+  regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                 '|||PHONE|||', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+  len(regexp_extract_all(t2,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                 '|||IP|||', 'g') AS clean_text FROM s2)
+SELECT doc_id, n_email::BIGINT AS n_email, n_phone::BIGINT AS n_phone,
+       n_ipv4::BIGINT AS n_ipv4, clean_text
+FROM s3"""
+
+    # decontamination: 8-gram overlap vs the doc_id%97 benchmark slice
+    sql["q_decontaminate"] = r"""
+WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, greatest(len(ws)-7, 0))) AS t(i)),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT g.doc_id, count(*) AS n_hits
+      FROM g JOIN b USING (gram) GROUP BY g.doc_id),
+n AS (SELECT doc_id, greatest(len(ws)-7, 0) AS n_grams FROM w)
+SELECT n.doc_id, n.n_grams::BIGINT AS n_grams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::INT AS contaminated
+FROM n LEFT JOIN h USING (doc_id)"""
+
+    # exact-substring dup: stride-1 13-token windows shared across docs
+    sql["q_substring_dup"] = r"""
+WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS gram
+      FROM w, UNNEST(generate_series(1, greatest(len(ws)-12, 0))) AS t(i)),
+c AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram),
+d AS (SELECT g.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_windows
+      FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+SELECT doc_id, n_windows::BIGINT AS n_windows,
+       dup_windows::BIGINT AS dup_windows,
+       ROUND(dup_windows::DOUBLE / greatest(n_windows, 1), 4) AS dup_frac
+FROM d WHERE dup_windows > 0"""
+
     # streaming rollup over lang of the merge match set, having cnt > 1
     sql["q_stream_rollup"] = _PRELUDE + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
@@ -3807,8 +3916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_rollup": q_stream_rollup,
         "q_stream_innerjoin": q_stream_innerjoin,
         "q_stream_unique_top": q_stream_unique_top,
-        # Gopher quality rules (round 4)
+        # Gopher quality rules + corpus hygiene (round 4)
         "q_gopher_filter": q_gopher_filter,
+        "q_pii_scrub": q_pii_scrub,
+        "q_decontaminate": q_decontaminate,
+        "q_substring_dup": q_substring_dup,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,

@@ -397,3 +397,71 @@ def minhash_query(spark, docs: DataFrame, query_text: str,
     return (sigs.select("doc_id", est)
             .filter(F.col("est_jaccard") >= float(sim))
             .orderBy(F.desc("est_jaccard"), F.asc("doc_id")).limit(top))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — suffix-array ExactSubstr,
+# re-expressed as rolling token windows)
+# ---------------------------------------------------------------------------
+
+def duplicate_windows(docs: DataFrame, width: int = 13,
+                      min_docs: int = 2, hashed: bool = False,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Window-level exact-substring duplication: every ``width``-token
+    window (stride 1) that appears in ≥ ``min_docs`` distinct docs →
+    (gram, n_docs, n_occ).
+
+    The suffix-array ExactSubstr pass of Lee et al. 2022 finds byte
+    spans ≥50 tokens shared verbatim between documents; stride-1 token
+    windows of width w find exactly the same spans (any shared span of
+    ≥w tokens shares all its w-windows) at the cost of one groupBy
+    instead of a distributed suffix array.
+
+    Scale: the explode is map-side; the ONE wide shuffle groups by the
+    window key. With ``hashed=True`` the key is xxhash64(gram) (8 bytes
+    instead of ~width×7 — the shuffle shrinks ~10×; 64-bit collisions
+    are negligible for stats) — keep strings when exact spans must be
+    reported."""
+    from .scrub import word_ngrams
+    g = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(word_ngrams(F.col(text_col), width))
+                    .alias("gram"))
+    if hashed:
+        g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+    return (g.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occ"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def substring_dup_stats(docs: DataFrame, width: int = 13,
+                        hashed: bool = False, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document exact-substring duplication signal:
+    (doc_id, n_windows, dup_windows, dup_frac) where a window is "dup"
+    if its exact token sequence also occurs in ANOTHER document. This
+    is the per-doc score a pipeline thresholds on (Lee et al. cut
+    documents whose duplicated-span fraction is high).
+
+    Two shuffles: window counts (groupBy gram) and the per-doc rollup
+    (groupBy doc_id); the join back from windows to their global doc
+    count is an equi-join on the same gram key, so AQE can reuse the
+    exchange."""
+    from .scrub import word_ngrams
+    g = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(word_ngrams(F.col(text_col), width))
+                    .alias("gram"))
+    if hashed:
+        g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+    counts = (g.groupBy("gram")
+              .agg(F.countDistinct("doc_id").alias("n_docs")))
+    return (g.join(counts, "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                 .alias("dup_windows"))
+            .withColumn("dup_frac",
+                        F.col("dup_windows")
+                        / F.greatest("n_windows", F.lit(1))))

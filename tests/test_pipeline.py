@@ -280,3 +280,65 @@ def test_gopher_rules(spark):
     assert not got[4]["keep"]
     # 3 words < min_words=5
     assert not got[5]["keep"]
+
+
+def test_pii_scrub(spark):
+    """Rule order: dotted phone is claimed by the phone rule, not the
+    IP rule; counts match masks."""
+    from lucene_solr_spark.pipeline.scrub import pii_scrub, pii_stats
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-ample.co.uk and x@y.io now"),
+         (1, "call 555-123-4567 or 123.456.7890 ok"),
+         (2, "host 10.0.0.1 peer 192.168.255.7"),
+         (3, "clean text with no pii at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[0]["n_email"] == 2
+    assert got[0]["clean_text"] == "mail |||EMAIL||| and |||EMAIL||| now"
+    assert (got[1]["n_phone"], got[1]["n_ipv4"]) == (2, 0)
+    assert got[1]["clean_text"] == "call |||PHONE||| or |||PHONE||| ok"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["clean_text"] == "host |||IP||| peer |||IP|||"
+    assert got[3]["clean_text"] == docs.collect()[3]["text"]
+    st = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert st[3]["has_pii"] is False and st[0]["has_pii"] is True
+
+
+def test_decontaminate(spark):
+    from lucene_solr_spark.pipeline.scrub import (benchmark_grams,
+                                                  decontaminate)
+    span = "one two three four five six seven eight"   # an 8-gram
+    docs = spark.createDataFrame(
+        [(0, "prefix " + span + " suffix"),      # contains the 8-gram
+         (1, span.replace("eight", "NINE")),     # near miss
+         (2, "totally unrelated words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(99, span)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           decontaminate(docs, benchmark_grams(bench, n=8), n=8).collect()}
+    assert got[0]["contaminated"] and got[0]["n_hits"] == 1
+    assert got[0]["n_grams"] == 3   # 10 words -> 3 windows
+    assert not got[1]["contaminated"]
+    assert not got[2]["contaminated"] and got[2]["n_grams"] == 0
+
+
+def test_substring_dup(spark):
+    from lucene_solr_spark.pipeline.dedup import (duplicate_windows,
+                                                  substring_dup_stats)
+    span = " ".join(f"w{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(0, "aa bb " + span),                    # shares the span
+         (1, span + " cc dd"),                    # shares the span
+         (2, "unique " + " ".join(f"u{i}" for i in range(13)))],
+        "doc_id long, text string")
+    dw = duplicate_windows(docs, width=13).collect()
+    assert [(r["gram"], r["n_docs"], r["n_occ"]) for r in dw] == [
+        (span, 2, 2)]
+    # hashed variant finds the same number of duplicated windows
+    assert duplicate_windows(docs, width=13, hashed=True).count() == 1
+    got = {r["doc_id"]: r for r in
+           substring_dup_stats(docs, width=13).collect()}
+    assert (got[0]["n_windows"], got[0]["dup_windows"]) == (3, 1)
+    assert (got[1]["n_windows"], got[1]["dup_windows"]) == (3, 1)
+    assert got[2]["dup_windows"] == 0
+    assert got[0]["dup_frac"] == pytest.approx(1 / 3)
