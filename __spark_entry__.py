@@ -1777,6 +1777,18 @@ def q_substring_dup(spark, sf_dir):
                     F.round("dup_frac", 4).alias("dup_frac")))
 
 
+def q_surround_topk(spark, sf_dir):
+    """Surround parser (queryparser/surround): '(key 4w agg) or
+    (fast n scan)' — W ordered / N unordered distance ops compiled to
+    span-near with slop = distance−1 (DistanceQuery.java:97), OR'd at
+    the boolean level."""
+    from lucene_solr_spark.search.surround import (parse_surround,
+                                                   rewrite_surround)
+    _, _, s = _index(spark, sf_dir)
+    q = rewrite_surround(s, parse_surround("(key 4w agg) or (fast n scan)"))
+    return _topk(s, q)
+
+
 _NB_TEXT = "key agg merge spark fast table row scan"
 _KNN_TEXT = "spark merge fast table"
 
@@ -2683,6 +2695,50 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
+
+    # surround '(key 4w agg) or (fast n scan)': boolean SHOULD sum of
+    # an ordered near (slop 3) and an unordered near (slop 0) clause
+    sql["q_surround_topk"] = _PRELUDE + _POS_CTE + """
+, c1 AS (
+  SELECT a.doc_id, a.p AS ap, MIN(b.p) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id, a.p
+), p1 AS (
+  SELECT doc_id, SUM(1.0 / (1 + (bp - ap - 1))) AS pf
+  FROM c1 WHERE bp - ap - 1 <= 3 GROUP BY doc_id
+), i1 AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+), c2 AS (
+  SELECT a.doc_id, a.p AS ap,
+         arg_min(b.p, abs(b.p - a.p) * 2
+                      + CASE WHEN b.p < a.p THEN 1 ELSE 0 END) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = 'fast' AND b.term = 'scan'
+  GROUP BY a.doc_id, a.p
+), p2 AS (
+  SELECT doc_id, SUM(1.0 / (1 + abs(bp - ap) + 1)) AS pf
+  FROM c2 WHERE abs(bp - ap) + 1 - 2 <= 0 GROUP BY doc_id
+), i2 AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('fast', 'scan')
+), s1 AS (
+  SELECT p1.doc_id,
+         i1.w * p1.pf / (p1.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)) AS s
+  FROM p1 JOIN dlq ON p1.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN i1
+), s2 AS (
+  SELECT p2.doc_id,
+         i2.w * p2.pf / (p2.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)) AS s
+  FROM p2 JOIN dlq ON p2.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN i2
+), u AS (
+  SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         coalesce(s1.s, 0) + coalesce(s2.s, 0) AS score
+  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score FROM u
+ORDER BY score DESC, doc_id LIMIT 10""".replace(
+        "{k1}", str(K1)).replace("{b}", str(B))
 
     # span-first(key, end=10): 'key' occurrences at raw position ≤ 9
     sql["q_span_first_topk"] = _PRELUDE + _POS_CTE + """
@@ -3921,6 +3977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_decontaminate": q_decontaminate,
         "q_substring_dup": q_substring_dup,
+        # surround parser (round 4)
+        "q_surround_topk": q_surround_topk,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,
