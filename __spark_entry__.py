@@ -1777,6 +1777,27 @@ def q_substring_dup(spark, sf_dir):
                     F.round("dup_frac", 4).alias("dup_frac")))
 
 
+def q_docvalues_update(spark, sf_dir):
+    """Numeric doc-values updates (IndexWriter.updateNumericDocValue /
+    DocValuesFieldUpdates dvGen): gen-1 sets n_chars = doc_id*10 on the
+    'merge' match set, gen-2 sets 7 on the 'fast' match set (newer gen
+    wins on the overlap); read back the overlaid column for all docs."""
+    import tempfile
+
+    from lucene_solr_spark.index.dv_updates import (
+        read_numeric_docvalues, update_by_term, update_numeric_docvalues)
+    docs, _, s = _index(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lss_dvu_")
+    merge = (s.match_docs(TermQuery("merge"))
+             .select("doc_id", (F.col("doc_id") * 10).alias("value")))
+    update_numeric_docvalues(spark, path, "n_chars", merge)
+    update_by_term(s, path, "fast", "n_chars", 7)
+    served = read_numeric_docvalues(
+        spark, docs.select("doc_id", "n_chars"), path, "n_chars")
+    return served.select(F.col("doc_id").cast("long"),
+                         F.col("n_chars").cast("long"))
+
+
 def q_surround_topk(spark, sf_dir):
     """Surround parser (queryparser/surround): '(key 4w agg) or
     (fast n scan)' — W ordered / N unordered distance ops compiled to
@@ -2695,6 +2716,17 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
+
+    # docvalues updates: gen-2 ('fast' -> 7) wins over gen-1
+    # ('merge' -> doc_id*10) on the overlap; base n_chars elsewhere
+    sql["q_docvalues_update"] = _PRELUDE + """
+, mm AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, ff AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'fast')
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT doc_id FROM ff) THEN 7
+            WHEN d.doc_id IN (SELECT doc_id FROM mm) THEN d.doc_id * 10
+            ELSE d.n_chars END::BIGINT AS n_chars
+FROM documents d"""
 
     # surround '(key 4w agg) or (fast n scan)': boolean SHOULD sum of
     # an ordered near (slop 3) and an unordered near (slop 0) clause
@@ -3977,8 +4009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_decontaminate": q_decontaminate,
         "q_substring_dup": q_substring_dup,
-        # surround parser (round 4)
+        # surround parser + docvalues updates (round 4)
         "q_surround_topk": q_surround_topk,
+        "q_docvalues_update": q_docvalues_update,
         # facets / similarities / suggest / join / pipeline
         "q_facet_pivot": q_facet_pivot,
         "q_facet_metrics": q_facet_metrics,
