@@ -1798,6 +1798,31 @@ def q_docvalues_update(spark, sf_dir):
                          F.col("n_chars").cast("long"))
 
 
+def q_term_vectors_positions(spark, sf_dir):
+    """TermVectorComponent with tv.df + tv.positions: terms, tf, corpus
+    df, and positions for 5 requested docs — pushed doc_id-IN fetch +
+    re-invert through the real indexing chain (q_term_vectors gates the
+    plain tf slice)."""
+    from lucene_solr_spark.search.extras import term_vectors_positions
+    docs, _, s = _index(spark, sf_dir)
+    res = term_vectors_positions(s, docs, [1, 2, 3, 5, 8], field="text")
+    return res.select(F.col("doc_id").cast("long"), "term",
+                      F.col("freq").cast("long"), "df", "positions")
+
+
+def q_facet_percentiles(spark, sf_dir):
+    """json.facet percentile metric (PercentileAgg.java): per lang of
+    the 'merge' match set, count + exact p25/p50/p75 of n_chars."""
+    from lucene_solr_spark.search.facets import facet_percentiles
+    docs, _, s = _index(spark, sf_dir)
+    m = s.match_docs(TermQuery("merge"))
+    res = facet_percentiles(docs, m, "lang", "n_chars")
+    return res.select(F.col("value"), F.col("count").cast("long"),
+                      F.round("p25", 4).alias("p25"),
+                      F.round("p50", 4).alias("p50"),
+                      F.round("p75", 4).alias("p75"))
+
+
 def q_surround_topk(spark, sf_dir):
     """Surround parser (queryparser/surround): '(key 4w agg) or
     (fast n scan)' — W ordered / N unordered distance ops compiled to
@@ -2716,6 +2741,32 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key')
 )""" + _SPAN_TAIL
+
+    # term vectors for docs 1,2,3,5,8: tf + corpus df + gap-preserving
+    # positions (raw token index; stopwords removed but counted)
+    sql["q_term_vectors_positions"] = _PRELUDE + f"""
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents WHERE doc_id IN (1, 2, 3, 5, 8)
+), pv AS (
+  SELECT doc_id, term, string_agg(p, ',' ORDER BY p) AS positions
+  FROM pos WHERE term NOT IN ({_STOPLIST}) GROUP BY doc_id, term
+)
+SELECT tf.doc_id, tf.term, tf.freq, dfreq.df, pv.positions
+FROM tf JOIN dfreq USING (term)
+JOIN pv ON pv.doc_id = tf.doc_id AND pv.term = tf.term
+WHERE tf.doc_id IN (1, 2, 3, 5, 8)"""
+
+    # percentile facet: exact interpolated quantiles per lang bucket
+    sql["q_facet_percentiles"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+SELECT d.lang AS value, count(*)::BIGINT AS count,
+       ROUND(quantile_cont(d.n_chars, 0.25), 4) AS p25,
+       ROUND(quantile_cont(d.n_chars, 0.50), 4) AS p50,
+       ROUND(quantile_cont(d.n_chars, 0.75), 4) AS p75
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang"""
 
     # docvalues updates: gen-2 ('fast' -> 7) wins over gen-1
     # ('merge' -> doc_id*10) on the overlap; base n_chars elsewhere
@@ -4039,6 +4090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monitor_matches": q_monitor_matches,
         "q_ib_topk": q_ib_topk,
         "q_dfi_topk": q_dfi_topk,
+        # ---- (2b) overflow queue: never-driver-verified, contiguous
+        # after the 50-entry window so round 5's report picks them up
+        # first (tests/test_registry_window.py asserts the layout) ----
+        "q_term_vectors_positions": q_term_vectors_positions,
+        "q_facet_percentiles": q_facet_percentiles,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

@@ -409,3 +409,62 @@ def terms_enum(searcher, field: str = DEFAULT_FIELD,
     order = ([F.desc("df"), F.asc("term")] if sort == "count"
              else [F.asc("term")])
     return t.select("term", "df").orderBy(*order).limit(limit)
+
+
+def term_vectors_positions(searcher, docs, doc_ids, analyzer=None,
+                           field: str = DEFAULT_FIELD,
+                           with_positions: bool = True):
+    """Full TermVectorComponent response (solr TermVectorComponent
+    tv.df/tv.positions; ``Terms.hasPositions`` side of
+    ``IndexReader.getTermVector``): :func:`term_vectors` returns the
+    (doc_id, term, freq) mini-index slice; this variant adds corpus df
+    and per-occurrence positions.
+
+    The reference stores term vectors as a parallel per-doc structure
+    written at index time; here the row store IS that structure — the
+    requested docs are fetched with a PUSHED doc_id IN (…) predicate
+    (k docs read, not the corpus) and re-inverted through the real
+    indexing chain (`IndexBuilder.invert`, the same code path that
+    built the index), then positions are decoded executor-side. The
+    corpus df per term comes from the dictionary (broadcast of the
+    ≤ |vocab of k docs| term rows joined against the sorted terms
+    table's pushed term-IN predicate).
+
+    → (doc_id, term, freq, df, positions) with positions a
+    comma-joined string (deterministic, oracle-comparable)."""
+    import pandas as pd
+
+    from ..index.builder import IndexBuilder, decode_positions_blob
+
+    ids = [int(d) for d in doc_ids]
+    sub = docs.filter(F.col("doc_id").isin(ids)).select("doc_id", field)
+    b = IndexBuilder(analyzer or searcher.index.analyzer,
+                     with_positions=with_positions)
+    raw = b.invert(sub, fields=(field,))
+
+    def _decode(batches):
+        for pdf in batches:
+            pos = []
+            for blob, fr in zip(pdf["pos_blob"], pdf["freq"]):
+                if blob is None:
+                    pos.append("")
+                    continue
+                arr = decode_positions_blob(bytes(blob),
+                                            [int(fr)])[0]
+                pos.append(",".join(str(int(p)) for p in arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "term": pdf["term"],
+                                "freq": pdf["freq"].astype("int64"),
+                                "positions": pos})
+
+    tv = raw.mapInPandas(
+        _decode,
+        schema="doc_id long, term string, freq long, positions string")
+    dic = (searcher.index.terms
+           .filter(F.col("field") == field).select("term", "df"))
+    # tv is ≤ k docs' vocabularies — broadcast it into the dictionary
+    # scan (every re-inverted term exists in the dictionary: same
+    # analyzer, same corpus)
+    return (dic.join(F.broadcast(tv), "term")
+            .select("doc_id", "term", "freq",
+                    F.col("df").cast("long").alias("df"), "positions"))

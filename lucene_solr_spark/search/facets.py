@@ -216,3 +216,26 @@ def drill_sideways(docs: DataFrame, base_matches: DataFrame | None,
                          .filter(F.col("count") >= min_count)
                          .orderBy(F.desc("count"), F.asc("value")))
     return hits, sideways
+
+
+def facet_percentiles(docs: DataFrame, matches: DataFrame | None,
+                      field: str, metric_col: str,
+                      percentiles: tuple = (0.25, 0.5, 0.75),
+                      min_count: int = 1) -> DataFrame:
+    """JSON Facet API ``percentile`` metric (Solr json.facet
+    {type: terms, field, facet: {pXX: "percentile(col, 25,50,75)"}} —
+    solr/search/facet/PercentileAgg.java). Solr estimates with a
+    t-digest; here the EXACT interpolated percentile (Spark's sort-based
+    ``percentile`` aggregate, = DuckDB quantile_cont) — exactness is
+    affordable because the per-bucket sort is distributed, and it makes
+    the result oracle-comparable. One map-side-combined agg over the
+    match set. → (value, count, p25, p50, ... ) count desc, value asc."""
+    aggs = [F.count(F.lit(1)).alias("count")]
+    for p in percentiles:
+        aggs.append(F.expr(f"percentile({metric_col}, {p})")
+                    .alias(f"p{int(round(p * 100))}"))
+    return (_matched(docs, matches)
+            .groupBy(F.col(field).alias("value"))
+            .agg(*aggs)
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), F.asc("value")))

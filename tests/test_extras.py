@@ -112,3 +112,47 @@ def test_fetch_documents(spark, searcher, docs):
     assert got["doc_id"].tolist() == top["doc_id"].tolist()
     assert "text" in got.columns and "score" in got.columns
     assert got["text"].notna().all()
+
+
+def test_term_vectors_positions(spark):
+    """tv.positions keep StopFilter gaps (raw token index); df is the
+    corpus document frequency."""
+    from lucene_solr_spark.analysis.analyzer import ENGLISH_ANALYZER
+    from lucene_solr_spark.index.builder import IndexBuilder
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.search.extras import term_vectors_positions
+    docs = spark.createDataFrame(
+        [(0, "spark is the spark engine"),   # 'is'/'the' are stopwords
+         (1, "engine room"),
+         (2, "spark")],
+        "doc_id long, text string")
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=4,
+                       with_positions=True).build(spark, docs)
+    idx.postings = idx.postings.cache()
+    s = Searcher(spark, idx)
+    got = {(r["doc_id"], r["term"]): r for r in
+           term_vectors_positions(s, docs, [0, 1]).collect()}
+    # 'spark' in doc 0 at raw positions 0 and 3 (gap across stopwords)
+    assert got[(0, "spark")]["positions"] == "0,3"
+    assert got[(0, "spark")]["freq"] == 2
+    assert got[(0, "spark")]["df"] == 2      # docs 0 and 2
+    assert got[(0, "engine")]["positions"] == "4"
+    assert got[(1, "engine")]["df"] == 2
+    assert (0, "the") not in got             # stopwords not in the vector
+    assert not any(d == 2 for d, _ in got)   # only requested docs
+
+
+def test_facet_percentiles(spark):
+    from lucene_solr_spark.search.facets import facet_percentiles
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", v) for i, v in
+         enumerate([10, 20, 30, 40, 100, 200])],
+        "doc_id long, lang string, n long")
+    got = {r["value"]: r for r in
+           facet_percentiles(docs, None, "lang", "n").collect()}
+    # exact interpolated percentiles (quantile_cont semantics)
+    assert got["a"]["count"] == 4
+    assert got["a"]["p25"] == pytest.approx(17.5)
+    assert got["a"]["p50"] == pytest.approx(25.0)
+    assert got["a"]["p75"] == pytest.approx(32.5)
+    assert got["b"]["p50"] == pytest.approx(150.0)
