@@ -446,22 +446,23 @@ def substring_dup_stats(docs: DataFrame, width: int = 13,
     documents whose duplicated-span fraction is high).
 
     Two shuffles: window counts (groupBy gram) and the per-doc rollup
-    (groupBy doc_id); the join back from windows to their global doc
-    count is an equi-join on the same gram key, so AQE can reuse the
-    exchange."""
+    (groupBy doc_id). The join back is against ONLY the duplicated
+    grams (n_docs ≥ 2) — on real corpora a small fraction of the
+    window vocabulary — so the join side stays broadcastable far
+    longer; a window missing from it is unique by construction."""
     from .scrub import word_ngrams
     g = docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(word_ngrams(F.col(text_col), width))
                     .alias("gram"))
     if hashed:
         g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
-    counts = (g.groupBy("gram")
-              .agg(F.countDistinct("doc_id").alias("n_docs")))
-    return (g.join(counts, "gram")
+    dup = (g.groupBy("gram")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= 2))
+    return (g.join(dup, "gram", "left")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_windows"),
-                 F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
-                 .alias("dup_windows"))
+                 F.count("n_docs").alias("dup_windows"))
             .withColumn("dup_frac",
                         F.col("dup_windows")
                         / F.greatest("n_windows", F.lit(1))))
