@@ -1823,6 +1823,31 @@ def q_facet_percentiles(spark, sf_dir):
                       F.round("p75", 4).alias("p75"))
 
 
+def q_feature_score_topk(spark, sf_dir):
+    """FeatureField saturation scoring (document/FeatureField.java:323):
+    BM25('merge') + 2·(1 − 300/(n_chars+300)) — static feature combined
+    additively, the documented SHOULD-clause pattern."""
+    from lucene_solr_spark.search.function import feature_score
+    docs, _, s = _index(spark, sf_dir)
+    res = feature_score(s, TermQuery("merge"), docs, "n_chars",
+                        function="saturation", weight=2.0, pivot=300.0)
+    return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_stream_fetch(spark, sf_dir):
+    """Streaming-expression fetch decorator (FetchStream.java:48):
+    decorate the 'fast' match stream with lang/n_chars stored fields."""
+    f = _stream_factory(spark, sf_dir)
+    df = f.dataframe(
+        'fetch(documents, search(documents, q="fast", fl="doc_id", '
+        'sort="doc_id asc", qt="/export"), on="doc_id=doc_id", '
+        'fl="lang,n_chars")')
+    return df.select(F.col("doc_id").cast("long"), "lang",
+                     F.col("n_chars").cast("long"))
+
+
 def q_surround_topk(spark, sf_dir):
     """Surround parser (queryparser/surround): '(key 4w agg) or
     (fast n scan)' — W ordered / N unordered distance ops compiled to
@@ -2767,6 +2792,22 @@ SELECT d.lang AS value, count(*)::BIGINT AS count,
        ROUND(quantile_cont(d.n_chars, 0.75), 4) AS p75
 FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang"""
+
+    # FeatureField saturation: additive static-feature combine
+    sql["q_feature_score_topk"] = _PRELUDE + """
+, qs AS (SELECT doc_id, SUM(s) AS s FROM sc WHERE term = 'merge'
+         GROUP BY doc_id)
+SELECT qs.doc_id,
+       ROUND(qs.s + 2.0 * (1 - 300.0 / (d.n_chars + 300.0)), 4) AS score
+FROM qs JOIN documents d USING (doc_id)
+ORDER BY qs.s + 2.0 * (1 - 300.0 / (d.n_chars + 300.0)) DESC,
+         qs.doc_id LIMIT 10"""
+
+    # streaming fetch: the 'fast' match set decorated with stored fields
+    sql["q_stream_fetch"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'fast')
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN m USING (doc_id)"""
 
     # docvalues updates: gen-2 ('fast' -> 7) wins over gen-1
     # ('merge' -> doc_id*10) on the overlap; base n_chars elsewhere
@@ -4095,6 +4136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first (tests/test_registry_window.py asserts the layout) ----
         "q_term_vectors_positions": q_term_vectors_positions,
         "q_facet_percentiles": q_facet_percentiles,
+        "q_feature_score_topk": q_feature_score_topk,
+        "q_stream_fetch": q_stream_fetch,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

@@ -126,6 +126,17 @@ def main() -> None:
     sim.ivf_topk_persisted(spark, ivf_dir, qv, n_probe=2, k=10).collect()
     per_query["op_ann_ivf_probe"] = round(time.perf_counter() - t0, 4)
 
+    # corpus hygiene (round 4): exact-substring dup + decontamination
+    t0 = time.perf_counter()
+    dd.substring_dup_stats(docs, width=13, hashed=True) \
+        .filter("dup_windows > 0").count()
+    per_query["op_substring_dup"] = round(time.perf_counter() - t0, 4)
+    from lucene_solr_spark.pipeline import scrub as sc
+    t0 = time.perf_counter()
+    bench_grams = sc.benchmark_grams(docs.filter("doc_id % 97 = 0"), n=8)
+    sc.decontaminate(docs, bench_grams, n=8).filter("contaminated").count()
+    per_query["op_decontaminate"] = round(time.perf_counter() - t0, 4)
+
     total = time.perf_counter() - t_all
 
     control_runs.append(_control_job(spark))   # sample 3: after the ops

@@ -62,3 +62,41 @@ def boost_by_query(searcher, query, boost_query,
             .select("doc_id",
                     F.when(F.col("_bm"), F.col("score") * F.lit(boost))
                     .otherwise(F.col("score")).alias("score")))
+
+
+def feature_score(searcher, query, docs: DataFrame, feature_col: str,
+                  function: str = "saturation", weight: float = 1.0,
+                  pivot: float = 1.0, a: float = 1.0,
+                  scaling: float = 1.0) -> DataFrame:
+    """FeatureField static-feature scoring
+    (`document/FeatureField.java:220-382`): a per-doc signal like
+    pagerank combined ADDITIVELY with the text score (the documented
+    pattern: the feature query is a SHOULD clause next to the text
+    query). Functions over feature value S:
+
+    - 'log'        → weight * ln(scaling + S)     (LogFunction:252)
+    - 'saturation' → weight * S / (S + pivot)     (SaturationFunction:323)
+    - 'sigmoid'    → weight * S^a / (S^a + pivot^a) (SigmoidFunction:382)
+
+    The reference encodes S in the term-freq slot of a pseudo-term and
+    evaluates the function as a Similarity; here S is a docvalue column
+    and the function one codegen expression — same additive combine,
+    minus the freq-quantization (decodeFeatureValue) the reference
+    only applies because it must squeeze S into a postings freq.
+    → (doc_id, score)."""
+    s = F.col("_fv").cast("double")
+    if function == "log":
+        fv = F.lit(weight) * F.log(F.lit(scaling) + s)
+    elif function == "saturation":
+        fv = F.lit(weight) * (F.lit(1.0) - F.lit(pivot) / (s + F.lit(pivot)))
+    elif function == "sigmoid":
+        pa = float(pivot) ** float(a)
+        fv = F.lit(weight) * (F.lit(1.0)
+                              - F.lit(pa) / (F.pow(s, F.lit(a)) + F.lit(pa)))
+    else:
+        raise ValueError("function must be log|saturation|sigmoid")
+    hits = searcher.score_all(query, mode="f64")
+    joined = hits.join(
+        docs.select("doc_id", F.col(feature_col).alias("_fv")), "doc_id")
+    return joined.select(
+        "doc_id", (F.col("score") + fv).alias("score"))

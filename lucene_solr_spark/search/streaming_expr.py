@@ -321,6 +321,32 @@ class StreamFactory:
         return Stream(src.df.agg(*aggs), [])
 
     # -- decorators ------------------------------------------------------
+    def _fetch(self, node: Expr) -> Stream:
+        """FetchStream.java:48: decorate each tuple with extra stored
+        fields from a collection, matched ``on="streamKey=collKey"``.
+        The reference batches point-lookups (batchSize tuples per /get
+        round-trip); declaratively it is a LEFT join against the doc
+        store — Catalyst broadcasts whichever side is small, and the
+        batched-lookup shape falls out of a broadcast of the stream
+        side. batchSize is accepted and ignored (a physical knob)."""
+        coll = node.args[0]
+        if coll not in self.collections:
+            raise KeyError(f"unknown collection {coll!r}")
+        docs, _ = self.collections[coll]
+        src = self.compile(node.args[1])
+        fl = [f.strip() for f in node.params.get("fl", "").split(",")
+              if f.strip()]
+        if not fl:
+            raise ValueError("fetch requires fl=")
+        on = node.params.get("on", "doc_id=doc_id")
+        lk, rk = (on.split("=") + [on])[:2] if "=" in on else (on, on)
+        side = docs.select(F.col(rk.strip()).alias("__fetch_key"),
+                           *[F.col(f) for f in fl])
+        out = (src.df.join(side,
+                           src.df[lk.strip()] == side["__fetch_key"],
+                           "left").drop("__fetch_key"))
+        return Stream(out, src.sort_spec)
+
     def _select(self, node: Expr) -> Stream:
         src = self.compile(node.args[0])
         cols = []
@@ -467,6 +493,8 @@ class StreamFactory:
             return self._complement(node)
         if fn == "having":
             return self._having(node)
+        if fn == "fetch":
+            return self._fetch(node)
         raise ValueError(f"unknown stream function {fn!r}")
 
     def dataframe(self, expr: str) -> DataFrame:

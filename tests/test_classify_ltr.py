@@ -187,3 +187,42 @@ def test_interval_facets_overlap_inclusivity(spark):
     assert got == {"a": 3, "b": 4, "c": 0, "d": 2}
     # requested order preserved
     assert [r["key"] for r in res.collect()] == ["a", "b", "c", "d"]
+
+
+def test_feature_score_functions(spark):
+    """FeatureField log/saturation/sigmoid formulas vs hand computation
+    (FeatureField.java:252,323,382), additive combine."""
+    import math
+
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_solr_spark.index.builder import IndexBuilder
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.search.ast import TermQuery
+    from lucene_solr_spark.search.function import feature_score
+    ann = StandardAnalyzer(stop_words=frozenset())
+    docs = spark.createDataFrame(
+        [(0, "aa bb", 4.0), (1, "aa cc", 16.0), (2, "dd", 100.0)],
+        "doc_id long, text string, pagerank double")
+    idx = IndexBuilder(ann, grid=4).build(spark, docs)
+    idx.postings = idx.postings.cache()
+    s = Searcher(spark, idx)
+    base = {r["doc_id"]: r["score"] for r in
+            s.score_all(TermQuery("aa"), mode="f64").collect()}
+    got = {r["doc_id"]: r["score"] for r in feature_score(
+        s, TermQuery("aa"), docs, "pagerank",
+        function="saturation", weight=2.0, pivot=4.0).collect()}
+    assert got[0] == pytest.approx(base[0] + 2.0 * (1 - 4.0 / 8.0))
+    assert got[1] == pytest.approx(base[1] + 2.0 * (1 - 4.0 / 20.0))
+    assert 2 not in got                       # must match the query
+    got = {r["doc_id"]: r["score"] for r in feature_score(
+        s, TermQuery("aa"), docs, "pagerank",
+        function="log", weight=0.5, scaling=1.0).collect()}
+    assert got[1] == pytest.approx(base[1] + 0.5 * math.log(17.0))
+    got = {r["doc_id"]: r["score"] for r in feature_score(
+        s, TermQuery("aa"), docs, "pagerank",
+        function="sigmoid", weight=1.0, pivot=4.0, a=2.0).collect()}
+    assert got[1] == pytest.approx(
+        base[1] + (1 - 16.0 / (16.0 ** 2 + 16.0)))
+    with pytest.raises(ValueError, match="log|saturation|sigmoid"):
+        feature_score(s, TermQuery("aa"), docs, "pagerank",
+                      function="nope")

@@ -152,3 +152,16 @@ def test_facet_and_stats(factory):
     assert len(st) == 1
     assert (st[0]["sum(n)"], st[0]["count(*)"]) == (110, 4)
     assert st[0]["avg(n)"] == pytest.approx(110 / 4)
+
+
+def test_fetch(factory):
+    got = factory.dataframe(
+        'fetch(docs, search(docs, q="merge", fl="doc_id", '
+        'sort="doc_id asc", qt="/export"), on="doc_id=doc_id", '
+        'fl="lang,n")').collect()
+    assert [(r["doc_id"], r["lang"], r["n"]) for r in got] == [
+        (0, "en", 10), (1, "en", 30), (2, "fr", 20), (4, "de", 50)]
+    with pytest.raises(ValueError, match="fl="):
+        factory.dataframe('fetch(docs, search(docs, q="merge", '
+                          'fl="doc_id", sort="doc_id asc", '
+                          'qt="/export"), on="doc_id=doc_id")')
