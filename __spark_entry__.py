@@ -1848,6 +1848,22 @@ def q_stream_fetch(spark, sf_dir):
                      F.col("n_chars").cast("long"))
 
 
+def q_spellcheck_collate(spark, sf_dir):
+    """SpellCheckCollator (spellcheck.collate): per-term top-3
+    suggestions for 'spak tabel', every combination re-queried as an
+    AND count, collations with hits ranked best-first."""
+    from lucene_solr_spark.search.suggest import collate
+    sc = _spellchecker(spark, sf_dir)
+    _, _, s = _index(spark, sf_dir)
+
+    def suggester(w, k):
+        return [r["term"] for r in
+                sc.suggest(w, max_edits=2, k=k).collect()]
+
+    return collate(s, ["spak", "tabel"], suggester, max_cands=3,
+                   max_collations=5)
+
+
 def q_surround_topk(spark, sf_dir):
     """Surround parser (queryparser/surround): '(key 4w agg) or
     (fast n scan)' — W ordered / N unordered distance ops compiled to
@@ -2792,6 +2808,29 @@ SELECT d.lang AS value, count(*)::BIGINT AS count,
        ROUND(quantile_cont(d.n_chars, 0.75), 4) AS p75
 FROM documents d JOIN m USING (doc_id)
 GROUP BY d.lang"""
+
+    # spellcheck collation: 3x3 candidate combos re-queried as ANDs
+    sql["q_spellcheck_collate"] = _PRELUDE + """
+, c1 AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (
+      ORDER BY levenshtein(term, 'spak'), df DESC, term) AS rk
+    FROM dfreq WHERE levenshtein(term, 'spak') <= 2) WHERE rk <= 3
+), c2 AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (
+      ORDER BY levenshtein(term, 'tabel'), df DESC, term) AS rk
+    FROM dfreq WHERE levenshtein(term, 'tabel') <= 2) WHERE rk <= 3
+), m AS (
+  SELECT c1.term AS t1, c2.term AS t2, count(DISTINCT a.doc_id) AS hits
+  FROM c1 CROSS JOIN c2
+  JOIN tf a ON a.term = c1.term
+  JOIN tf b ON b.term = c2.term AND b.doc_id = a.doc_id
+  GROUP BY c1.term, c2.term
+)
+SELECT t1 || ' ' || t2 AS "collation", hits::BIGINT AS hits
+FROM m WHERE hits > 0
+ORDER BY hits DESC, "collation" LIMIT 5"""
 
     # FeatureField saturation: additive static-feature combine
     sql["q_feature_score_topk"] = _PRELUDE + """
@@ -4138,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_percentiles": q_facet_percentiles,
         "q_feature_score_topk": q_feature_score_topk,
         "q_stream_fetch": q_stream_fetch,
+        "q_spellcheck_collate": q_spellcheck_collate,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

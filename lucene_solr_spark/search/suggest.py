@@ -400,3 +400,39 @@ def suggest_infix(docs: DataFrame, key: str, k: int = 10,
             .select("doc_id", text_col, w.alias("weight"))
             .orderBy(F.desc("weight"), F.asc(text_col), F.asc("doc_id"))
             .limit(k))
+
+
+def collate(searcher, words: list[str], suggester, max_cands: int = 3,
+            max_collations: int = 5, field: str = DEFAULT_FIELD):
+    """Spellcheck collation (solr/spelling/SpellCheckCollator.java:54
+    via SpellCheckComponent spellcheck.collate): substitute each query
+    term's top suggestions, RE-QUERY every combination against the
+    index, and return the collations that actually produce hits,
+    best-first.
+
+    ``suggester(word, k) -> [candidate term, ...]`` (rank order, e.g.
+    ``SpellChecker.suggest``); a word with no candidates stands as
+    itself. Like the reference — which issues one internal test query
+    per collation try (SpellCheckCollator.java "collationQueryStr"
+    loop) — each combination costs one COUNT query; combinations are
+    capped at max_cands^|words| by construction, and only hits > 0
+    survive. → DataFrame (collation, hits), hits desc then collation
+    asc, ≤ max_collations rows."""
+    from itertools import product
+
+    from .ast import BooleanQuery, Clause, Occur, TermQuery
+
+    cand_lists = []
+    for w in words:
+        cands = list(suggester(w, max_cands)) or [w]
+        cand_lists.append(cands)
+    rows = []
+    for combo in product(*cand_lists):
+        q = BooleanQuery(tuple(Clause(Occur.MUST, TermQuery(t, field=field))
+                               for t in combo))
+        n = searcher.count(q)
+        if n > 0:
+            rows.append((" ".join(combo), int(n)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return searcher.spark.createDataFrame(
+        rows[:max_collations] or [], "collation string, hits long")

@@ -156,3 +156,33 @@ def test_facet_percentiles(spark):
     assert got["a"]["p50"] == pytest.approx(25.0)
     assert got["a"]["p75"] == pytest.approx(32.5)
     assert got["b"]["p50"] == pytest.approx(150.0)
+
+
+def test_spellcheck_collate(spark):
+    """Collations are re-queried: only combinations with real hits
+    survive, best-first (SpellCheckCollator semantics)."""
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_solr_spark.index.builder import IndexBuilder
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.search.suggest import collate
+    ann = StandardAnalyzer(stop_words=frozenset())
+    docs = spark.createDataFrame(
+        [(0, "spark table join"), (1, "spark table scan"),
+         (2, "spark chair"), (3, "stark cable")],
+        "doc_id long, text string")
+    idx = IndexBuilder(ann, grid=4).build(spark, docs)
+    idx.postings = idx.postings.cache()
+    s = Searcher(spark, idx)
+
+    def suggester(w, k):
+        # deterministic candidate lists for the two misspellings
+        return {"spak": ["spark", "stark"],
+                "tabel": ["table", "cable"]}[w][:k]
+
+    got = [(r["collation"], r["hits"]) for r in
+           collate(s, ["spak", "tabel"], suggester).collect()]
+    # spark+table hits docs 0,1; stark+cable hits doc 3;
+    # spark+cable and stark+table hit nothing -> dropped
+    assert got == [("spark table", 2), ("stark cable", 1)]
+    # all-miss words collate to themselves and drop (0 hits)
+    assert collate(s, ["zzz"], lambda w, k: []).count() == 0
