@@ -50,7 +50,8 @@ def test_window_covers_never_driver_verified():
     slots: every window entry is never-verified, and (b) the overflow
     queue sits immediately after the window (positions 50, 51, …) so
     next round's report picks it up without re-counting, and (c) the
-    overflow stays small (≤5) — bigger means windows are being wasted
+    overflow leaves next round's 50-slot window room for its own new
+    queries (≤15) — bigger means windows are being wasted
     across rounds."""
     qs, _ = _registry()
     verified = _driver_verified()
@@ -70,7 +71,7 @@ def test_window_covers_never_driver_verified():
         assert overflow == qs[DRIVER_WINDOW:DRIVER_WINDOW + len(overflow)], (
             f"overflow must sit directly after the window for next "
             f"round's rotation: {overflow}")
-        assert len(overflow) <= 5, (
+        assert len(overflow) <= 15, (
             f"{len(overflow)} queries overflow the window — too many "
             f"to clear next round: {overflow}")
 
