@@ -126,7 +126,15 @@ def main() -> None:
     sim.ivf_topk_persisted(spark, ivf_dir, qv, n_probe=2, k=10).collect()
     per_query["op_ann_ivf_probe"] = round(time.perf_counter() - t0, 4)
 
-    # corpus hygiene (round 4): exact-substring dup + decontamination
+    # the headline total keeps the SAME composition as BENCH_r02/r03
+    # (build + query set + dedup/ANN ops) so "value" stays comparable
+    # across rounds; the round-4 hygiene ops below are timed separately
+    total = time.perf_counter() - t_all
+
+    # corpus hygiene (round 4): exact-substring dup + decontamination —
+    # corpus-scale scans (every 13-token window / every 8-gram), an
+    # order of magnitude more work than one top-k query; reported as
+    # their own component, NOT folded into the cross-round headline
     t0 = time.perf_counter()
     dd.substring_dup_stats(docs, width=13, hashed=True) \
         .filter("dup_windows > 0").count()
@@ -136,8 +144,7 @@ def main() -> None:
     bench_grams = sc.benchmark_grams(docs.filter("doc_id % 97 = 0"), n=8)
     sc.decontaminate(docs, bench_grams, n=8).filter("contaminated").count()
     per_query["op_decontaminate"] = round(time.perf_counter() - t0, 4)
-
-    total = time.perf_counter() - t_all
+    hygiene = per_query["op_substring_dup"] + per_query["op_decontaminate"]
 
     control_runs.append(_control_job(spark))   # sample 3: after the ops
     control = min(control_runs)
@@ -152,6 +159,9 @@ def main() -> None:
         "index_build_sec": round(build_sec, 3),
         "docs_per_sec": round(n_docs / build_sec, 1),
         "p95_query_sec": round(p95, 4),
+        # round-4 corpus-hygiene ops (full-corpus window/gram scans),
+        # timed but kept OUT of "value" for r2/r3 comparability
+        "hygiene_ops_sec": round(hygiene, 3),
         # host-noise control: fixed JVM-only parquet scan-agg timed in
         # this same process; compare p95_over_control ACROSS rounds —
         # steal inflates both numerator and denominator, a plan
