@@ -4084,7 +4084,185 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
   (1 + hv % 3)::BIGINT AS fake_channels
 FROM h ORDER BY doc_id"""
 
+    # --- round-4 session-3 additions ---
+    sql["q_leading_wildcard_topk"] = _PRELUDE + """
+, sel AS (
+  SELECT term FROM dfreq WHERE term LIKE '%ge'
+  ORDER BY df DESC, term LIMIT 8)
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc WHERE term IN (SELECT term FROM sel)
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
+    sql["q_ascii_fold_topk"] = _PRELUDE + """
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc WHERE term IN ('fast', 'merge')
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
+    sql["q_word_delimiter_terms"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents
+), s AS (
+  SELECT upper(substring(ts[1],1,1)) || substring(ts[1],2)
+      || upper(substring(ts[2],1,1)) || substring(ts[2],2)
+      || (doc_id % 100)::VARCHAR AS synth
+  FROM t WHERE len(ts) >= 2
+), r AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(synth,
+    '([A-Z])([A-Z][a-z])', '\1 \2', 'g'),
+    '([a-z])([A-Z])', '\1 \2', 'g'),
+    '([A-Za-z])([0-9])', '\1 \2', 'g'),
+    '([0-9])([A-Za-z])', '\1 \2', 'g') AS spaced
+  FROM s
+), e AS (
+  SELECT lower(unnest(string_split(spaced, ' '))) AS term FROM r
+)
+SELECT term, count(*)::BIGINT AS cnt FROM e WHERE term <> ''
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20"""
+
+    sql["q_facet_grouped"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'merge')
+SELECT d.lang AS value, count(DISTINCT d.source)::BIGINT AS count
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.lang ORDER BY 2 DESC, 1"""
+
+    sql["q_facet_nested"] = """
+WITH base AS (
+  SELECT lang AS outer_val, source AS inner_val,
+         count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS metric
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT outer_val, sum(count)::BIGINT AS outer_count FROM base GROUP BY 1
+), topo AS (
+  SELECT outer_val, outer_count,
+         row_number() OVER (ORDER BY outer_count DESC, outer_val)::INT
+           AS outer_rank
+  FROM tot
+), x AS (
+  SELECT b.outer_val, t.outer_count, b.inner_val, b.count, b.metric,
+         t.outer_rank,
+         row_number() OVER (PARTITION BY b.outer_val
+                            ORDER BY b.metric DESC, b.inner_val)::INT
+           AS inner_rank
+  FROM base b JOIN topo t USING (outer_val) WHERE t.outer_rank <= 3
+)
+SELECT outer_val, outer_count, inner_val, count, metric,
+       outer_rank, inner_rank
+FROM x WHERE inner_rank <= 2 ORDER BY outer_rank, inner_rank"""
+
+    sql["q_sample_stratified"] = """
+WITH f AS (
+  SELECT *, (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+            / 4294967296.0 AS frac
+  FROM documents
+), k AS (
+  SELECT * FROM f
+  WHERE frac < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                         ELSE 0.1 END
+)
+SELECT lang, count(*)::BIGINT AS kept, sum(n_chars)::BIGINT AS sum_chars
+FROM k GROUP BY lang ORDER BY lang"""
+
+    sql["q_export_sorted"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tokf WHERE term = 'merge')
+SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY n_chars DESC, doc_id"""
+
     return sql
+
+
+def q_leading_wildcard_topk(spark, sf_dir):
+    """Leading wildcard *ge via the reversed-dictionary path (Solr
+    ReversedWildcardFilterFactory): the suffix becomes a sargable
+    PREFIX filter on reverse(term), top-terms-capped at 8 (df desc,
+    term asc), then the OR of the kept terms is scored."""
+    import lucene_solr_spark.search.multiterm as mt
+    s = _searcher(spark, sf_dir)
+    terms = mt.leading_wildcard_terms(s.index.terms, "ge", size=8)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return _topk(s, mt.expanded_or(terms))
+
+
+def q_ascii_fold_topk(spark, sf_dir):
+    """ASCIIFoldingFilter at query time: the accented query
+    "fást mérge" under a folding analyzer scores exactly the OR of
+    (fast, merge). Index-time folding is a no-op on this accent-free
+    corpus (so the shared index is semantically the folded index);
+    the folded-index build path is pinned in
+    tests/test_folding_worddelim.py."""
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+    fold_an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS,
+                               ascii_folding=True)
+    s = _searcher(spark, sf_dir)
+    return _topk(s, parse_query("fást mérge", fold_an))
+
+
+def q_word_delimiter_terms(spark, sf_dir):
+    """WordDelimiterGraphFilter over synthesized intra-word tokens
+    (initcap(tok1)+initcap(tok2)+doc_id%100, e.g. "KeyAgg42"): the
+    Catalyst expression splits on case and letter↔digit boundaries,
+    then term counts aggregate — all whole-stage codegen."""
+    from lucene_solr_spark.analysis.worddelim import word_delimiter_expr
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    d = docs.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    synth = F.concat(
+        F.upper(F.substring(F.element_at("ts", 1), 1, 1)),
+        F.element_at("ts", 1).substr(F.lit(2), F.length(F.element_at("ts", 1))),
+        F.upper(F.substring(F.element_at("ts", 2), 1, 1)),
+        F.element_at("ts", 2).substr(F.lit(2), F.length(F.element_at("ts", 2))),
+        (F.col("doc_id") % 100).cast("string"))
+    parts = word_delimiter_expr(synth)
+    return (d.select(F.explode(parts).alias("part"))
+            .select(F.lower("part").alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(20))
+
+
+def q_facet_grouped(spark, sf_dir):
+    """Solr group.facet=true: lang facet over docs matching 'merge',
+    each distinct source group counting once."""
+    from lucene_solr_spark.search.facets import grouped_facet_counts
+    docs, _, s = _index(spark, sf_dir)
+    m = s.match_docs(parse_query("merge", ENGLISH_ANALYZER))
+    return (grouped_facet_counts(docs, m, "lang", "source")
+            .select("value", F.col("count").cast("long")))
+
+
+def q_facet_nested(spark, sf_dir):
+    """json.facet nested subfacets: top-3 langs by doc count, within
+    each the top-2 sources ranked by the nested sum(n_chars) metric."""
+    from lucene_solr_spark.search.facets import nested_facets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return nested_facets(docs, None, "lang", "source", "n_chars",
+                         outer_limit=3, inner_limit=2)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Training-mix stratified sampling: md5-deterministic keep rates
+    per language (en 0.5, de 0.25, others 0.1), aggregated per lang —
+    the exact sample is cluster-size-free and SQL-verifiable."""
+    from lucene_solr_spark.pipeline.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samp = stratified_sample(docs, "doc_id", "lang",
+                             {"en": 0.5, "de": 0.25}, default_rate=0.1)
+    return (samp.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("kept"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+def q_export_sorted(spark, sf_dir):
+    """Solr /export: the ENTIRE match set of 'merge' streamed in
+    (n_chars desc, doc_id asc) docvalue order — no top-k heap."""
+    from lucene_solr_spark.search.extras import export_sorted
+    docs, _, s = _index(spark, sf_dir)
+    res = export_sorted(s, parse_query("merge", ENGLISH_ANALYZER), docs,
+                        [("n_chars", False, True)])
+    return res.select(F.col("doc_id").cast("long"),
+                      F.col("n_chars").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4178,6 +4356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feature_score_topk": q_feature_score_topk,
         "q_stream_fetch": q_stream_fetch,
         "q_spellcheck_collate": q_spellcheck_collate,
+        # round-4 session-3 additions (overflow continues contiguously)
+        "q_leading_wildcard_topk": q_leading_wildcard_topk,
+        "q_ascii_fold_topk": q_ascii_fold_topk,
+        "q_word_delimiter_terms": q_word_delimiter_terms,
+        "q_facet_grouped": q_facet_grouped,
+        "q_facet_nested": q_facet_nested,
+        "q_sample_stratified": q_sample_stratified,
+        "q_export_sorted": q_export_sorted,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

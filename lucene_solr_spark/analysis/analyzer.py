@@ -48,11 +48,18 @@ class StandardAnalyzer:
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     possessive: bool = False
     stemmer: str | None = None
+    # ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java:57):
+    # fold Latin accents/ligatures to ASCII, applied after lowercase
+    # and before the stop filter (so "thé" stops as "the")
+    ascii_folding: bool = False
 
     def _finish(self, low: str):
-        """Post-lowercase filter chain: possessive → stop → stem.
+        """Post-lowercase filter chain: fold → possessive → stop → stem.
         Returns the final term, or None if stop-filtered (the position
         still advances — FilteringTokenFilter.java:47-57)."""
+        if self.ascii_folding:
+            from .folding import ascii_fold
+            low = ascii_fold(low)
         if self.possessive:
             low = possessive_strip(low)
         if low in self.stop_words:

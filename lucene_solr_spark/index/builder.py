@@ -180,12 +180,15 @@ def _vocab_map(uniq, analyzer: StandardAnalyzer):
     `StandardAnalyzer._finish`) to a batch's distinct-term vocabulary.
     Returns (keep_mask, mapped_terms) aligned with ``uniq``."""
     from ..analysis.en import get_stemmer, possessive_strip
+    from ..analysis.folding import ascii_fold
     n = len(uniq)
     keep = np.ones(n, dtype=bool)
     mapped = np.empty(n, dtype=object)
     stem = get_stemmer(analyzer.stemmer)
     sw = analyzer.stop_words
     for i, t in enumerate(uniq):
+        if analyzer.ascii_folding:
+            t = ascii_fold(t)
         if analyzer.possessive:
             t = possessive_strip(t)
         if t in sw:
@@ -236,7 +239,7 @@ def _invert_vec(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
     lens = np.fromiter(map(len, flat), dtype=np.int64, count=total)
     keep = lens <= analyzer.max_token_length
     flat = np.asarray(flat, dtype=object)
-    if analyzer.possessive or analyzer.stemmer:
+    if analyzer.possessive or analyzer.stemmer or analyzer.ascii_folding:
         # factorize-first: run the possessive/stop/stem chain once per
         # DISTINCT term in the batch (O(|vocab|) Python, not O(|tokens|)),
         # then scatter the mapped vocabulary back over the token stream

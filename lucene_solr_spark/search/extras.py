@@ -468,3 +468,27 @@ def term_vectors_positions(searcher, docs, doc_ids, analyzer=None,
     return (dic.join(F.broadcast(tv), "term")
             .select("doc_id", "term", "freq",
                     F.col("df").cast("long").alias("df"), "positions"))
+
+
+def export_sorted(searcher, query, docs: DataFrame, keys) -> DataFrame:
+    """Solr /export handler (`solr/core/src/java/org/apache/solr/
+    handler/export/ExportWriter.java:120`): stream the ENTIRE sorted
+    result set from docvalues — no top-k heap, no stored-field reads,
+    no paging. ``keys`` as in :func:`sort_by_fields`.
+
+    Spark shape: the match set semi-joins the docvalue columns, then a
+    range-partitioned global sort (Tungsten sort-shuffle) — the same
+    contract the reference meets with its 30k-doc sort batches, but
+    expressed as one declarative plan; writing the result streams it
+    out partition-parallel, which IS the export."""
+    hits = searcher.match_docs(query).distinct()
+    cols = [c for c, _, _ in keys]
+    j = hits.join(docs.select("doc_id", *cols), "doc_id")
+    order = []
+    for col, asc, nulls_last in keys:
+        c = F.col(col)
+        order.append((c.asc_nulls_last() if nulls_last else c.asc_nulls_first())
+                     if asc else
+                     (c.desc_nulls_last() if nulls_last else c.desc_nulls_first()))
+    order.append(F.asc("doc_id"))
+    return j.orderBy(*order)

@@ -239,3 +239,57 @@ def facet_percentiles(docs: DataFrame, matches: DataFrame | None,
             .agg(*aggs)
             .filter(F.col("count") >= min_count)
             .orderBy(F.desc("count"), F.asc("value")))
+
+
+def grouped_facet_counts(docs: DataFrame, matches: DataFrame | None,
+                         field: str, group_field: str,
+                         min_count: int = 1) -> DataFrame:
+    """Solr grouped faceting (``group.facet=true`` —
+    `solr/core/src/java/org/apache/solr/request/SimpleFacets.java`
+    getGroupedCounts / TermGroupFacetCollector): each distinct GROUP
+    counts once per facet value, instead of each matching document.
+    One map-side-combined distinct-agg; at scale this is a single
+    shuffle on (value, group) then a count — no per-group subquery."""
+    return (_matched(docs, matches)
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.countDistinct(group_field).alias("count"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), F.asc("value")))
+
+
+def nested_facets(docs: DataFrame, matches: DataFrame | None,
+                  outer: str, inner: str, metric_col: str,
+                  outer_limit: int = 3, inner_limit: int = 2) -> DataFrame:
+    """json.facet nested subfacets (Solr JSON Facet API,
+    `solr/core/src/java/org/apache/solr/search/facet/FacetField.java`):
+    top ``outer_limit`` buckets of ``outer`` by doc count, and within
+    each, the top ``inner_limit`` buckets of ``inner`` ranked by a
+    nested metric (``sum(metric_col)``) — the "sort by a sub-facet
+    aggregation" shape that plain facet.pivot cannot express.
+
+    Spark shape: one (outer, inner) agg, then two window row_numbers —
+    the bucket ranking never materializes more than the distinct bucket
+    pairs, and the windows run on the already-tiny agg output."""
+    from pyspark.sql.window import Window
+    base = (_matched(docs, matches)
+            .groupBy(F.col(outer).alias("outer_val"),
+                     F.col(inner).alias("inner_val"))
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.sum(metric_col).alias("metric")))
+    totals = (base.groupBy("outer_val")
+              .agg(F.sum("count").alias("outer_count")))
+    w_out = Window.orderBy(F.desc("outer_count"), F.asc("outer_val"))
+    top_outer = (totals
+                 .withColumn("outer_rank", F.row_number().over(w_out))
+                 .filter(F.col("outer_rank") <= outer_limit))
+    w_in = (Window.partitionBy("outer_val")
+            .orderBy(F.desc("metric"), F.asc("inner_val")))
+    return (base.join(top_outer, "outer_val")
+            .withColumn("inner_rank", F.row_number().over(w_in))
+            .filter(F.col("inner_rank") <= inner_limit)
+            .select("outer_val", F.col("outer_count").cast("long"),
+                    "inner_val", F.col("count").cast("long").alias("count"),
+                    F.col("metric").cast("long").alias("metric"),
+                    F.col("outer_rank").cast("int"),
+                    F.col("inner_rank").cast("int"))
+            .orderBy("outer_rank", "inner_rank"))

@@ -199,3 +199,37 @@ def complex_phrase_query(searcher, phrase_text: str,
             analyzed = searcher.index.analyzer.tokens(tok)
             slots.append(tuple(analyzed) if analyzed else (tok,))
     return MultiPhraseQuery(tuple(slots), field=field, slop=int(slop))
+
+
+def reversed_terms_table(terms_df, field: str = DEFAULT_FIELD):
+    """ReversedWildcardFilterFactory analog (Solr
+    `solr/core/src/java/org/apache/solr/analysis/
+    ReversedWildcardFilterFactory.java:48`; the filter itself is
+    `lucene/analysis/common/.../reverse/ReverseStringFilter.java:41`):
+    Solr indexes every token a second time REVERSED (behind a marker
+    char) so that a leading wildcard (``*shot``) rewrites to a PREFIX
+    scan over the reversed tokens instead of a full-dictionary walk.
+
+    Our dictionary analog: a derived reversed-term dictionary sorted by
+    ``rev_term``.  Persisted (sorted) once per generation, a leading
+    wildcard becomes a sargable ``startswith(rev_term, reverse(suffix))``
+    — Parquet row-group min/max stats prune the scan exactly as the
+    FST prefix seek does in the reference.  The table is dictionary-
+    sized (distinct terms), orders of magnitude smaller than postings."""
+    return (terms_df.filter(F.col("field") == field)
+            .select(F.reverse(F.col("term")).alias("rev_term"),
+                    "term", "df")
+            .sortWithinPartitions("rev_term"))
+
+
+def leading_wildcard_terms(terms_df, suffix: str,
+                           field: str = DEFAULT_FIELD,
+                           size: int = MAX_CLAUSE_COUNT) -> list[str]:
+    """Expand ``*suffix`` via the reversed dictionary: prefix-filter on
+    the reversed term (sargable), top-terms-capped like every other
+    MultiTermQuery rewrite (df desc, term asc)."""
+    rev = reversed_terms_table(terms_df, field)
+    rows = (rev.filter(F.col("rev_term").startswith(suffix[::-1]))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term")).limit(size).collect())
+    return sorted(r["term"] for r in rows)
