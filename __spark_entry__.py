@@ -4168,6 +4168,25 @@ SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d JOIN m USING (doc_id)
 ORDER BY n_chars DESC, doc_id"""
 
+    sql["q_pack_sequences"] = """
+WITH d AS (
+  SELECT doc_id,
+    (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT
+      AS shard,
+    ('0x' || substring(md5(doc_id::VARCHAR), 9, 8))::BIGINT AS ord_key,
+    len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tok,
+    sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, shard, n_tok, (cum - n_tok)::BIGINT AS start_off,
+  ((cum - n_tok) // 256)::BIGINT AS first_bin,
+  greatest((cum - n_tok) // 256, (cum - 1) // 256)::BIGINT AS last_bin
+FROM c WHERE doc_id < 300 ORDER BY doc_id"""
+
     return sql
 
 
@@ -4263,6 +4282,17 @@ def q_export_sorted(spark, sf_dir):
                         [("n_chars", False, True)])
     return res.select(F.col("doc_id").cast("long"),
                       F.col("n_chars").cast("long"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing (concat-and-chunk at 256 tokens,
+    8 shards): every document's deterministic (shard, offset, bin
+    span) from one hash-partitioned window cumsum — no driver state,
+    identical result at any parallelism."""
+    from lucene_solr_spark.pipeline.packing import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (pack_sequences(docs, budget=256, n_shards=8)
+            .filter(F.col("doc_id") < 300).orderBy("doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4364,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_nested": q_facet_nested,
         "q_sample_stratified": q_sample_stratified,
         "q_export_sorted": q_export_sorted,
+        "q_pack_sequences": q_pack_sequences,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

@@ -109,3 +109,25 @@ def test_stratified_sample_deterministic_and_rated(spark):
     kept_other = a.filter(~F.col("lang").isin(*rates)).count()
     if other:
         assert kept_other <= other * 0.35
+
+
+def test_pack_sequences_invariants(spark):
+    from lucene_solr_spark.pipeline.packing import pack_sequences
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = pack_sequences(docs, budget=128, n_shards=4).collect()
+    b = pack_sequences(docs.repartition(7), budget=128, n_shards=4).collect()
+    key = lambda r: r.doc_id
+    assert sorted(a, key=key) == sorted(b, key=key)  # reshard-invariant
+    # per shard: offsets are a gapless concatenation of token counts
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.start_off)
+        off = 0
+        for r in rows:
+            assert r.start_off == off
+            assert r.first_bin == off // 128
+            end = off + r.n_tok
+            assert r.last_bin == max(r.first_bin, (end - 1) // 128)
+            off = end
