@@ -103,3 +103,48 @@ def test_folding_index_end_to_end(spark):
     finally:
         plain.release()
         folded.release()
+
+
+# --- PhoneticFilter / Soundex (analysis/phonetic.py) ---
+
+NARA_CASES = {
+    "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+    "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+    "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+    "Gutierrez": "G362", "Jackson": "J250", "a": "A000", "": "",
+}
+
+
+def test_soundex_nara_pins():
+    from lucene_solr_spark.analysis.phonetic import soundex
+    for w, want in NARA_CASES.items():
+        assert soundex(w) == want, w
+
+
+def test_soundex_catalyst_differential(spark):
+    from lucene_solr_spark.analysis.phonetic import soundex, soundex_expr
+    words = [w for w in NARA_CASES if w] + [
+        "merge", "mirge", "spark", "sbark", "table", "dable", "hw", "why"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = df.select("w", soundex_expr("w").alias("code")).collect()
+    for r in rows:
+        assert r.code == soundex(r.w), r.w
+
+
+def test_phonetic_terms_expansion(spark):
+    """A misspelled query term expands to its phonetic dictionary
+    neighbors (PhoneticFilter's recall use-case): soundex('mirge') ==
+    soundex('merge'), so the expansion must surface 'merge'."""
+    from lucene_solr_spark.analysis.phonetic import phonetic_terms, soundex
+    from lucene_solr_spark.index.builder import IndexBuilder
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=128, head_df=64,
+                       salt_target=128).build(spark, docs)
+    try:
+        assert soundex("mirge") == soundex("merge")
+        terms = phonetic_terms(idx.terms, "mirge")
+        assert "merge" in terms
+        for t in terms:
+            assert soundex(t) == soundex("mirge")
+    finally:
+        idx.release()
