@@ -1920,6 +1920,127 @@ def q_term_vectors(spark, sf_dir):
             .orderBy("doc_id", "term"))
 
 
+def q_frange_topk(spark, sf_dir):
+    """Solr {!frange} (search/function/ValueSourceRangeFilter.java:40):
+    'merge' hits filtered to n_chars/100 ∈ [2, 6] — a function-value
+    range FILTER; relevance scores pass through untouched."""
+    from lucene_solr_spark.search.function import function_range_filter
+    docs, _, s = _index(spark, sf_dir)
+    res = function_range_filter(s, TermQuery("merge"), docs,
+                                "n_chars / 100.0", lower=2.0, upper=6.0)
+    return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
+def q_stats_field(spark, sf_dir):
+    """Solr StatsComponent stats.field (handler/component/StatsField.java,
+    StatsValuesFactory NumericStatsValues incl. the exact stddev formula
+    at :600) over the 'merge' match set on n_chars."""
+    from lucene_solr_spark.search.facets import stats_field
+    docs, _, s = _index(spark, sf_dir)
+    m = s.match_docs(TermQuery("merge"))
+    return (stats_field(docs, m, "n_chars")
+            .select(F.col("count").cast("long"),
+                    F.col("missing").cast("long"),
+                    F.col("min").cast("double"),
+                    F.col("max").cast("double"),
+                    "sum", "sumOfSquares", "mean", "stddev"))
+
+
+def q_diversified_topk(spark, sf_dir):
+    """DiversifiedTopDocsCollector (misc/search/
+    DiversifiedTopDocsCollector.java:61): top-5 of 'merge OR table'
+    with at most one hit per lang."""
+    from lucene_solr_spark.search.extras import diversified_topk
+    docs, _, s = _index(spark, sf_dir)
+    res = diversified_topk(s, _should("merge", "table"), docs, "lang",
+                           k=5, max_per_key=1)
+    return res.select(F.col("doc_id").cast("long"), "key",
+                      F.round("score", 4).alias("score"))
+
+
+def q_facet_date_range(spark, sf_dir):
+    """Solr date range faceting (RangeFacetProcessor + DateMathParser):
+    weekly buckets of January-2024 click events; gap re-applied as date
+    math per edge; empty buckets reported with count 0."""
+    from lucene_solr_spark.search.facets import date_range_facets
+    ev = _raw(spark, sf_dir, "events").filter("event_type = 'click'")
+    return date_range_facets(ev, None, "ts", "2024-01-01", "2024-01-31",
+                             "+7DAYS")
+
+
+def q_stream_timeseries(spark, sf_dir):
+    """TimeSeriesStream (solrj/io/stream/TimeSeriesStream.java:62):
+    weekly count/sum/avg of event value over January 2024."""
+    from lucene_solr_spark.search.streaming_expr import StreamFactory
+    f = StreamFactory({"events": (_raw(spark, sf_dir, "events"), None)})
+    df = f.dataframe(
+        'timeseries(events, q="*:*", field="ts", start="2024-01-01", '
+        'end="2024-02-01", gap="+7DAYS", count(*), sum(value), '
+        'avg(value))')
+    return df.select(
+        F.col("ts").alias("bucket"),
+        F.col("count(*)").cast("long").alias("cnt"),
+        F.round("sum(value)", 4).alias("sum_v"),
+        F.round("avg(value)", 4).alias("avg_v"))
+
+
+def q_facet_sampled(spark, sf_dir):
+    """RandomSamplingFacetsCollector (facet/
+    RandomSamplingFacetsCollector.java): lang facet of the 'table'
+    match set counted on a deterministic-md5 half sample, amortized by
+    1/rate (amortizeFacetCounts)."""
+    from lucene_solr_spark.search.facets import sampled_facet_counts
+    docs, _, s = _index(spark, sf_dir)
+    m = s.match_docs(TermQuery("table"))
+    return (sampled_facet_counts(docs, m, "lang", rate=0.5, seed=7)
+            .select("value", F.col("sampled_count").cast("long"),
+                    "estimate"))
+
+
+def q_graph_nodes(spark, sf_dir):
+    """gatherNodes/nodes graph expression (solrj/io/graph/
+    GatherNodesStream.java): two-hop walk — rich BUILDING customers →
+    their orders → the parts on those orders (scatter=leaves,
+    trackTraversal)."""
+    from lucene_solr_spark.search.graph import gather_nodes
+    cust = _raw(spark, sf_dir, "customer")
+    orders = _raw(spark, sf_dir, "orders")
+    li = _raw(spark, sf_dir, "lineitem")
+    roots = (cust.filter("c_mktsegment = 'BUILDING' AND c_acctbal > 9000")
+             .select("c_custkey"))
+    leaves = gather_nodes(roots, [(orders, "o_custkey", "o_orderkey"),
+                                  (li, "l_orderkey", "l_partkey")])
+    return (leaves.select(F.col("node").cast("long").alias("part"),
+                          F.col("level").cast("int"))
+            .orderBy("part"))
+
+
+def q_text_profile_dedup(spark, sf_dir):
+    """Solr SignatureUpdateProcessor TextProfileSignature
+    (update/processor/TextProfileSignature.java): quantized
+    term-frequency-profile near-dup fingerprint per document (ties
+    broken token-asc — the reference's HashMap tie order is
+    unspecified)."""
+    from lucene_solr_spark.pipeline.dedup import text_profile_signature
+    return (text_profile_signature(_raw_docs(spark, sf_dir))
+            .select(F.col("doc_id").cast("long"), "signature")
+            .orderBy("doc_id"))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality signal (Wenzek et al. 2020) with an
+    exactly-restatable unigram model: per-doc bits = −mean log2 of the
+    corpus unigram probability of each token."""
+    from lucene_solr_spark.pipeline.textstats import unigram_logprob
+    return (unigram_logprob(_raw_docs(spark, sf_dir))
+            .select(F.col("doc_id").cast("long"),
+                    F.col("n_tokens").cast("long"),
+                    F.round("bits", 4).alias("bits"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -4224,6 +4345,149 @@ WITH t AS (
 SELECT code, count(*)::BIGINT AS cnt FROM d
 GROUP BY code ORDER BY cnt DESC, code LIMIT 15"""
 
+    # frange: function-value range FILTER over merge hits; scores untouched
+    sql["q_frange_topk"] = _PRELUDE + """
+SELECT sc.doc_id, ROUND(sc.s, 4) AS score
+FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+WHERE sc.term = 'merge'
+  AND d.n_chars / 100.0 >= 2.0 AND d.n_chars / 100.0 <= 6.0
+ORDER BY sc.s DESC, sc.doc_id LIMIT 10"""
+
+    # StatsComponent: one tuple; stddev per StatsValuesFactory.java:600
+    sql["q_stats_field"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, v AS (SELECT d.n_chars::DOUBLE AS x FROM documents d JOIN m USING (doc_id))
+SELECT count(x)::BIGINT AS count,
+       sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+       min(x) AS min, max(x) AS max,
+       ROUND(sum(x), 4) AS sum,
+       ROUND(sum(x * x), 4) AS "sumOfSquares",
+       ROUND(sum(x) / count(x), 4) AS mean,
+       ROUND(CASE WHEN count(x) <= 1 THEN 0.0 ELSE
+         sqrt((count(x) * sum(x * x) - sum(x) * sum(x))
+              / (count(x) * (count(x) - 1.0))) END, 4) AS stddev
+FROM v"""
+
+    # DiversifiedTopDocsCollector: rank-within-key <= cap, then global k
+    sql["q_diversified_topk"] = _PRELUDE + """
+, hits AS (SELECT doc_id, SUM(s) AS s FROM sc
+           WHERE term IN ('merge', 'table') GROUP BY doc_id)
+, r AS (
+  SELECT h.doc_id, h.s, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY h.s DESC, h.doc_id) AS rn
+  FROM hits h JOIN documents d USING (doc_id))
+SELECT doc_id, lang AS "key", ROUND(s, 4) AS score FROM r WHERE rn <= 1
+ORDER BY s DESC, doc_id LIMIT 5"""
+
+    # date range facet: weekly date-math ladder, empty buckets kept.
+    # generate_series restates the ladder independently (fixed 7-day gap)
+    sql["q_facet_date_range"] = """
+WITH b AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                TIMESTAMP '2024-01-29',
+                                INTERVAL 7 DAY)) AS lo)
+SELECT strftime(b.lo, '%Y-%m-%dT%H:%M:%SZ') AS bucket,
+       count(e.ts)::BIGINT AS count
+FROM b LEFT JOIN events e
+  ON e.ts >= b.lo AND e.ts < b.lo + INTERVAL 7 DAY
+ AND e.event_type = 'click'
+GROUP BY b.lo ORDER BY b.lo"""
+
+    sql["q_stream_timeseries"] = """
+WITH b AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                TIMESTAMP '2024-01-29',
+                                INTERVAL 7 DAY)) AS lo)
+SELECT strftime(b.lo, '%Y-%m-%dT%H:%M:%SZ') AS bucket,
+       count(e.ts)::BIGINT AS cnt,
+       ROUND(sum(e.value), 4) AS sum_v,
+       ROUND(avg(e.value), 4) AS avg_v
+FROM b LEFT JOIN events e
+  ON e.ts >= b.lo AND e.ts < b.lo + INTERVAL 7 DAY
+GROUP BY b.lo ORDER BY b.lo"""
+
+    # sampled facets: deterministic md5 half-sample, amortized by 1/rate
+    sql["q_facet_sampled"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table')
+, samp AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN m USING (doc_id)
+  WHERE (('0x' || substring(md5('7|' || d.doc_id::VARCHAR), 1, 8))::BIGINT)
+          ::DOUBLE / 4294967296.0 < 0.5)
+SELECT lang AS value, count(*)::BIGINT AS sampled_count,
+       ROUND(count(*) / 0.5, 4) AS estimate
+FROM samp GROUP BY lang
+ORDER BY estimate DESC, value"""
+
+    # gatherNodes two-hop walk; trackTraversal = EXCEPT prior levels
+    sql["q_graph_nodes"] = """
+WITH roots AS (
+  SELECT DISTINCT c_custkey::VARCHAR AS node FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000),
+l1 AS (
+  SELECT DISTINCT o.o_orderkey::VARCHAR AS node
+  FROM orders o JOIN roots r ON o.o_custkey::VARCHAR = r.node),
+l1v AS (SELECT node FROM l1 EXCEPT SELECT node FROM roots),
+l2 AS (
+  SELECT DISTINCT l.l_partkey::VARCHAR AS node
+  FROM lineitem l JOIN l1v ON l.l_orderkey::VARCHAR = l1v.node),
+leaves AS (
+  SELECT node FROM l2
+  EXCEPT (SELECT node FROM roots UNION SELECT node FROM l1v))
+SELECT node::BIGINT AS part, 2 AS level FROM leaves ORDER BY part"""
+
+    # TextProfileSignature: quant profile, count-desc/token-asc lines
+    sql["q_text_profile_dedup"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         AS term
+  FROM documents
+), kept AS (
+  SELECT doc_id, term FROM tok WHERE length(term) > 2
+), tpf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS cnt
+  FROM kept GROUP BY doc_id, term
+), mx AS (
+  SELECT doc_id, max(cnt) AS maxf FROM tpf GROUP BY doc_id
+), qq AS (
+  SELECT doc_id,
+         CASE WHEN round(maxf * 0.01) >= 2 THEN round(maxf * 0.01)::BIGINT
+              WHEN maxf > 1 THEN 2 ELSE 1 END AS quant
+  FROM mx
+), prof AS (
+  SELECT t.doc_id, t.term,
+         CAST(floor(t.cnt / q.quant) AS BIGINT) * q.quant AS qcnt, q.quant
+  FROM tpf t JOIN qq q USING (doc_id)
+  WHERE CAST(floor(t.cnt / q.quant) AS BIGINT) * q.quant >= q.quant
+), body AS (
+  SELECT doc_id,
+         string_agg(term || ' ' || qcnt, chr(10)
+                    ORDER BY qcnt DESC, term) AS b
+  FROM prof GROUP BY doc_id)
+SELECT d.doc_id, md5(coalesce(body.b, '')) AS signature
+FROM documents d LEFT JOIN body USING (doc_id)
+ORDER BY d.doc_id"""
+
+    # unigram LM: p(t) = ttf/T over this corpus, bits = -mean log2 p
+    sql["q_unigram_logprob"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, count(*)::DOUBLE AS ttf FROM tok GROUP BY term
+), tot AS (SELECT sum(ttf) AS t FROM vocab
+), sc2 AS (
+  SELECT tk.doc_id, -log2(v.ttf / tot.t) AS bits
+  FROM tok tk JOIN vocab v USING (term) CROSS JOIN tot
+), pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, avg(bits) AS bits
+  FROM sc2 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       ROUND(pd.bits, 4) AS bits
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id"""
+
     return sql
 
 
@@ -4446,6 +4710,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_export_sorted": q_export_sorted,
         "q_pack_sequences": q_pack_sequences,
         "q_phonetic_terms": q_phonetic_terms,
+        # round-4 session-4 additions (overflow continues contiguously;
+        # r5's 50-slot window clears all of these with room to spare)
+        "q_frange_topk": q_frange_topk,
+        "q_stats_field": q_stats_field,
+        "q_diversified_topk": q_diversified_topk,
+        "q_facet_date_range": q_facet_date_range,
+        "q_stream_timeseries": q_stream_timeseries,
+        "q_facet_sampled": q_facet_sampled,
+        "q_graph_nodes": q_graph_nodes,
+        "q_text_profile_dedup": q_text_profile_dedup,
+        "q_unigram_logprob": q_unigram_logprob,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

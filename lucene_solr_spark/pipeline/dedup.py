@@ -466,3 +466,67 @@ def substring_dup_stats(docs: DataFrame, width: int = 13,
             .withColumn("dup_frac",
                         F.col("dup_windows")
                         / F.greatest("n_windows", F.lit(1))))
+
+
+def text_profile_signature(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           quant_rate: float = 0.01,
+                           min_token_len: int = 2) -> DataFrame:
+    """Solr SignatureUpdateProcessor's fuzzy signature
+    (`solr/core/src/java/org/apache/solr/update/processor/
+    TextProfileSignature.java`, Nutch lineage): a near-dup fingerprint
+    robust to small edits without any pairwise join —
+
+    1. tokens = maximal letter-or-digit runs, lowercased, kept when
+       LONGER than ``min_token_len`` (strictly >, the reference's
+       ``curToken.length() > minTokenLen``);
+    2. per-doc counts; QUANT = round(maxFreq·quantRate), floored to 2
+       (or 1 when maxFreq is 1);
+    3. each count rounds DOWN to a QUANT multiple, tokens below QUANT
+       drop — only the frequency PROFILE of dominant terms survives;
+    4. profile lines "token count" sorted by count desc, md5 of the
+       newline-joined text is the signature.
+
+    Documented divergence: the reference breaks count ties in HashMap
+    iteration order (JVM-internal, unspecified); ties here order by
+    token asc so the signature is deterministic and SQL-verifiable.
+
+    Spark shape: one explode + one (doc, term) groupBy (map-side
+    combined), a per-doc max window-free rollup, and one collect_list
+    per doc — the same two-exchange profile as token_counts; no
+    pairwise anything. Grouping the output by ``signature`` is the
+    exact-dedup shuffle. → (doc_id, signature)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(r"[\p{L}\p{Nd}]+"), 0))
+        .alias("term")).filter(F.length("term") > min_token_len)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    maxf = tf.groupBy("doc_id").agg(F.max("cnt").alias("maxf"))
+    q_raw = F.round(F.col("maxf") * F.lit(float(quant_rate)))
+    quant = F.when(q_raw >= 2, q_raw).otherwise(
+        F.when(F.col("maxf") > 1, F.lit(2.0)).otherwise(F.lit(1.0)))
+    prof = (tf.join(maxf, "doc_id")
+            .withColumn("_q", quant.cast("long"))
+            .withColumn("qcnt",
+                        (F.floor(F.col("cnt") / F.col("_q")) * F.col("_q")))
+            .filter(F.col("qcnt") >= F.col("_q")))
+    lines = (prof
+             .groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct((-F.col("qcnt")).alias("nk"),
+                          F.col("term").alias("term"),
+                          F.col("qcnt").alias("qcnt")))).alias("p"))
+             .select("doc_id",
+                     F.md5(F.concat_ws(
+                         "\n",
+                         F.transform(F.col("p"),
+                                     lambda x: F.concat_ws(
+                                         " ", x["term"],
+                                         x["qcnt"].cast("string")))))
+                     .alias("signature")))
+    # docs whose every token was dropped sign the empty profile
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(lines, "doc_id", "left")
+            .withColumn("signature",
+                        F.coalesce("signature", F.md5(F.lit("")))))

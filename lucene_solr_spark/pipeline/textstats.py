@@ -214,3 +214,55 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
             & (F.col("alpha_frac") >= min_alpha_frac)
             & (F.col("stop_hits") >= min_stop_hits))
     return out.withColumn("keep", keep)
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-doc unigram language-model score — the CCNet-style quality
+    signal (Wenzek et al. 2020, PAPERS.md) restated with the one LM
+    whose training IS a DataFrame aggregate and whose scores an oracle
+    can recompute exactly: p(t) = ttf(t)/T over this corpus, and a
+    document scores bits = −mean log2 p(token). Low bits = predictable
+    head-like text, high bits = rare-token tail (CCNet buckets on
+    exactly this ordering, just with a 5-gram KenLM).
+
+    Spark shape: training = one (term) groupBy over the exploded token
+    stream (map-side combined — the vocabulary, not the corpus, comes
+    out); scoring = one equi-join of the token stream against the
+    vocabulary (Zipf makes the vocab side ≪ corpus; Catalyst broadcasts
+    it under the threshold, else it is a well-keyed shuffle) + one
+    per-doc agg. → (doc_id, n_tokens, bits)."""
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tok(F.col(text_col))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("ttf"))
+    total = vocab.agg(F.sum("ttf").alias("T"))
+    scored = (tok.join(vocab, "term").crossJoin(total)
+              .withColumn("_bits",
+                          -F.log2(F.col("ttf") / F.col("T"))))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.avg("_bits").alias("bits")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "bits"))
+
+
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """CCNet's head/middle/tail split: documents bucketed by LM score
+    at the corpus's exact 1/3 and 2/3 quantiles (CCNet computes the
+    cutoffs per language on a sample; here exactly, over the whole
+    corpus — one sort-based percentile agg, affordable because it runs
+    on the per-DOC score frame, corpus-size/avg-doc-len rows). →
+    (doc_id, bits, bucket) with bucket ∈ head|middle|tail; head =
+    lowest bits (most predictable), the reference's keep-first band."""
+    b = unigram_logprob(docs, id_col, text_col).filter("bits IS NOT NULL")
+    cuts = b.agg(F.expr("percentile(bits, 1.0/3)").alias("c1"),
+                 F.expr("percentile(bits, 2.0/3)").alias("c2"))
+    return (b.crossJoin(cuts)
+            .select("doc_id", F.round("bits", 4).alias("bits"),
+                    F.when(F.col("bits") <= F.col("c1"), "head")
+                    .when(F.col("bits") <= F.col("c2"), "middle")
+                    .otherwise("tail").alias("bucket")))

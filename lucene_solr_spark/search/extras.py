@@ -492,3 +492,29 @@ def export_sorted(searcher, query, docs: DataFrame, keys) -> DataFrame:
                      (c.desc_nulls_last() if nulls_last else c.desc_nulls_first()))
     order.append(F.asc("doc_id"))
     return j.orderBy(*order)
+
+
+def diversified_topk(searcher, query, docs: DataFrame, key_col: str,
+                     k: int = 10, max_per_key: int = 1) -> DataFrame:
+    """DiversifiedTopDocsCollector (`lucene/misc/src/java/org/apache/
+    lucene/search/DiversifiedTopDocsCollector.java:61`): the top-k hits
+    with AT MOST ``max_per_key`` results per key — the "no more than N
+    per artist/domain/host" collector. The reference keeps a global
+    heap plus one per-key mini-heap and demotes a key's weakest hit
+    when its cap is exceeded; the end state is exactly "rank within
+    key ≤ cap, then global top-k", which is how it is restated here.
+
+    Spark shape: one window (single shuffle on the key — the same
+    exchange a groupBy would pay) ranks hits within each key in
+    codegen, then TakeOrderedAndProject takes the global k; per-key
+    rank never materializes more than the match set, and the window
+    partition carries no skew a head key didn't already have in the
+    match set. → (doc_id, key, score), score desc."""
+    from pyspark.sql.window import Window
+    hits = (searcher.score_all(query, mode="f64")
+            .join(docs.select("doc_id", F.col(key_col).alias("key")),
+                  "doc_id"))
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_key).drop("_rn")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

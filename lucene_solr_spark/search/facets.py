@@ -293,3 +293,104 @@ def nested_facets(docs: DataFrame, matches: DataFrame | None,
                     F.col("outer_rank").cast("int"),
                     F.col("inner_rank").cast("int"))
             .orderBy("outer_rank", "inner_rank"))
+
+
+def date_range_facets(docs: DataFrame, matches: DataFrame | None,
+                      field: str, start: str, end: str, gap: str,
+                      now=None) -> DataFrame:
+    """Solr date range faceting (``facet.range`` over a date field —
+    `solr/core/src/java/org/apache/solr/handler/component/
+    RangeFacetProcessor.java` with DateMathParser gaps): buckets
+    [b_i, b_{i+1}) whose edges come from re-applying ``gap`` as DATE
+    MATH to the previous edge, so ``+1MONTH`` lands on true month
+    starts. hardend=false (the default): the final bucket spans a full
+    gap even when it overshoots ``end``. Every requested bucket is
+    reported, empty ones with count 0.
+
+    Spark shape: the boundary ladder is a driver-side constant (date
+    math never touches the executors); membership is the same CASE-sum
+    codegen aggregate as ``range_facets`` — one narrow projection + one
+    agg regardless of bucket count. → (bucket ISO string, count) in
+    bucket order."""
+    from .datemath import date_boundaries
+    bounds = date_boundaries(start, end, gap, now=now)
+    ranges = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        ranges.append((lo.strftime("%Y-%m-%dT%H:%M:%SZ"), lo, hi))
+    m = _matched(docs, matches)
+    v = F.col(field)
+    aggs = [F.sum(F.when((v >= F.lit(lo)) & (v < F.lit(hi)), 1)
+                  .otherwise(0)).cast("long").alias(f"_b{i}")
+            for i, (_, lo, hi) in enumerate(ranges)]
+    wide = m.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(label).alias("bucket"),
+                 F.col(f"_b{i}").alias("count"),
+                 F.lit(i).alias("_ord"))
+        for i, (label, _, _) in enumerate(ranges)])
+    return (wide.select(F.explode(pairs).alias("r"))
+            .select("r.bucket", "r.count", "r._ord")
+            .orderBy("_ord").drop("_ord"))
+
+
+def sampled_facet_counts(docs: DataFrame, matches: DataFrame | None,
+                         field: str, rate: float, seed: int = 0,
+                         min_count: int = 1) -> DataFrame:
+    """RandomSamplingFacetsCollector analog (`lucene/facet/src/java/org/
+    apache/lucene/facet/RandomSamplingFacetsCollector.java`): count
+    facets on a ~``rate`` sample of the match set, then amortize the
+    counts by 1/rate (amortizeFacetCounts) — the 100-TB posture for
+    facets whose consumers need shape, not exact counts: the agg input
+    shrinks by 1/rate before any shuffle.
+
+    Documented divergence: the reference samples with a seeded
+    XORShift64 stream over hit ORDER (not reproducible across plans);
+    here membership is the deterministic md5 hash of doc_id ⊕ seed
+    (`pipeline/sampling.hash_frac`), so the sample — and therefore the
+    amortized counts — is reshard-invariant and SQL-verifiable.
+    → (value, sampled_count, estimate) by estimate desc, value asc."""
+    from ..pipeline.sampling import hash_frac
+    m = _matched(docs, matches)
+    key = F.concat(F.lit(str(seed)), F.lit("|"),
+                   F.col("doc_id").cast("string"))
+    sampled = m.filter(hash_frac(key) < F.lit(float(rate)))
+    return (sampled
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("sampled_count"))
+            .filter(F.col("sampled_count") >= min_count)
+            .withColumn("estimate",
+                        F.round(F.col("sampled_count") / F.lit(float(rate)),
+                                4))
+            .orderBy(F.desc("estimate"), F.asc("value")))
+
+
+def stats_field(docs: DataFrame, matches: DataFrame | None,
+                col: str) -> DataFrame:
+    """Solr StatsComponent (``stats.field`` —
+    `solr/core/src/java/org/apache/solr/handler/component/
+    StatsField.java` / StatsValuesFactory NumericStatsValues): one
+    tuple of count / missing / min / max / sum / sumOfSquares / mean /
+    stddev over the match set. count counts documents WITH a value,
+    missing those without; stddev is the reference's exact formula
+    (StatsValuesFactory.java:600): sqrt((count·sumsq − sum²) /
+    (count·(count−1))), 0 when count ≤ 1 — the sample, not population,
+    deviation. One map-side-combined aggregate; nothing leaves the
+    executors but the 8 scalars."""
+    m = _matched(docs, matches)
+    v = F.col(col).cast("double")
+    row = m.agg(
+        F.count(v).alias("count"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long")
+        .alias("missing"),
+        F.min(v).alias("min"), F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sumOfSquares"))
+    c, s, sq = F.col("count"), F.col("sum"), F.col("sumOfSquares")
+    return row.select(
+        c, F.col("missing"), "min", "max",
+        F.round(s, 4).alias("sum"),
+        F.round(sq, 4).alias("sumOfSquares"),
+        F.round(s / c, 4).alias("mean"),
+        F.round(F.when(c <= 1, F.lit(0.0)).otherwise(
+            F.sqrt((c * sq - s * s) / (c * (c - F.lit(1.0))))), 4)
+        .alias("stddev"))

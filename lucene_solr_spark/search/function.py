@@ -100,3 +100,35 @@ def feature_score(searcher, query, docs: DataFrame, feature_col: str,
         docs.select("doc_id", F.col(feature_col).alias("_fv")), "doc_id")
     return joined.select(
         "doc_id", (F.col("score") + fv).alias("score"))
+
+
+def function_range_filter(searcher, query, docs: DataFrame,
+                          value: Column | str,
+                          lower: float | None = None,
+                          upper: float | None = None,
+                          include_lower: bool = True,
+                          include_upper: bool = True) -> DataFrame:
+    """Solr ``{!frange}`` (`solr/core/src/java/org/apache/solr/search/
+    function/ValueSourceRangeFilter.java:40` / FunctionRangeQuery):
+    keep hits of ``query`` whose function value lies in [l, u], with
+    incl (includeLower/includeUpper) flags; a missing bound is open
+    (the reference passes null). The hit keeps its own relevance score
+    — frange is a FILTER, not a re-scorer (ValueSourceRangeFilter is a
+    two-sided SolrConstantScoreQuery used in fq).
+
+    Spark shape: the function is a Catalyst expression over docvalue
+    columns, the filter one codegen predicate after a narrow join —
+    when the function only references pushable columns the predicate
+    folds into the scan. → (doc_id, score)."""
+    v = F.expr(value) if isinstance(value, str) else value
+    hits = searcher.score_all(query, mode="f64")
+    joined = hits.join(docs.select("doc_id", v.cast("double").alias("_fv")),
+                       "doc_id")
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (F.col("_fv") >= lower if include_lower
+                       else F.col("_fv") > lower)
+    if upper is not None:
+        pred = pred & (F.col("_fv") <= upper if include_upper
+                       else F.col("_fv") < upper)
+    return joined.filter(pred).select("doc_id", "score")

@@ -458,6 +458,58 @@ class StreamFactory:
                              "boolean evaluator")
         return Stream(src.df.filter(_bool_col(ops[0])), src.sort_spec)
 
+    def _timeseries(self, node: Expr) -> Stream:
+        """TimeSeriesStream (`solr/solrj/src/java/org/apache/solr/client/
+        solrj/io/stream/TimeSeriesStream.java:62`): metrics per date-math
+        bucket of ``field`` between ``start`` and ``end`` stepping
+        ``gap`` — the reference pushes a JSON facet range; here the
+        boundary ladder is a driver constant (see search/datemath.py)
+        and bucket assignment ONE codegen expression: index = number of
+        boundaries ≤ ts, via filter+size over a literal timestamp array
+        — no CASE chain growth, no join, then one groupBy(bucket).
+        Every bucket in [start, end) is emitted, empty ones with
+        count 0 and null metrics (the facet-range contract). Buckets
+        are labeled with the ISO instant of their start (the
+        reference's default format) and sorted ascending."""
+        from .datemath import date_boundaries
+        coll = node.args[0]
+        field = node.params["field"]
+        bounds = date_boundaries(node.params["start"], node.params["end"],
+                                 node.params["gap"])
+        labels = [b.strftime("%Y-%m-%dT%H:%M:%SZ") for b in bounds[:-1]]
+        metrics = [a for a in node.args[1:]
+                   if isinstance(a, Expr) and a.name in _METRICS]
+        if not metrics:
+            raise ValueError("timeseries needs at least one metric")
+        inner = Expr("search")
+        inner.args = [coll]
+        fields = {field}
+        for mx in metrics:
+            if mx.args and mx.args[0] != "*":
+                fields.add(mx.args[0])
+        inner.params = {"q": node.params.get("q", "*:*"),
+                        "fl": ",".join(sorted(fields)), "qt": "/export"}
+        src = self._search(inner).df
+        ts = F.col(field)
+        barr = F.array(*[F.lit(b) for b in bounds])
+        idx = F.size(F.filter(barr, lambda b: b <= ts))
+        larr = F.array(*[F.lit(s) for s in labels])
+        binned = (src.filter((ts >= F.lit(bounds[0])) &
+                             (ts < F.lit(bounds[-1])))
+                  .withColumn(field, F.element_at(larr, idx)))
+        aggs = [_metric_col(mx)[0] for mx in metrics]
+        got = binned.groupBy(field).agg(*aggs)
+        spark = src.sparkSession
+        all_buckets = spark.createDataFrame([(s,) for s in labels], [field])
+        out = all_buckets.join(got, field, "left")
+        for mx in metrics:
+            _, ident = _metric_col(mx)
+            if mx.name == "count":
+                out = out.withColumn(ident,
+                                     F.coalesce(F.col(f"`{ident}`"),
+                                                F.lit(0)))
+        return Stream(out.orderBy(F.asc(field)), [(field, True)])
+
     # -- dispatch --------------------------------------------------------
     def compile(self, node) -> Stream:
         if isinstance(node, str):
@@ -495,6 +547,8 @@ class StreamFactory:
             return self._having(node)
         if fn == "fetch":
             return self._fetch(node)
+        if fn == "timeseries":
+            return self._timeseries(node)
         raise ValueError(f"unknown stream function {fn!r}")
 
     def dataframe(self, expr: str) -> DataFrame:

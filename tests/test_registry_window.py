@@ -71,9 +71,13 @@ def test_window_covers_never_driver_verified():
         assert overflow == qs[DRIVER_WINDOW:DRIVER_WINDOW + len(overflow)], (
             f"overflow must sit directly after the window for next "
             f"round's rotation: {overflow}")
-        assert len(overflow) <= 15, (
-            f"{len(overflow)} queries overflow the window — too many "
-            f"to clear next round: {overflow}")
+        # Round 5 is the terminal round: its 50-slot window must clear
+        # the whole overflow AND leave room for r5's own additions.
+        # 24 overflow + ≤26 new r5 queries fits exactly one window.
+        assert len(overflow) <= 24, (
+            f"{len(overflow)} queries overflow the window — round 5's "
+            f"50-slot window cannot clear them plus its own additions: "
+            f"{overflow}")
 
 
 def test_every_query_has_oracle_or_declared_rows_only():
