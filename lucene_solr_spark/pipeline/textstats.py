@@ -266,3 +266,49 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
                     F.when(F.col("bits") <= F.col("c1"), "head")
                     .when(F.col("bits") <= F.col("c2"), "middle")
                     .otherwise("tail").alias("bucket")))
+
+
+def c4_rules(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", min_line_words: int = 5,
+             min_sentences: int = 3,
+             bad_words: tuple = ()) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, the other half of
+    the Gopher/C4 pair every web-corpus pipeline runs): line-level
+    filtering followed by page-level drops.
+
+    Line rules (a line survives iff ALL hold): ends in terminal
+    punctuation (. ! ? or closing quote); has ≥ ``min_line_words``
+    words; does not contain the word "javascript" (case-insensitive).
+    Page rules (the doc is dropped iff ANY holds): fewer than
+    ``min_sentences`` sentences remain after line filtering; contains
+    "lorem ipsum"; contains '{'; contains any ``bad_words`` entry.
+
+    → (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep, clean_text). Like `gopher_rules` this is one
+    narrow codegen projection (split + higher-order filters) fusing
+    with the scan — no shuffle, no Python, a pure map stage at 100 TB.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    kept = F.filter(lines, lambda l: (
+        F.rtrim(l).rlike(r'[.!?]["”’]?$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript")))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | F.lower(text).contains(w.lower())
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"), has_brace.alias("has_brace"),
+        bad.alias("has_bad_word"), clean.alias("clean_text"))
+    keep = (~F.col("has_lorem") & ~F.col("has_brace")
+            & ~F.col("has_bad_word")
+            & (F.col("n_sentences") >= min_sentences))
+    return out.withColumn("keep", keep)

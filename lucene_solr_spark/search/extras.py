@@ -518,3 +518,35 @@ def diversified_topk(searcher, query, docs: DataFrame, key_col: str,
     return (hits.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_per_key).drop("_rn")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def covering_query(searcher, clauses, docs: DataFrame, min_match,
+                   k: int | None = None) -> DataFrame:
+    """CoveringQuery (`lucene/sandbox/src/java/org/apache/lucene/search/
+    CoveringQuery.java:43`): matches documents where at least
+    ``minimumNumberMatch(doc)`` of the clauses match, the threshold
+    being a per-document LongValuesSource rather than a constant (the
+    dynamic-mm generalization of minShouldMatch). Score = sum of the
+    matching clauses' scores (`CoveringScorer.java:168`).
+
+    ``min_match`` is a Column over ``docs`` — the LongValuesSource
+    analog. Plan: per-clause exhaustive scores (each a narrow
+    term-pruned scan), one unionByName (no shuffle), ONE groupBy
+    doc_id (count + sum — map-side combined), then a join against the
+    per-doc threshold. The threshold join is on doc_id, the same key
+    the agg just shuffled on, so AQE plans it without a second
+    exchange. k=None returns all covered docs.
+    """
+    scored = None
+    for q in clauses:
+        s = searcher.score_all(q, mode="f64")
+        scored = s if scored is None else scored.unionByName(s)
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_matching"), F.sum("score").alias("score"))
+    thr = docs.select("doc_id", min_match.alias("_min_match"))
+    out = (agg.join(thr, "doc_id")
+           .filter(F.col("n_matching") >= F.col("_min_match"))
+           .select("doc_id", "n_matching", "score"))
+    if k is not None:
+        out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return out

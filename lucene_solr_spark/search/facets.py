@@ -394,3 +394,27 @@ def stats_field(docs: DataFrame, matches: DataFrame | None,
         F.round(F.when(c <= 1, F.lit(0.0)).otherwise(
             F.sqrt((c * sq - s * s) / (c * (c - F.lit(1.0))))), 4)
         .alias("stddev"))
+
+
+def facet_unique(docs: DataFrame, matches: DataFrame | None, field: str,
+                 metric_field: str, approx: bool = False,
+                 rsd: float = 0.05) -> DataFrame:
+    """json.facet ``unique(field)`` / ``hll(field)`` bucket metrics
+    (`solr/core/src/java/org/apache/solr/search/facet/UniqueAgg.java:35`,
+    `HLLAgg.java:31`): per-bucket distinct count of another field over
+    the match set.
+
+    exact (UniqueAgg): COUNT(DISTINCT metric) — two-phase partial
+    aggregation in codegen (per-partition distinct then merge), one
+    shuffle on the bucket key.
+    approx (HLLAgg): ``approx_count_distinct`` — Spark's HyperLogLog++
+    is the same sketch family the reference uses; constant memory per
+    bucket regardless of cardinality, which is what survives a head
+    bucket with 10^9 distinct values at 100 TB (the exact path's
+    per-bucket hash set does not).
+    """
+    base = _matched(docs, matches)
+    agg = (F.approx_count_distinct(metric_field, rsd) if approx
+           else F.countDistinct(metric_field))
+    return (base.groupBy(F.col(field).alias("bucket"))
+            .agg(agg.alias("unique"), F.count("*").alias("count")))

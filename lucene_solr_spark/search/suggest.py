@@ -436,3 +436,31 @@ def collate(searcher, words: list[str], suggester, max_cands: int = 3,
     rows.sort(key=lambda r: (-r[1], r[0]))
     return searcher.spark.createDataFrame(
         rows[:max_collations] or [], "collation string, hits long")
+
+
+def suggest_with_contexts(docs: DataFrame, key: str, contexts, k: int = 10,
+                          field: str = "title", weight_col: str = "n_chars",
+                          context_col: str = "source") -> DataFrame:
+    """Context-filtered completion — ContextQuery over a document
+    dictionary (`lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    document/ContextQuery.java:63`, `DocumentDictionary.java:47`): each
+    document contributes (suggestion = field value, weight, context set);
+    a lookup matches the analyzed prefix AND filters to the requested
+    contexts, ranking by weight.
+
+    The reference intersects a context FST with the completion FST; the
+    Spark shape is a sargable conjunctive predicate — context IN (...)
+    AND prefix range — which Catalyst pushes into the parquet scan, then
+    TakeOrderedAndProject for the top-k. No shuffle.
+    → (suggestion, context, weight, doc_id) by weight desc.
+    """
+    ctx = list(contexts)
+    return (docs
+            .filter(F.col(context_col).isin(ctx)
+                    & F.col(field).startswith(key))
+            .select(F.col(field).alias("suggestion"),
+                    F.col(context_col).alias("context"),
+                    F.col(weight_col).cast("long").alias("weight"),
+                    F.col("doc_id").cast("long").alias("doc_id"))
+            .orderBy(F.desc("weight"), F.asc("suggestion"), F.asc("doc_id"))
+            .limit(k))
