@@ -652,6 +652,21 @@ def q_mlt_topk(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+def q_mlt_classic_topk(spark, sf_dir):
+    """Reference-exact MoreLikeThis (`queries/mlt/MoreLikeThis.java:651`
+    createQueue: tf≥minTermFreq, minDocFreq≤df, ClassicSimilarity idf
+    ln((N+1)/(df+1))+1, top maxQueryTerms by tf·idf): seed doc 7,
+    minTermFreq=1 minDocFreq=2 maxQueryTerms=10, OR query through the
+    BM25 kernel, seed excluded (Solr MLT handler shape)."""
+    from lucene_solr_spark.search.mlt import more_like_this
+    docs, _, s = _index(spark, sf_dir)
+    res = more_like_this(s, docs, 7, k=10, mode="f64",
+                         min_term_freq=1, min_doc_freq=2,
+                         max_query_terms=10)
+    return res.select(F.col("doc_id").cast("long"),
+                      F.round("score", 4).alias("score"))
+
+
 def q_dedup_components(spark, sf_dir):
     pairs = dd.minhash_dedup(_raw_docs(spark, sf_dir), threshold=0.8)
     res = dd.canonicalize_near_dups(pairs)
@@ -3881,6 +3896,21 @@ FROM sc JOIN mlt USING (term)
 WHERE doc_id <> 7
 GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
 
+    # reference-exact MLT (MoreLikeThis.java:651-702): tf/df filters,
+    # ClassicSimilarity idf ln((N+1)/(df+1))+1, top-10 by tf*idf
+    # (ties term asc), scored as OR via BM25, seed excluded
+    sql["q_mlt_classic_topk"] = _PRELUDE + """
+, src AS (SELECT term, freq FROM tf WHERE doc_id = 7),
+cand AS (
+  SELECT src.term,
+         src.freq * (ln((stats.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS ms
+  FROM src JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE src.freq >= 1 AND dfreq.df >= 2
+), sel AS (SELECT term FROM cand ORDER BY ms DESC, term LIMIT 10)
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc WHERE term IN (SELECT term FROM sel) AND doc_id <> 7
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
     # connected components of the near-dup pair graph (min-label):
     # recursive min propagation expressed as a fixpoint CTE
     sql["q_dedup_components"] = _P2 + _MINHASH_CTES + """
@@ -4926,6 +4956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_suggest_context": q_suggest_context,
         "q_cluster_topdocs": q_cluster_topdocs,
+        "q_mlt_classic_topk": q_mlt_classic_topk,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

@@ -141,8 +141,10 @@ def main() -> None:
     per_query["op_substring_dup"] = round(time.perf_counter() - t0, 4)
     from lucene_solr_spark.pipeline import scrub as sc
     t0 = time.perf_counter()
-    bench_grams = sc.benchmark_grams(docs.filter("doc_id % 97 = 0"), n=8)
-    sc.decontaminate(docs, bench_grams, n=8).filter("contaminated").count()
+    bench_grams = sc.benchmark_grams(docs.filter("doc_id % 97 = 0"), n=8,
+                                     hashed=True)
+    sc.decontaminate(docs, bench_grams, n=8,
+                     hashed=True).filter("contaminated").count()
     per_query["op_decontaminate"] = round(time.perf_counter() - t0, 4)
     hygiene = per_query["op_substring_dup"] + per_query["op_decontaminate"]
 

@@ -469,9 +469,13 @@ class IndexBuilder:
         self.head_df = head_df
         self.salt_target = salt_target
         # offsets (IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
-        # index/IndexOptions.java:25-53) imply positions
+        # index/IndexOptions.java:25-53) imply positions; so do payloads —
+        # in the reference the payload stream rides the positions stream
+        # (Lucene84PostingsWriter.addPosition), there is no payloads-
+        # without-positions IndexOption
         self.with_offsets = with_offsets
-        self.with_positions = with_positions or with_offsets
+        self.with_positions = (with_positions or with_offsets
+                               or payload is not None)
         # payload channel (Lucene84PostingsWriter.addPosition's payload
         # stream, PayloadAttribute): None, "position", "term_len", or a
         # (term, position) -> int callable (e.g. model term-importance)

@@ -405,6 +405,18 @@ def minhash_query(spark, docs: DataFrame, query_text: str,
 # re-expressed as rolling token windows)
 # ---------------------------------------------------------------------------
 
+def _gram_stream(docs: DataFrame, width: int, hashed: bool,
+                 id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, gram) window stream shared by the ExactSubstr-style
+    operators; hashed = 64-bit window hashes with NO gram-string
+    materialization (scrub.word_ngram_hashes)."""
+    from .scrub import word_ngram_hashes, word_ngrams
+    grams = (word_ngram_hashes(F.col(text_col), width) if hashed
+             else word_ngrams(F.col(text_col), width))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(grams).alias("gram"))
+
+
 def duplicate_windows(docs: DataFrame, width: int = 13,
                       min_docs: int = 2, hashed: bool = False,
                       id_col: str = "doc_id",
@@ -420,16 +432,12 @@ def duplicate_windows(docs: DataFrame, width: int = 13,
     instead of a distributed suffix array.
 
     Scale: the explode is map-side; the ONE wide shuffle groups by the
-    window key. With ``hashed=True`` the key is xxhash64(gram) (8 bytes
-    instead of ~width×7 — the shuffle shrinks ~10×; 64-bit collisions
-    are negligible for stats) — keep strings when exact spans must be
-    reported."""
-    from .scrub import word_ngrams
-    g = docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(word_ngrams(F.col(text_col), width))
-                    .alias("gram"))
-    if hashed:
-        g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+    window key. With ``hashed=True`` the key is a 64-bit window hash
+    folded from per-token hashes (scrub.word_ngram_hashes — the window
+    STRINGS are never built, and the shuffle key shrinks to 8 bytes
+    from ~width×7; 64-bit collisions are negligible for stats) — keep
+    strings when exact spans must be reported."""
+    g = _gram_stream(docs, width, hashed, id_col, text_col)
     return (g.groupBy("gram")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count("*").alias("n_occ"))
@@ -450,12 +458,7 @@ def substring_dup_stats(docs: DataFrame, width: int = 13,
     grams (n_docs ≥ 2) — on real corpora a small fraction of the
     window vocabulary — so the join side stays broadcastable far
     longer; a window missing from it is unique by construction."""
-    from .scrub import word_ngrams
-    g = docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(word_ngrams(F.col(text_col), width))
-                    .alias("gram"))
-    if hashed:
-        g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+    g = _gram_stream(docs, width, hashed, id_col, text_col)
     dup = (g.groupBy("gram")
            .agg(F.countDistinct("doc_id").alias("n_docs"))
            .filter(F.col("n_docs") >= 2))

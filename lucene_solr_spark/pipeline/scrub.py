@@ -98,19 +98,48 @@ def word_ngrams(text_col, n: int) -> "F.Column":
             " ", *[F.element_at(ws, i + d + 1) for d in range(n)]))
 
 
+def word_ngram_hashes(text_col, n: int) -> "F.Column":
+    """All n-word gram HASHES of the text as an array<bigint> — the
+    fast-path twin of ``word_ngrams`` for pipelines that only compare
+    grams for equality (dedup, decontamination). Tokens are hashed once
+    (one xxhash64 per token), then each window folds its n token hashes
+    with xxhash64-combine — no n-token STRING is ever materialized, so
+    a width-13 sweep allocates 8 bytes per window instead of ~100.
+    xxhash64(acc, x) is the combine (hash of the two longs) — no
+    arithmetic overflow, so it is safe under ANSI mode. Same window
+    positions/multiplicity as ``word_ngrams``; 64-bit collisions are
+    the only divergence (~n_windows²/2⁶⁵ — negligible at any corpus
+    this engine targets, and the exact-string path remains for the
+    oracle-gated queries)."""
+    ws = _words(text_col)
+    hs = F.transform(ws, lambda w: F.xxhash64(w))
+    idx = F.when(F.size(hs) >= n,
+                 F.sequence(F.lit(0), F.size(hs) - n)
+                 ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.aggregate(F.slice(hs, i + 1, n),
+                                   F.lit(0).cast("long"),
+                                   lambda a, x: F.xxhash64(a, x)))
+
+
 def benchmark_grams(bench_docs: DataFrame, n: int = 8,
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hashed: bool = False) -> DataFrame:
     """Distinct n-grams of the benchmark/eval corpus: one column
-    ``gram``. This is the (small) side that gets broadcast."""
+    ``gram``. This is the (small) side that gets broadcast. With
+    ``hashed`` the grams are 64-bit hashes (see word_ngram_hashes) —
+    pair it with ``decontaminate(..., hashed=True)``."""
+    grams = (word_ngram_hashes(F.col(text_col), n) if hashed
+             else word_ngrams(F.col(text_col), n))
     return (bench_docs
-            .select(F.explode(word_ngrams(F.col(text_col), n))
-                    .alias("gram"))
+            .select(F.explode(grams).alias("gram"))
             .distinct())
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  hashed: bool = False) -> DataFrame:
     """(doc_id, n_grams, n_hits, contaminated) — per training document
     the number of its word n-grams (with multiplicity) that appear in
     the benchmark gram set. GPT-3 appendix C / Gopher §A3 shape: a doc
@@ -118,8 +147,11 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
 
     ``bench`` is a one-column (``gram``) DataFrame — see
     ``benchmark_grams``; it is broadcast, so the corpus never shuffles.
+    ``hashed`` uses 64-bit gram hashes on BOTH sides (build ``bench``
+    with the same flag) — the corpus-scale fast path.
     """
-    grams = word_ngrams(F.col(text_col), n)
+    grams = (word_ngram_hashes(F.col(text_col), n) if hashed
+             else word_ngrams(F.col(text_col), n))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        grams.alias("grams"))
     per_doc = base.select("doc_id", F.size("grams").alias("n_grams"))

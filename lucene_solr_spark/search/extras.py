@@ -186,7 +186,12 @@ def more_like_this(searcher, doc_id: int, docs: DataFrame,
     select the seed doc's most interesting terms — ranked by
     tf × ln(N/df), the classic MLT interestingness metric, ties broken
     by term asc — and return the OR query over them (seed excluded at
-    search time by the caller or via score_all filter)."""
+    search time by the caller or via score_all filter).
+
+    Simplified r2-era metric kept for the gated q_mlt_topk; the
+    reference-exact implementation (ClassicSimilarity idf, minTermFreq/
+    minDocFreq/maxDocFreq filters, boost path, reference defaults) is
+    `search/mlt.py` more_like_this."""
     import math as _math
     from .ast import BooleanQuery, Clause, Occur, TermQuery
     row = (docs.filter(F.col("doc_id") == int(doc_id))

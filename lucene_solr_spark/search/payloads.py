@@ -90,3 +90,73 @@ def payload_score_topk(searcher, term: str, k: int = 10,
                       .alias("payload_score")))
     return (ps.select("doc_id", F.col("payload_score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def _term_positions_with_payloads(searcher, term: str, field: str,
+                                  required: int | None) -> DataFrame:
+    """(doc_id, pos) occurrences of ``term`` whose payload equals
+    ``required`` (all occurrences when required is None). Pushed
+    (field, term) key predicate; decode + filter run executor-side in
+    mapInPandas — only the surviving (doc_id, pos) pairs leave the
+    scan, so a selective payload check prunes before any join."""
+    blocks = (searcher.index.postings
+              .filter(_key_filter([(field, term)]))
+              .select("block_id", "doc_count", "doc_blob", "freq_blob",
+                      "norm_blob", "pos_blob", "pay_blob"))
+    from ..index.builder import decode_positions_blob
+
+    def extract(batches):
+        import pandas as pd
+        for pdf in batches:
+            out_d, out_p = [], []
+            for i in range(len(pdf)):
+                row = {c: pdf[c].iloc[i] for c in pdf.columns}
+                docs, freqs, _ = decode_postings_block(row)
+                poss = decode_positions_blob(row["pos_blob"], freqs)
+                pays = decode_payloads_flat(row["pay_blob"], freqs)
+                off = 0
+                for d, f, p in zip(docs, freqs, poss):
+                    pay = pays[off:off + f]
+                    off += f
+                    keep = (p if required is None
+                            else p[pay == required])
+                    out_d.extend([int(d)] * len(keep))
+                    out_p.extend(int(x) for x in keep)
+            yield pd.DataFrame({"doc_id": pd.Series(out_d, dtype="int64"),
+                                "pos": pd.Series(out_p, dtype="int64")})
+
+    return blocks.mapInPandas(extract, "doc_id long, pos long")
+
+
+def span_payload_check(searcher, terms: list[str],
+                       payloads: list[int | None],
+                       field: str = DEFAULT_FIELD) -> DataFrame:
+    """SpanPayloadCheckQuery (`lucene/queries/src/java/org/apache/lucene/
+    queries/payloads/SpanPayloadCheckQuery.java:54`): match exact-phrase
+    spans of ``terms`` where the payload at each span position equals
+    the corresponding ``payloads`` entry (None = position unchecked —
+    the reference's MatchOperation.GT/LT variants reduce to per-position
+    predicates the same way).
+
+    → (doc_id, freq): documents containing ≥1 payload-consistent span,
+    with the count of such spans (the span freq the reference's scorer
+    feeds to the similarity).
+
+    Plan: each position stream is payload-filtered AT THE SCAN (see
+    _term_positions_with_payloads), then the phrase is an equi-join
+    chain on (doc_id, pos − slot) — the join key encodes the phrase
+    alignment, so Catalyst plans ordinary hash joins; all streams are
+    candidate-bounded by the most selective payload check.
+    """
+    if len(terms) != len(payloads) or not terms:
+        raise ValueError("terms and payloads must align (non-empty)")
+    if not getattr(searcher.index, "with_payloads", False):
+        raise ValueError(
+            "span_payload_check requires IndexBuilder(payload=...)")
+    anchored = None
+    for slot, (t, req) in enumerate(zip(terms, payloads)):
+        s = (_term_positions_with_payloads(searcher, t, field, req)
+             .select("doc_id", (F.col("pos") - slot).alias("anchor")))
+        anchored = s if anchored is None else \
+            anchored.join(s, ["doc_id", "anchor"])
+    return anchored.groupBy("doc_id").agg(F.count("*").alias("freq"))

@@ -121,3 +121,47 @@ def test_payload_term_len_and_callable(spark, docs):
     got2 = payload_scores(s2, "merge", func="avg").limit(5).collect()
     assert got2 and all(r["payload_score"] == 7.0 for r in got2)
     s2.index.release()
+
+
+def test_span_payload_check_planted(spark):
+    from lucene_solr_spark.search.payloads import span_payload_check
+    rows = [(0, "key agg row key agg"), (1, "row key agg"), (2, "agg key")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = (IndexBuilder(ENGLISH_ANALYZER, grid=16, payload="position")
+           .build(spark, df).cache())
+    s = Searcher(spark, idx)
+    # unchecked positions = plain exact phrase with span freq
+    got = {r["doc_id"]: r["freq"] for r in
+           span_payload_check(s, ["key", "agg"], [None, None]).collect()}
+    assert got == {0: 2, 1: 1}
+    # payload(position)=1 on the first slot: only the doc-initial span
+    got = {r["doc_id"]: r["freq"] for r in
+           span_payload_check(s, ["key", "agg"], [1, None]).collect()}
+    assert got == {0: 1}
+    # anchor mid-doc: key at raw position 4
+    got = {r["doc_id"]: r["freq"] for r in
+           span_payload_check(s, ["key", "agg"], [4, None]).collect()}
+    assert got == {0: 1}
+    # payload 2 = key as 2nd token: only doc 1 ("row key agg")
+    got = {r["doc_id"]: r["freq"] for r in
+           span_payload_check(s, ["key", "agg"], [2, None]).collect()}
+    assert got == {1: 1}
+    # payload with no matching occurrence kills every span
+    assert span_payload_check(s, ["key", "agg"], [3, None]).count() == 0
+    idx.release()
+
+
+def test_span_payload_check_vs_python_oracle(spark, docs, psearcher):
+    import re
+    from lucene_solr_spark.search.payloads import span_payload_check
+    got = {r["doc_id"]: r["freq"] for r in
+           span_payload_check(psearcher, ["key", "agg"],
+                              [None, None]).collect()}
+    exp = {}
+    for r in docs.collect():
+        toks = re.findall("[a-z0-9]+", (r["text"] or "").lower())
+        n = sum(1 for a, b in zip(toks, toks[1:])
+                if (a, b) == ("key", "agg"))
+        if n:
+            exp[int(r["doc_id"])] = n
+    assert got == exp and exp

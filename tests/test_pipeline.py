@@ -342,3 +342,28 @@ def test_substring_dup(spark):
     assert (got[1]["n_windows"], got[1]["dup_windows"]) == (3, 1)
     assert got[2]["dup_windows"] == 0
     assert got[0]["dup_frac"] == pytest.approx(1 / 3)
+
+
+def test_hashed_gram_paths_equal_string_paths(spark, docs):
+    """word_ngram_hashes fast path (no gram-string materialization) must
+    reproduce the string path's RESULTS exactly: same per-doc dup stats
+    and same contamination flags (only the shuffle key representation
+    differs)."""
+    from lucene_solr_spark.pipeline.dedup import substring_dup_stats
+    from lucene_solr_spark.pipeline.scrub import (benchmark_grams,
+                                                  decontaminate)
+    sub = docs.filter("doc_id < 120")
+    s_str = {r["doc_id"]: (r["n_windows"], r["dup_windows"]) for r in
+             substring_dup_stats(sub, width=13).collect()}
+    s_hsh = {r["doc_id"]: (r["n_windows"], r["dup_windows"]) for r in
+             substring_dup_stats(sub, width=13, hashed=True).collect()}
+    assert s_str == s_hsh
+    bench = sub.filter("doc_id % 7 = 0")
+    d_str = {r["doc_id"]: (r["n_grams"], r["n_hits"]) for r in
+             decontaminate(sub, benchmark_grams(bench, n=8),
+                           n=8).collect()}
+    d_hsh = {r["doc_id"]: (r["n_grams"], r["n_hits"]) for r in
+             decontaminate(sub, benchmark_grams(bench, n=8, hashed=True),
+                           n=8, hashed=True).collect()}
+    assert d_str == d_hsh
+    assert any(h > 0 for _, h in d_str.values())

@@ -76,8 +76,8 @@ def test_window_covers_never_driver_verified():
             f"round's rotation: {overflow}")
         # Round 5 is the terminal round: its 50-slot window must clear
         # the whole overflow AND leave room for r5's own additions.
-        # 30 overflow + ≤20 new r5 queries fits exactly one window.
-        assert len(overflow) <= 30, (
+        # 35 overflow + ≤15 new r5 queries fits exactly one window.
+        assert len(overflow) <= 35, (
             f"{len(overflow)} queries overflow the window — round 5's "
             f"50-slot window cannot clear them plus its own additions: "
             f"{overflow}")
