@@ -2155,6 +2155,58 @@ def q_cluster_topdocs(spark, sf_dir):
                             k=20, n_clusters=3)
 
 
+def q_synonym_graph_topk(spark, sf_dir):
+    """Multi-word synonym graph phrase (SynonymGraphFilter +
+    QueryBuilder.analyzeGraphPhrase finite-strings: `analysis/synonym/
+    SynonymGraphFilter.java:47`, `util/QueryBuilder.java`): "key agg"
+    with the rule `key agg => merge` expands to SHOULD(phrase(key agg),
+    term(merge)); a doc scores the sum of its matching alternatives."""
+    from lucene_solr_spark.search.syngraph import (SynonymGraph,
+                                                   SynonymRule,
+                                                   graph_phrase_query)
+    s = _searcher(spark, sf_dir)
+    g = SynonymGraph([SynonymRule(("key", "agg"), ("merge",))])
+    return _topk(s, graph_phrase_query(g, ("key", "agg")))
+
+
+def q_blended_suggest(spark, sf_dir):
+    """BlendedInfixSuggester (`suggest/analyzing/
+    BlendedInfixSuggester.java:60`, POSITION_LINEAR): 'mer' title
+    suggestions scored weight × (1 − 0.10 × first-match position)."""
+    from lucene_solr_spark.search.suggest import blended_infix_suggest
+    res = blended_infix_suggest(_docs(spark, sf_dir), "mer", k=10,
+                                text_col="title", weight_col="n_chars")
+    return res.select(F.col("doc_id").cast("long"), "title",
+                      F.col("position").cast("long").alias("position"),
+                      F.round("score", 4).alias("score"))
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup signal (CCNet §3.1 / Dolma §4.1)
+    over the deterministically reshaped multi-line pages: per doc the
+    number of paragraphs whose normalized hash occurs in ≥2 docs."""
+    from lucene_solr_spark.pipeline.dedup import paragraph_dup_stats
+    res = paragraph_dup_stats(_c4_docs(spark, sf_dir))
+    return res.select(F.col("doc_id").cast("long"),
+                      F.col("n_paras").cast("long"),
+                      F.col("dup_paras").cast("long"),
+                      F.round("dup_frac", 4).alias("dup_frac"))
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened training mixture (XLM-R §3.1 / mT5 §3.2:
+    p^α multinomial, α=0.5, 40% budget): md5-deterministic per-lang
+    keep rates derived from one per-stratum count aggregate."""
+    from lucene_solr_spark.pipeline.sampling import temperature_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samp = temperature_sample(docs, "doc_id", "lang",
+                              alpha=0.5, sample_frac=0.4)
+    return (samp.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("kept"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -4030,6 +4082,55 @@ FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') h
 JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, h.doc_id LIMIT 10"""
 
+    # synonym graph phrase: SHOULD(phrase 'key agg', term 'merge') —
+    # phrase leg scored exactly like q_phrase_topk, alternatives summed
+    sql["q_synonym_graph_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'key' AND b.term = 'agg'
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'agg')
+), alt AS (
+  SELECT pf.doc_id,
+         idfs.w * pf.pf
+           / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)) AS s
+  FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+  UNION ALL
+  SELECT doc_id, s FROM sc WHERE term = 'merge'
+)
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM alt GROUP BY doc_id
+ORDER BY SUM(s) DESC, doc_id LIMIT 10""".replace("{k1}", str(K1)) \
+        .replace("{b}", str(B))
+
+    # blended infix suggester: first token-prefix match position →
+    # linear coefficient 1 - 0.10*position, score = n_chars × coef
+    sql["q_blended_suggest"] = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+    array_to_string(list_slice(regexp_extract_all(text, '[a-z0-9]+'),
+                               1, 5), ' ') AS title
+  FROM documents
+), m AS (
+  SELECT doc_id, title, n_chars,
+         list_position(list_transform(
+             regexp_extract_all(title, '[a-z0-9]+'),
+             x -> starts_with(x, 'mer')), true) AS pos1
+  FROM t
+)
+SELECT doc_id, title, (pos1 - 1)::BIGINT AS position,
+       ROUND(n_chars * (1.0 - 0.10 * (pos1 - 1)), 4) AS score
+FROM m WHERE pos1 > 0
+ORDER BY n_chars * (1.0 - 0.10 * (pos1 - 1)) DESC, title, doc_id
+LIMIT 10"""
+
     sql.update(_pipeline_oracle_sql())
     return sql
 
@@ -4717,6 +4818,65 @@ SELECT title AS suggestion, source AS context,
 FROM t WHERE source IN ('src0', 'src2') AND title LIKE 'table%'
 ORDER BY weight DESC, suggestion, doc_id LIMIT 10"""
 
+    # paragraph dedup over the SAME reshaped pages as q_c4_filter:
+    # normalized key = md5(lower, digits→0, whitespace collapsed)
+    sql["q_paragraph_dedup"] = r"""
+WITH pages AS (
+  SELECT doc_id,
+    substr(text, 1, 50) || '.' AS l1,
+    'short line.' AS l2,
+    CASE WHEN doc_id % 3 = 0 THEN 'lorem ipsum appears right here now.'
+         ELSE 'a perfectly normal line of text.' END AS l3,
+    CASE WHEN doc_id % 5 = 0 THEN 'code { brace } inside this line.'
+         ELSE 'another good and complete line here!' END AS l4,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'uses javascript for rendering the page today.'
+         ELSE substr(text, 51, 60) END AS l5
+  FROM documents
+), pg AS (
+  SELECT doc_id, l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+            || chr(10) || l5 AS page
+  FROM pages
+), p AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(trim(para)),
+                                           '[0-9]', '0', 'g'),
+                            '\s+', ' ', 'g')) AS key
+  FROM (SELECT doc_id, unnest(string_split(page, chr(10))) AS para
+        FROM pg)
+  WHERE trim(para) <> ''
+), shared AS (
+  SELECT key, 1 AS dup FROM p
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_paras,
+         count(dup)::BIGINT AS dup_paras
+  FROM p LEFT JOIN shared USING (key) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_paras, 0)::BIGINT AS n_paras,
+       coalesce(dup_paras, 0)::BIGINT AS dup_paras,
+       ROUND(coalesce(dup_paras / n_paras::DOUBLE, 0.0), 4) AS dup_frac
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+    # temperature mixture: rate_s = min(1, 0.4·total·√c_s / Σ√c / c_s),
+    # md5 membership — identical arithmetic order to temperature_rates
+    sql["q_temperature_mix"] = """
+WITH cnt AS (
+  SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(c) AS total, sum(pow(c, 0.5)) AS wsum FROM cnt
+), rate AS (
+  SELECT lang, least(1.0, 0.4 * total * pow(c, 0.5) / wsum / c) AS r
+  FROM cnt CROSS JOIN tot
+), f AS (
+  SELECT d.lang, d.n_chars, r,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+           / 4294967296.0 AS frac
+  FROM documents d JOIN rate USING (lang)
+)
+SELECT lang, count(*)::BIGINT AS kept, sum(n_chars)::BIGINT AS sum_chars
+FROM f WHERE frac < r GROUP BY lang ORDER BY lang"""
+
     return sql
 
 
@@ -4957,6 +5117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_context": q_suggest_context,
         "q_cluster_topdocs": q_cluster_topdocs,
         "q_mlt_classic_topk": q_mlt_classic_topk,
+        # round-4 session-6 additions (overflow still ≤ the 35-entry
+        # budget the window test enforces for r5's terminal rotation)
+        "q_synonym_graph_topk": q_synonym_graph_topk,
+        "q_blended_suggest": q_blended_suggest,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_temperature_mix": q_temperature_mix,
         # ---- (3) driver-green in r1-r3, impl touched since (re-gated
         # every round by the self-check; rotate back into the window
         # whenever never-verified count allows) ----

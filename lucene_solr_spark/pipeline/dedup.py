@@ -533,3 +533,90 @@ def text_profile_signature(docs: DataFrame, id_col: str = "doc_id",
             .join(lines, "doc_id", "left")
             .withColumn("signature",
                         F.coalesce("signature", F.md5(F.lit("")))))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet §3.1 / Dolma §4.1 — hash paragraphs,
+# drop every later occurrence corpus-wide)
+# ---------------------------------------------------------------------------
+
+def _paragraphs(docs: DataFrame, id_col: str, text_col: str,
+                sep: str) -> DataFrame:
+    """(doc_id, idx, para, key) — trimmed non-empty paragraphs with the
+    CCNet normalization key (lowercase, digits→0, whitespace collapsed)
+    hashed to md5 so the key is 32 bytes however long the paragraph."""
+    paras = F.split(F.col(text_col), sep)
+    norm = lambda p: F.md5(F.regexp_replace(F.regexp_replace(
+        F.lower(F.trim(p)), "[0-9]", "0"), "\\s+", " "))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(paras).alias("idx", "para"))
+            .filter(F.trim("para") != "")
+            .withColumn("key", norm(F.col("para"))))
+
+
+def paragraph_dup_stats(docs: DataFrame, sep: str = "\n",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document paragraph-duplication profile — (doc_id, n_paras,
+    dup_paras, dup_frac) where ``dup_paras`` counts this doc's
+    paragraphs whose normalized hash occurs in ≥ 2 distinct documents
+    (the signal CCNet/Dolma threshold on before dropping or demoting).
+
+    Scale: one map-side paragraph explode, ONE wide shuffle on the
+    32-byte md5 key (map-side-combined count), join back semi-bounded
+    by the exploded stream. No driver collection, no windows."""
+    p = _paragraphs(docs, id_col, text_col, sep)
+    shared = (p.groupBy("key")
+              .agg(F.countDistinct("doc_id").alias("n_docs"))
+              .filter(F.col("n_docs") >= 2))
+    flagged = (p.join(shared.select("key", F.lit(1).alias("_dup")),
+                      "key", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_paras"),
+                    F.count("_dup").alias("dup_paras")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(flagged, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                    F.coalesce("dup_paras", F.lit(0)).alias("dup_paras"))
+            .withColumn("dup_frac",
+                        F.when(F.col("n_paras") > 0,
+                               F.col("dup_paras") / F.col("n_paras"))
+                        .otherwise(F.lit(0.0))))
+
+
+def drop_duplicate_paragraphs(docs: DataFrame, sep: str = "\n",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """CCNet paragraph dedup proper: every paragraph keeps its FIRST
+    occurrence in (doc_id, idx) order and later occurrences are
+    removed; documents are reassembled from their surviving paragraphs
+    (doc order preserved, possibly empty). → (doc_id, text, n_paras,
+    kept_paras).
+
+    Scale: first-occurrence = one min(struct(doc_id, idx)) aggregate
+    per key — NOT a global sort and NOT a window over the corpus; the
+    reassembly groupBy(doc_id) shuffles only surviving paragraphs.
+    Deterministic on any partitioning/cluster size."""
+    p = _paragraphs(docs, id_col, text_col, sep)
+    first = (p.groupBy("key")
+             .agg(F.min(F.struct("doc_id", "idx")).alias("f")))
+    kept = (p.join(first, "key")
+            .filter((F.col("doc_id") == F.col("f.doc_id"))
+                    & (F.col("idx") == F.col("f.idx"))))
+    stats = p.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("kept_paras"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "para"))),
+                            lambda x: x["para"]), sep).alias("text")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(stats, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                    F.coalesce("kept_paras", F.lit(0))
+                    .alias("kept_paras")))

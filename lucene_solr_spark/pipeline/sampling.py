@@ -39,3 +39,46 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
     return df.filter(hash_frac(key_col) < rate)
+
+
+def temperature_rates(counts: dict[str, int], alpha: float,
+                      sample_frac: float) -> dict[str, float]:
+    """Multinomial temperature-sampling rates (XLM-R §3.1 / mT5 §3.2:
+    sample stratum ``s`` with probability ``p_s^alpha / Σ p^alpha``):
+    given per-stratum row counts, return per-stratum KEEP rates such
+    that the expected output is ``sample_frac × total`` rows mixed by
+    the temperature-flattened distribution. ``alpha`` < 1 up-samples
+    the tail / down-samples the head; 1 = proportional (plain
+    ``sample_frac`` everywhere); 0 = uniform across strata. Rates cap
+    at 1.0 — a tail stratum whose target exceeds its size keeps
+    everything (the standard without-replacement compromise; the
+    reference recipes resample WITH replacement at the batch sampler,
+    which a deterministic corpus filter cannot)."""
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    total = float(sum(counts.values()))
+    wsum = sum(c ** alpha for c in counts.values() if c > 0)
+    out = {}
+    for s, c in counts.items():
+        if c <= 0:
+            out[s] = 0.0
+            continue
+        target = sample_frac * total * (c ** alpha) / wsum
+        out[s] = min(1.0, target / c)
+    return out
+
+
+def temperature_sample(df: DataFrame, key_col: str, strata_col: str,
+                       alpha: float = 0.7,
+                       sample_frac: float = 0.5) -> DataFrame:
+    """Temperature-mixed deterministic sample: ONE tiny aggregate for
+    the per-stratum counts (collected — one row per stratum, the only
+    driver traffic), rates via ``temperature_rates``, membership via
+    the same md5 ``hash_frac`` projection as ``stratified_sample`` —
+    reshard-invariant and SQL-verifiable at any scale."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    rates = temperature_rates(counts, alpha, sample_frac)
+    return stratified_sample(df, key_col, strata_col, rates)

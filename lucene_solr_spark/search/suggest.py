@@ -402,6 +402,63 @@ def suggest_infix(docs: DataFrame, key: str, k: int = 10,
             .limit(k))
 
 
+BLENDER_LINEAR_COEF = 0.10   # BlendedInfixSuggester.LINEAR_COEF
+
+
+def blended_infix_suggest(docs: DataFrame, key: str, k: int = 10,
+                          text_col: str = "title",
+                          weight_col: str | None = None,
+                          blender: str = "linear",
+                          exponent: float = 2.0) -> DataFrame:
+    """BlendedInfixSuggester (`lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java:60`): infix suggestions whose score
+    blends the stored weight with WHERE in the text the match occurs —
+    earlier matches rank higher. Per ``calculateCoefficient``:
+
+    - ``linear``     (BlenderType.POSITION_LINEAR):
+      coefficient = 1 − 0.10 × position (LINEAR_COEF; the reference
+      does not clamp, so position > 10 goes negative — kept).
+    - ``reciprocal`` (POSITION_RECIPROCAL): 1 / (position + 1).
+    - ``exp_reciprocal`` (POSITION_EXPONENTIAL_RECIPROCAL):
+      1 / (position + 1)^exponent.
+
+    ``position`` = index of the first token whose PREFIX matches the
+    typed fragment (the infix suggester's token-start contract);
+    score = weight × coefficient (BlendedInfixSuggester.createResults).
+    → (doc_id, <text_col>, position, score), score desc / text asc /
+    doc_id asc.
+
+    Spark shape: tokens, first-match position (array_position over a
+    startswith map) and the coefficient are ONE whole-stage-codegen
+    projection over the suggestion table + TakeOrderedAndProject — the
+    same sargable shape as ``suggest_infix``, no shuffle."""
+    frag = key.strip().lower()
+    if not frag:
+        raise ValueError("empty suggestion key")
+    if blender not in ("linear", "reciprocal", "exp_reciprocal"):
+        raise ValueError(f"unknown blender {blender!r}")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
+    pos1 = F.array_position(
+        F.transform(toks, lambda t: t.startswith(frag)), F.lit(True))
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.length(text_col).cast("double"))
+    position = (pos1 - 1).cast("int")
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(BLENDER_LINEAR_COEF) * position
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (position + 1)
+    else:
+        coef = F.lit(1.0) / F.pow(position.cast("double") + 1.0,
+                                  F.lit(float(exponent)))
+    return (docs.withColumn("position", position)
+            .filter(pos1 > 0)
+            .select("doc_id", text_col, "position",
+                    (w * coef).alias("score"))
+            .orderBy(F.desc("score"), F.asc(text_col), F.asc("doc_id"))
+            .limit(k))
+
+
 def collate(searcher, words: list[str], suggester, max_cands: int = 3,
             max_collations: int = 5, field: str = DEFAULT_FIELD):
     """Spellcheck collation (solr/spelling/SpellCheckCollator.java:54
