@@ -650,7 +650,11 @@ class OracleIndex:
                 out[d] = np.float32(
                     mx + np.float32(node["tie"]) * np.float32(sm - mx))
             return docs, out
-        # bool node
+        # bool node (the oracle's universe IS all_docs, so MatchAll
+        # constants — SimpleQueryParser NOT-wrapper shape — evaluate
+        # exactly, grounded or not)
+        if node.get("never"):
+            return set(), {}
         acc: dict[int, np.float32] = {}
 
         def add(sc):
@@ -666,6 +670,9 @@ class OracleIndex:
         for ch in node["filter"]:
             m, _ = self._eval_tree_node(ch, False)
             req = m if req is None else (req & m)
+        if req is None and node.get("all_must"):
+            req = set(self.all_docs)
+        all_should = node.get("all_should", 0)
         cnt: dict[int, int] = {}
         for ch in node["should"]:
             m, s = self._eval_tree_node(ch, scoring)
@@ -676,16 +683,23 @@ class OracleIndex:
         if req is not None:
             docs = req
             if node["msm"] > 0:
-                docs = {d for d in docs if cnt.get(d, 0) >= node["msm"]}
+                docs = {d for d in docs
+                        if cnt.get(d, 0) + all_should >= node["msm"]}
         else:
             need = max(1, node["msm"])
-            docs = {d for d, n in cnt.items() if n >= need}
+            if all_should >= need:
+                docs = set(self.all_docs)
+            else:
+                docs = {d for d, n in cnt.items()
+                        if n + all_should >= need}
         for ch in node["must_not"]:
             m, _ = self._eval_tree_node(ch, False)
             docs = docs - m
         if not scoring:
             return docs, {}
-        return docs, {d: acc.get(d, np.float32(0.0)) for d in docs}
+        const = np.float32(node.get("const", 0.0))
+        return docs, {d: np.float32(acc.get(d, np.float32(0.0)) + const)
+                      for d in docs}
 
     # ------------------------------------------------------------------
     # AST interpreter (same clause plan as the Spark kernel)

@@ -99,3 +99,194 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
                                               "channels", "features"])
 
     return binary_df.mapInPandas(batches, schema=IMAGE_FEAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for library-free formats. The container ships no image/
+# audio codecs, but Netpbm (P5/P6), uncompressed 24-bit BMP and RIFF/WAV
+# PCM16 are simple public byte layouts decodable with numpy alone — so
+# for these formats the decode step is NOT a stub: bytes in, pixel/
+# sample arrays out, features computed executor-side. Compressed
+# formats (JPEG/PNG/MP3/...) remain behind the PIL-gated decode_image.
+# ---------------------------------------------------------------------------
+
+def decode_netpbm(payload: bytes):
+    """Binary Netpbm: P5 (grayscale) / P6 (RGB), maxval ≤ 255 →
+    uint8 ndarray (h, w) or (h, w, 3). Public spec: magic, whitespace/
+    comment-separated width height maxval, single whitespace, raster."""
+    import numpy as np
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary Netpbm payload")
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":           # comment to end of line
+            while i < n and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1                                      # the single ws after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit Netpbm not supported")
+    c = 1 if payload[:2] == b"P5" else 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * c,
+                           offset=i)
+    return raster.reshape((h, w) if c == 1 else (h, w, 3))
+
+
+def decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): bottom-up
+    BGR rows padded to 4 bytes → uint8 ndarray (h, w, 3) in RGB."""
+    import struct
+
+    import numpy as np
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)[:, :w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]     # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def decode_wav_pcm16(payload: bytes):
+    """RIFF/WAVE PCM 16-bit → (samples int16 ndarray [n, channels],
+    sample_rate). Walks the chunk list (public RIFF layout); rejects
+    compressed codecs."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid, sz = payload[i:i + 4], struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)                   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    samples = samples[:len(samples) - len(samples) % channels]
+    return samples.reshape(-1, channels), rate
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize (pure index arithmetic — deterministic
+    on every platform, no interpolation library)."""
+    import numpy as np
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def image_features(img, pool: int = 8):
+    """Deterministic feature vector: per-channel mean + std, then an
+    ``pool``×``pool`` average-pooled grayscale fingerprint (nearest-
+    resized first so any input size yields the same length)."""
+    import numpy as np
+    a = img.astype(np.float32)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    feats = [a.mean(axis=(0, 1)), a.std(axis=(0, 1))]
+    gray = a.mean(axis=2)
+    tile = resize_nearest(gray, pool * 4, pool * 4)
+    fp = tile.reshape(pool, 4, pool, 4).mean(axis=(1, 3))
+    feats.append(fp.ravel())
+    return np.concatenate(feats).astype(np.float32)
+
+
+IMAGE_RAW_SCHEMA = ("doc_id long, fmt string, width int, height int, "
+                    "channels int, features array<float>")
+
+AUDIO_FEAT_SCHEMA = ("doc_id long, sample_rate int, n_samples long, "
+                     "channels int, duration_sec double, rms double, "
+                     "zero_cross_rate double")
+
+
+def decode_image_raw(binary_df: DataFrame) -> DataFrame:
+    """REAL image decode for the library-free formats: Netpbm P5/P6 and
+    uncompressed 24-bit BMP, auto-detected by magic bytes; rows whose
+    payload is neither are dropped (fmt routing belongs upstream).
+    → (doc_id, fmt, width, height, channels, features) with the
+    deterministic ``image_features`` vector.
+
+    Scale: narrow Arrow-batched mapInPandas, no shuffle; payload column
+    pruned out of any plan that doesn't call this."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    if b[:2] in (b"P5", b"P6"):
+                        img, fmt = decode_netpbm(b), "netpbm"
+                    elif b[:2] == b"BM":
+                        img, fmt = decode_bmp24(b), "bmp"
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                ch = 1 if img.ndim == 2 else img.shape[2]
+                rows.append((int(did), fmt, img.shape[1], img.shape[0],
+                             ch, image_features(img).tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt", "width",
+                                              "height", "channels",
+                                              "features"])
+
+    _ = np  # decoders import numpy lazily; keep the dep explicit
+    return binary_df.mapInPandas(batches, schema=IMAGE_RAW_SCHEMA)
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAV PCM16: per-payload duration, RMS
+    amplitude (channel-mixed) and zero-crossing rate — the standard
+    cheap audio-quality signals. Non-WAV rows are dropped."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_wav_pcm16(bytes(payload))
+                except ValueError:
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt((mono ** 2).mean())) if n else 0.0
+                zcr = (float(np.count_nonzero(
+                    np.signbit(mono[1:]) != np.signbit(mono[:-1])) / (n - 1))
+                    if n > 1 else 0.0)
+                rows.append((int(did), int(rate), int(n),
+                             int(samples.shape[1]), n / rate, rms, zcr))
+            yield pd.DataFrame(rows, columns=["doc_id", "sample_rate",
+                                              "n_samples", "channels",
+                                              "duration_sec", "rms",
+                                              "zero_cross_rate"])
+
+    return binary_df.mapInPandas(batches, schema=AUDIO_FEAT_SCHEMA)

@@ -286,7 +286,22 @@ class Searcher:
     # ------------------------------------------------------------------
     def _plan(self, query):
         query = rewrite(self.expand_multiterm(rewrite(query)))
-        return flatten_plan(query)
+        plan = flatten_plan(query)
+        if isinstance(plan, dict) and "tree" in plan \
+                and not tree_grounded(plan["tree"]):
+            # the kernel scans only the plan's term blocks; an
+            # unanchored match set (pure negation at the root) needs
+            # the all-docs composition instead
+            ub = unbounded_parts(query)
+            if ub is None:
+                raise ValueError(
+                    "unbounded query: the match set is not anchored by "
+                    "any positive clause and is not a top-level "
+                    "pure-negation union — add a grounding clause "
+                    "(Solr's fix-up handles exactly the same top-level "
+                    "shapes)")
+            return {"unbounded": ub}
+        return plan
 
     # ------------------------------------------------------------------
     def _clause_keys(self, c) -> list[tuple[str, str]]:
@@ -473,7 +488,8 @@ class Searcher:
             if plan is None:
                 results[qi] = empty
                 continue
-            if plan == "ALL":
+            if plan == "ALL" or (isinstance(plan, dict)
+                                 and "unbounded" in plan):
                 results[qi] = self.top_k(query, k=k, mode=mode, prune=prune)
                 continue
             spec, live, dead = self._spec_for_plan(plan, mode, k, prune)
@@ -520,18 +536,17 @@ class Searcher:
         if plan is None:
             return pd.DataFrame({"rank": [], "doc_id": [], "score": []})
         if plan == "ALL":
-            alldocs = self.index.norms.select("doc_id").distinct()
-            dels = getattr(self.index, "deletes", None)
-            if dels is not None:
-                # broadcast only the bounded (driver-array) carrier; a
-                # distributed tombstone set anti-joins without the hint
-                small = getattr(self.index, "deleted_array", None) is not None
-                alldocs = alldocs.join(
-                    F.broadcast(dels) if small else dels,
-                    "doc_id", "left_anti")
-            pdf = alldocs.orderBy("doc_id").limit(k).toPandas()
+            pdf = self._all_live_docs().orderBy("doc_id").limit(k).toPandas()
             pdf["score"] = np.float32(1.0)
             pdf["rank"] = np.arange(1, len(pdf) + 1)
+            return pdf[["rank", "doc_id", "score"]]
+        if isinstance(plan, dict) and "unbounded" in plan:
+            df = self._score_unbounded(plan["unbounded"])
+            pdf = (df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                   .toPandas())
+            pdf["rank"] = np.arange(1, len(pdf) + 1)
+            if mode == "f32":
+                pdf["score"] = pdf["score"].astype(np.float32)
             return pdf[["rank", "doc_id", "score"]]
         df = self._run_kernel(plan, mode=mode, collect_all=False, k=k,
                               prune=prune)
@@ -557,17 +572,62 @@ class Searcher:
             # MatchAllDocsQuery: every doc with at least one indexed term,
             # constant score 1 (ConstantScore semantics); tombstoned docs
             # excluded (liveDocs)
-            alldocs = self.index.norms.select("doc_id").distinct()
-            dels = getattr(self.index, "deletes", None)
-            if dels is not None:
-                # broadcast only the bounded (driver-array) carrier; a
-                # distributed tombstone set anti-joins without the hint
-                small = getattr(self.index, "deleted_array", None) is not None
-                alldocs = alldocs.join(
-                    F.broadcast(dels) if small else dels,
-                    "doc_id", "left_anti")
-            return alldocs.select("doc_id", F.lit(1.0).alias("score"))
+            return (self._all_live_docs()
+                    .select("doc_id", F.lit(1.0).alias("score")))
+        if isinstance(plan, dict) and "unbounded" in plan:
+            return self._score_unbounded(plan["unbounded"])
         return self._run_kernel(plan, mode=mode, collect_all=True)
+
+    def _all_live_docs(self) -> DataFrame:
+        """Every doc with at least one indexed term, minus tombstones
+        (liveDocs): the corpus stream the clause-keyed kernel never
+        scans."""
+        alldocs = self.index.norms.select("doc_id").distinct()
+        dels = getattr(self.index, "deletes", None)
+        if dels is not None:
+            # broadcast only the bounded (driver-array) carrier; a
+            # distributed tombstone set anti-joins without the hint
+            small = getattr(self.index, "deleted_array", None) is not None
+            alldocs = alldocs.join(
+                F.broadcast(dels) if small else dels,
+                "doc_id", "left_anti")
+        return alldocs
+
+    def _score_unbounded(self, parts) -> DataFrame:
+        """Pure-negation composition (the shape the kernel cannot scan):
+        ALL live docs, minus each wrapper's excludes, plus grounded
+        SHOULD siblings — one anti-joinable left join per part over the
+        doc_id stream; no collect, scales as ordinary joins.
+
+        Lucene scoring carried exactly: a wrapper contributes its
+        MatchAll boost to every non-excluded doc; a grounded sibling
+        contributes its own score where it matches; a doc matches when
+        ANY part does (msm ≤ 1 — enforced by unbounded_parts)."""
+        from .ast import BooleanQuery, Clause, Occur
+        df = self._all_live_docs()
+        score = F.lit(0.0)
+        matched = F.lit(False)
+        for i, (excl, const) in enumerate(parts["wrappers"]):
+            if excl:
+                exq = (excl[0] if len(excl) == 1 else BooleanQuery(
+                    tuple(Clause(Occur.SHOULD, e) for e in excl)))
+                mdf = (self.match_docs(exq)
+                       .withColumn(f"_x{i}", F.lit(True)))
+                df = df.join(mdf, "doc_id", "left")
+                hit = F.coalesce(F.col(f"_x{i}"), F.lit(False))
+            else:
+                hit = F.lit(False)
+            score = score + F.when(~hit, F.lit(float(const))) \
+                             .otherwise(F.lit(0.0))
+            matched = matched | ~hit
+        for j, g in enumerate(parts["grounded"]):
+            sdf = (self.score_all(g, mode="f64")
+                   .withColumnRenamed("score", f"_s{j}"))
+            df = df.join(sdf, "doc_id", "left")
+            score = score + F.coalesce(F.col(f"_s{j}"), F.lit(0.0))
+            matched = matched | F.col(f"_s{j}").isNotNull()
+        return (df.filter(matched)
+                .select("doc_id", score.alias("score")))
 
     def match_docs(self, query) -> DataFrame:
         """Just the matching doc_ids (FILTER semantics / ConstantScore)."""
@@ -598,6 +658,69 @@ def flatten_plan(query):
         return _flat_plan(query)
     except ValueError:
         return {"tree": build_tree(query)}
+
+
+def _wrapper_parts(q):
+    """Canonical pure-negation wrapper — BQ(MUST_NOT x…, SHOULD/MUST
+    MatchAll…) with no other positive clause (the shape
+    SimpleQueryParser emits for NOT, :439-444, and Solr's top-level
+    pure-negative fix-up) → (exclude ASTs, const score) or None."""
+    from .ast import BooleanQuery, BoostQuery, MatchAllQuery, Occur
+    if isinstance(q, MatchAllQuery):
+        return [], 1.0
+    if not isinstance(q, BooleanQuery):
+        return None
+    const, n_all, excl = 0.0, 0, []
+    for cl in q.clauses:
+        inner, bb = cl.query, 1.0
+        while isinstance(inner, BoostQuery):
+            bb *= inner.boost
+            inner = inner.query
+        if isinstance(inner, MatchAllQuery) and cl.occur in (
+                Occur.MUST, Occur.SHOULD, Occur.FILTER):
+            n_all += 1
+            if cl.occur is not Occur.FILTER:
+                const += bb
+        elif cl.occur is Occur.MUST_NOT:
+            excl.append(cl.query)
+        else:
+            return None
+    if n_all == 0 or q.min_should_match > n_all:
+        return None
+    return excl, const
+
+
+def unbounded_parts(query):
+    """Decompose a top-level UNGROUNDED query the kernel cannot scan
+    into DataFrame-composable parts: {"wrappers": [(excludes, const)],
+    "grounded": [ASTs]} for (a) a single negation wrapper or (b) a
+    pure-SHOULD union (msm ≤ 1) mixing wrappers with ordinary grounded
+    children. Returns None for shapes outside this envelope."""
+    from .ast import BooleanQuery, Occur
+    w = _wrapper_parts(query)
+    if w is not None:
+        return {"wrappers": [w], "grounded": []}
+    if not isinstance(query, BooleanQuery) or query.min_should_match > 1:
+        return None
+    wrappers, grounded = [], []
+    for cl in query.clauses:
+        if cl.occur is not Occur.SHOULD:
+            return None
+        w = _wrapper_parts(cl.query)
+        if w is not None:
+            wrappers.append(w)
+            continue
+        try:
+            sub = flatten_plan(cl.query)
+        except ValueError:
+            return None
+        if isinstance(sub, dict) and "tree" in sub \
+                and not tree_grounded(sub["tree"]):
+            return None
+        grounded.append(cl.query)
+    if not wrappers:
+        return None
+    return {"wrappers": wrappers, "grounded": grounded}
 
 
 def _span_op(q):
@@ -924,14 +1047,66 @@ def build_tree(query, boost: float = 1.0):
                 "tie": float(query.tie_breaker)}
     if isinstance(query, BooleanQuery):
         node = {"kind": "bool", "must": [], "filter": [], "should": [],
-                "must_not": [], "msm": int(query.min_should_match)}
+                "must_not": [], "msm": int(query.min_should_match),
+                "const": 0.0, "all_should": 0, "all_must": 0,
+                "never": False}
         slot = {Occur.MUST: "must", Occur.FILTER: "filter",
                 Occur.SHOULD: "should", Occur.MUST_NOT: "must_not"}
         for cl in query.clauses:
             b = boost if cl.occur in (Occur.MUST, Occur.SHOULD) else 1.0
+            # MatchAll/MatchNo clauses fold into node constants instead
+            # of leaves (the clause-keyed kernel has no all-docs stream;
+            # MatchAllDocsQuery scores its boost — ConstantScore
+            # semantics). This is the SimpleQueryParser NOT-wrapper
+            # shape: BQ(MUST_NOT x, SHOULD MatchAll).
+            inner, bb = cl.query, b
+            while isinstance(inner, BoostQuery):
+                bb *= inner.boost
+                inner = inner.query
+            if isinstance(inner, MatchAllQuery):
+                if cl.occur is Occur.MUST:
+                    node["all_must"] += 1
+                    node["const"] += bb
+                elif cl.occur is Occur.FILTER:
+                    node["all_must"] += 1
+                elif cl.occur is Occur.SHOULD:
+                    node["all_should"] += 1
+                    node["const"] += bb
+                else:                       # MUST_NOT all → never matches
+                    node["never"] = True
+                continue
+            if isinstance(inner, MatchNoQuery):
+                if cl.occur in (Occur.MUST, Occur.FILTER):
+                    node["never"] = True    # required no-match
+                continue                    # SHOULD/MUST_NOT no-op
             node[slot[cl.occur]].append(build_tree(cl.query, b))
         return node
     raise ValueError(f"unsupported query in nested plan: {query!r}")
+
+
+def tree_grounded(node) -> bool:
+    """True when the node's match set is bounded by scanned postings —
+    the clause-keyed kernel only sees blocks of the plan's keys, so an
+    UNGROUNDED node (one whose mask covers docs carrying none of those
+    keys, e.g. a NOT-wrapper at the root) must not be evaluated by the
+    kernel alone. Nested ungrounded nodes are fine: the parent
+    conjunction bounds them."""
+    if node["kind"] != "bool":
+        if node["kind"] == "dismax":
+            return all(tree_grounded(ch) for ch in node["children"])
+        return True
+    if node.get("never"):
+        return True                          # matches nothing — bounded
+    if any(tree_grounded(ch)
+           for ch in node["must"] + node["filter"]):
+        return True
+    if node.get("all_must"):
+        return False                         # required-everything mask
+    need = max(1, node["msm"])
+    if node.get("all_should", 0) >= need:
+        return False                         # baseline satisfies msm
+    return bool(node["should"]) and all(tree_grounded(ch)
+                                        for ch in node["should"])
 
 
 def _leaf_keys(c) -> list:
@@ -1224,6 +1399,8 @@ def _annotate_tree(node, st, weights, sim: str = "bm25"):
         if not kids:
             return None
         return dict(node, children=kids)
+    if node.get("never"):
+        return None
     must, filt, should, mn = [], [], [], []
     for ch in node["must"]:
         a = _annotate_tree(ch, st, weights, sim)
@@ -1243,9 +1420,10 @@ def _annotate_tree(node, st, weights, sim: str = "bm25"):
         a = _annotate_tree(ch, st, weights, sim)
         if a is not None:
             mn.append(a)
-    if not must and not filt and not should:
+    if (not must and not filt and not should
+            and not node.get("all_should") and not node.get("all_must")):
         return None
-    if node["msm"] > len(should):
+    if node["msm"] > len(should) + node.get("all_should", 0):
         return None
     return dict(node, must=must, filter=filt, should=should, must_not=mn)
 
@@ -1659,16 +1837,21 @@ def _tree_present(node, data: "_BucketData") -> bool:
         return _clause_present(node, data)
     if kind == "dismax":
         return any(_tree_present(ch, data) for ch in node["children"])
+    if node.get("never"):
+        return False
     for ch in node["must"] + node["filter"]:
         if not _tree_present(ch, data):
             return False
-    if node["should"]:
-        n_present = sum(1 for ch in node["should"] if _tree_present(ch, data))
+    anchored = (node["must"] or node["filter"] or node.get("all_must"))
+    if node["should"] or node.get("all_should"):
+        n_present = (node.get("all_should", 0)
+                     + sum(1 for ch in node["should"]
+                           if _tree_present(ch, data)))
         if node["msm"] > 0 and n_present < node["msm"]:
             return False
-        if not node["must"] and not node["filter"] and n_present == 0:
+        if not anchored and n_present == 0:
             return False
-    elif not node["must"] and not node["filter"]:
+    elif not anchored:
         return False
     return True
 
@@ -1681,7 +1864,8 @@ def _tree_ub(node, data: "_BucketData", spec, dtype) -> float:
                 "interval", "dismax"):
         return _leaf_ub(node, data, spec, dtype)
     return (sum(_tree_ub(ch, data, spec, dtype) for ch in node["must"])
-            + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"]))
+            + sum(_tree_ub(ch, data, spec, dtype) for ch in node["should"])
+            + node.get("const", 0.0))
 
 
 def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
@@ -1732,6 +1916,8 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
         return mask, score
     # bool node
     score = np.zeros(grid, dtype=dtype)
+    if node.get("never"):
+        return np.zeros(grid, dtype=bool), score
     req = None
     for ch in node["must"]:
         m, s = _eval_tree(ch, data, spec, dtype, grid, scoring)
@@ -1741,9 +1927,14 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
     for ch in node["filter"]:
         m, _ = _eval_tree(ch, data, spec, dtype, grid, False)
         req = m if req is None else (req & m)
+    if req is None and node.get("all_must"):
+        # MatchAll MUST/FILTER: required-everything (sound only nested
+        # under a grounding parent — tree_grounded guards the root)
+        req = np.ones(grid, dtype=bool)
     cnt = None
-    if node["should"]:
-        cnt = np.zeros(grid, dtype=np.int16)
+    if node["should"] or node.get("all_should"):
+        # MatchAll SHOULD clauses satisfy the counter for every slot
+        cnt = np.full(grid, node.get("all_should", 0), dtype=np.int16)
         for ch in node["should"]:
             m, s = _eval_tree(ch, data, spec, dtype, grid, scoring)
             cnt += m
@@ -1762,6 +1953,11 @@ def _eval_tree(node, data: "_BucketData", spec, dtype, grid,
         mask = mask & ~m
     if scoring:
         score[~mask] = 0
+        if node.get("const"):
+            # MatchAll clauses score their boost on every matching doc
+            # (accumulated last, after the children — the pyoracle
+            # mirrors this f32 order)
+            score[mask] += dtype(node["const"])
     return mask, score
 
 
