@@ -231,11 +231,105 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select("doc_id", F.col("lbl").alias("component"))
 
 
-def canonicalize_near_dups(pairs: DataFrame) -> DataFrame:
+def connected_components_star(pairs: DataFrame,
+                              max_iter: int = 30) -> DataFrame:
+    """Connected components via the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond", Algorithm 2) → (doc_id, component), component = min
+    doc_id.
+
+    Converges in O(log² n) rounds regardless of graph DIAMETER — the
+    100-TB insurance for adversarial chain graphs where min-label
+    propagation (``connected_components``) needs O(diameter) rounds:
+
+    - large-star: every node points its LARGER neighbors at the minimum
+      of its closed neighborhood (one groupBy min + join per round);
+    - small-star: every node gathers its smaller neighbors (edge keyed
+      by the larger endpoint) and points them — and itself — at the
+      minimum.
+
+    Each round is two map-side-combined aggregations + two joins over
+    the CURRENT edge set (which only shrinks toward the star forest);
+    per-round localCheckpoint keeps the plan constant like the
+    min-label loop. Convergence = exact edge-set fixpoint (anti-join
+    count, not a hash)."""
+    E = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct().persist())
+    nodes = (E.select(F.col("a").alias("doc_id"))
+             .unionByName(E.select(F.col("b").alias("doc_id")))
+             .distinct().persist())
+    nodes.count()
+
+    def large_star(e):
+        sym = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .unionByName(e.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v"))))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.least("v", "m").alias("a"),
+                        F.greatest("v", "m").alias("b"))
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    def small_star(e):
+        d = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        j = d.join(mins, "u")
+        out = (j.filter(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("x"), F.col("m"))
+               .unionByName(mins.filter(F.col("u") != F.col("m"))
+                            .select(F.col("u").alias("x"), F.col("m"))))
+        return (out.select(F.least("x", "m").alias("a"),
+                           F.greatest("x", "m").alias("b"))
+                .filter(F.col("a") != F.col("b")).distinct())
+
+    converged = False
+    for _ in range(max_iter):
+        new_e = small_star(large_star(E)).localCheckpoint()
+        n_new = new_e.count()
+        same = (n_new == E.count()
+                and new_e.join(E, ["a", "b"], "left_anti").count() == 0)
+        E.unpersist()
+        E = new_e.persist()
+        if same:
+            converged = True
+            break
+    if not converged:
+        E.unpersist()
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within "
+            f"max_iter={max_iter} rounds — raise max_iter")
+    # star forest: every non-root has its root as smaller endpoint
+    roots = E.groupBy(F.col("b").alias("doc_id")) \
+             .agg(F.min("a").alias("component"))
+    out = (nodes.join(roots, "doc_id", "left")
+           .select("doc_id", F.coalesce("component", F.col("doc_id"))
+                   .alias("component")))
+    res = out.localCheckpoint()
+    E.unpersist()
+    nodes.unpersist()
+    return res
+
+
+def canonicalize_near_dups(pairs: DataFrame,
+                           algorithm: str = "label") -> DataFrame:
     """(doc_id, canonical_id, is_duplicate) over every doc appearing in a
     near-dup pair: canonical = min doc_id of its connected component (the
-    keep-first retention policy)."""
-    cc = connected_components(pairs)
+    keep-first retention policy). ``algorithm``: "label" (min-label,
+    O(diameter) rounds — right for shallow boilerplate families) or
+    "star" (alternating star, O(log²) rounds — right for adversarial
+    chains)."""
+    if algorithm == "label":
+        cc = connected_components(pairs)
+    elif algorithm == "star":
+        cc = connected_components_star(pairs)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return (cc.select("doc_id", F.col("component").alias("canonical_id"))
             .withColumn("is_duplicate",
                         F.col("doc_id") != F.col("canonical_id")))

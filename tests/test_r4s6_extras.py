@@ -282,3 +282,55 @@ def test_temperature_sample_deterministic(spark):
         "h", hash_frac("doc_id")).collect()
         if r["h"] < rates[r["lang"]])
     assert a == exp
+
+
+# ---------------------------------------------------------------------------
+# alternating-star connected components
+# ---------------------------------------------------------------------------
+
+def test_cc_star_matches_min_label(spark):
+    import random
+    from lucene_solr_spark.pipeline.dedup import (canonicalize_near_dups,
+                                                  connected_components,
+                                                  connected_components_star)
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(120)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long")
+    lbl = {r["doc_id"]: r["component"] for r in
+           connected_components(pairs, max_iter=50).collect()}
+    star = {r["doc_id"]: r["component"] for r in
+            connected_components_star(pairs).collect()}
+    assert star == lbl and star
+    # canonicalize agrees across algorithms
+    a = sorted(map(tuple, canonicalize_near_dups(
+        pairs, algorithm="label").collect()))
+    b = sorted(map(tuple, canonicalize_near_dups(
+        pairs, algorithm="star").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        canonicalize_near_dups(pairs, algorithm="bogus")
+
+
+def test_cc_star_deep_chain_where_min_label_gives_up(spark):
+    """A 64-node chain: min-label needs O(diameter)=63 rounds and RAISES
+    at max_iter=10; the alternating star algorithm converges in
+    O(log^2 n) rounds on the same budget — the 100-TB adversarial-graph
+    insurance."""
+    from lucene_solr_spark.pipeline.dedup import (connected_components,
+                                                  connected_components_star)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    got = {r["doc_id"]: r["component"] for r in
+           connected_components_star(chain, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(64)}
+    # two components + an isolated pair stay separate
+    two = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12), (20, 21)],
+        "doc_a long, doc_b long")
+    got2 = {r["doc_id"]: r["component"] for r in
+            connected_components_star(two).collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
