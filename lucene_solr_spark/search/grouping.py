@@ -165,3 +165,37 @@ def elevate(hits: DataFrame, elevated_ids: list, k: int = 10,
                         F.col("_ord").asc_nulls_last(),
                         F.desc("score"), F.asc("doc_id"))
             .limit(k).select("doc_id", "score", "elevated"))
+
+
+def group_by_queries(searcher, main_query, group_queries: dict,
+                     group_size: int = 10, mode: str = "f64") -> DataFrame:
+    """Solr ``group.query`` (grouping/ — each named query IS a group):
+    for every entry the top ``group_size`` hits of the MAIN result set
+    restricted to docs matching that group query. → (group, doc_id,
+    score), group asc then score desc/doc_id asc.
+
+    Spark shape: the main query scores once; each group query
+    contributes one match-set semi-join + TakeOrderedAndProject —
+    mirroring the reference, which runs one collector per group.query."""
+    hits = searcher.score_all(main_query, mode=mode)
+    out = None
+    for name in sorted(group_queries):
+        part = (hits.join(searcher.match_docs(group_queries[name]),
+                          "doc_id", "left_semi")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(group_size)
+                .select(F.lit(name).alias("group"), "doc_id", "score"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def top_groups_by_func(hits: DataFrame, docs: DataFrame, func_expr: str,
+                       n_groups: int, group_size: int) -> DataFrame:
+    """Solr ``group.func``: grouping key = a function-query value
+    (any SQL expression over the doc columns) instead of a stored
+    field; otherwise identical two-pass semantics to ``top_groups``.
+    → (group_value, doc_id, score)."""
+    keyed = docs.withColumn("_gfunc", F.expr(func_expr))
+    res = top_groups(hits, keyed.select("doc_id", "_gfunc"), "_gfunc",
+                     n_groups, group_size)
+    return res.withColumnRenamed("_gfunc", "group_value")

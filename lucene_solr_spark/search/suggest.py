@@ -521,3 +521,142 @@ def suggest_with_contexts(docs: DataFrame, key: str, contexts, k: int = 10,
                     F.col("doc_id").cast("long").alias("doc_id"))
             .orderBy(F.desc("weight"), F.asc("suggestion"), F.asc("doc_id"))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker (`lucene/suggest/src/java/org/apache/lucene/
+# search/spell/WordBreakSpellChecker.java:33`)
+# ---------------------------------------------------------------------------
+
+def _df_map(searcher, field: str, texts) -> dict:
+    """df for every candidate text in ONE pushed dictionary IN-probe —
+    the reference issues one ir.docFreq per substring (:332-339); all
+    its probes are contiguous substrings of the input, so a single
+    bounded scan covers the whole recursion."""
+    uniq = list(dict.fromkeys(texts))
+    st = searcher.term_stats([(field, t) for t in uniq])
+    return {t: st.get((field, t), (0, 0))[0] for t in uniq}
+
+
+def suggest_word_breaks(searcher, word: str, field: str = DEFAULT_FIELD,
+                        max_suggestions: int = 5, *,
+                        suggest_mode: str = "not_in_index",
+                        sort_method: str = "max_freq",
+                        min_suggestion_frequency: int = 1,
+                        min_break_word_length: int = 1,
+                        max_changes: int = 1,
+                        max_evaluations: int = 1000):
+    """`suggestWordBreaks` (:91-129, generateBreakUpSuggestions
+    :257-305): split ``word`` into dictionary words — every split point
+    whose LEFT part meets the frequency floor recurses into the right
+    remainder while breaks ≤ max_changes; score = number of breaks.
+
+    suggest_mode: "not_in_index" (suggest only when the original term
+    is absent), "more_popular" (parts must beat the original's df), or
+    "always". sort_method: "max_freq" | "sum_freq" (the two
+    BreakSuggestionSortMethods): fewest breaks first, then the higher
+    max/summed component frequency. → [[(word, freq), …], …] best
+    first. Divergence (documented): the reference's PriorityQueue
+    breaks exact ties in heap order; we pin ties lexicographically.
+
+    Spark shape: ONE pushed (field, term IN substrings) dictionary
+    probe (≤ L(L+1)/2 keys), then the reference's recursion runs on the
+    driver against the in-memory df map."""
+    if max_suggestions < 1 or not word:
+        return []
+    if suggest_mode not in ("not_in_index", "more_popular", "always"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    if sort_method not in ("max_freq", "sum_freq"):
+        raise ValueError(f"unknown sort_method {sort_method!r}")
+    subs = {word[i:j] for i in range(len(word))
+            for j in range(i + 1, len(word) + 1)}
+    dfs = _df_map(searcher, field, list(subs))
+    orig = dfs.get(word, 0)
+    if orig > 0 and suggest_mode == "not_in_index":
+        return []
+    use_min = ((orig if orig else 1) if suggest_mode == "more_popular"
+               else min_suggestion_frequency)
+    min_len = max(1, min_break_word_length)
+    out: list[tuple] = []
+    evals = [0]
+
+    def gen(text: str, breaks: int, prefix: tuple):
+        if len(text) < min_len * 2:
+            return
+        for i in range(min_len, len(text) - min_len + 1):
+            left, right = text[:i], text[i:]
+            if dfs.get(left, 0) >= use_min:
+                if dfs.get(right, 0) >= use_min:
+                    words = prefix + (left, right)
+                    out.append(words)
+                if breaks + 1 <= max_changes:
+                    gen(right, breaks + 1, prefix + (left,))
+            evals[0] += 1
+            if evals[0] >= max_evaluations:
+                return
+
+    gen(word, 1, ())
+    agg = max if sort_method == "max_freq" else sum
+
+    def key(words):
+        return (len(words), -agg(dfs[w] for w in words), words)
+
+    best = sorted(set(out), key=key)[:max_suggestions]
+    return [[(w, dfs[w]) for w in ws] for ws in best]
+
+
+SEPARATOR_TERM = ""      # WordBreakSpellChecker.SEPARATOR_TERM
+
+
+def suggest_word_combinations(searcher, words, field: str = DEFAULT_FIELD,
+                              max_suggestions: int = 5, *,
+                              suggest_mode: str = "not_in_index",
+                              min_suggestion_frequency: int = 1,
+                              max_combine_word_length: int = 20,
+                              max_changes: int = 1,
+                              max_evaluations: int = 1000):
+    """`suggestWordCombinations` (:159-253): concatenate runs of up to
+    ``max_changes``+1 adjacent query terms into one dictionary word;
+    an empty-string element (SEPARATOR_TERM) forbids combining across
+    it. Modes: "not_in_index" = at least one combined part absent from
+    the index; "more_popular" = the combination at least as frequent
+    as its most frequent part; "always". Score = parts − 1. →
+    [(combined, freq, (orig indexes…)), …] fewest-combinations /
+    highest-freq first (ties pinned lexicographically).
+
+    Spark shape: one pushed dictionary probe for originals + all
+    candidate concatenations; the window walk is driver-side."""
+    if max_suggestions < 1 or not words:
+        return []
+    if suggest_mode not in ("not_in_index", "more_popular", "always"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    cands = []
+    for i in range(len(words) - 1):
+        if words[i] == SEPARATOR_TERM or len(words[i]) > \
+                max_combine_word_length:
+            continue
+        combined = words[i]
+        for j in range(i + 1, min(len(words), i + max_changes + 1)):
+            if words[j] == SEPARATOR_TERM:
+                break
+            combined += words[j]
+            if len(combined) > max_combine_word_length:
+                break
+            cands.append((i, j, combined))
+    probe = [w for w in words if w] + [c for _, _, c in cands]
+    dfs = _df_map(searcher, field, probe)
+    out = []
+    evals = 0
+    for i, j, combined in cands:
+        span = [dfs.get(words[k], 0) for k in range(i, j + 1)]
+        max_f, min_f = max(span), min(span)
+        cf = dfs.get(combined, 0)
+        if (suggest_mode != "more_popular" or cf >= max_f) and \
+                (suggest_mode != "not_in_index" or min_f == 0) and \
+                cf >= min_suggestion_frequency:
+            out.append((combined, cf, tuple(range(i, j + 1))))
+        evals += 1
+        if evals >= max_evaluations:
+            break
+    out.sort(key=lambda t: (len(t[2]) - 1, -t[1], t[0]))
+    return out[:max_suggestions]

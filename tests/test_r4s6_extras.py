@@ -334,3 +334,40 @@ def test_cc_star_deep_chain_where_min_label_gives_up(spark):
             connected_components_star(two).collect()}
     assert got2 == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10,
                     20: 20, 21: 20}
+
+
+# ---------------------------------------------------------------------------
+# group.query / group.func
+# ---------------------------------------------------------------------------
+
+def test_group_by_queries_and_func(spark):
+    from lucene_solr_spark.search.grouping import (group_by_queries,
+                                                   top_groups_by_func)
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text", "n_chars").cache())
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=128).build(spark, docs).cache()
+    s = Searcher(spark, idx)
+    main = TermQuery("merge")
+    hits = s.score_all(main, mode="f64")
+    base = {r["doc_id"]: r["score"] for r in hits.collect()}
+    lens = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    # group.query: each named query is a group over the MAIN result set
+    groups = {"fast": TermQuery("fast"), "slow": TermQuery("slow")}
+    got = group_by_queries(s, main, groups, group_size=5)
+    by_g = {}
+    for r in got.collect():
+        by_g.setdefault(r["group"], []).append((r["doc_id"], r["score"]))
+    for g, gq in groups.items():
+        members = {r["doc_id"] for r in s.match_docs(gq).collect()}
+        exp = sorted(((d, sc) for d, sc in base.items() if d in members),
+                     key=lambda t: (-t[1], t[0]))[:5]
+        assert by_g.get(g, []) == exp and exp
+    # group.func: bucket by a function over n_chars
+    gf = top_groups_by_func(hits, docs, "floor(n_chars / 100)",
+                            n_groups=2, group_size=3).collect()
+    assert gf and len({r["group_value"] for r in gf}) <= 2
+    for r in gf:
+        assert lens[r["doc_id"]] // 100 == r["group_value"]
+        assert base[r["doc_id"]] == r["score"]
+    idx.release()
+    docs.unpersist()
