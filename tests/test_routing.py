@@ -59,7 +59,6 @@ def test_composite_id_colocation():
     for any shard count ≤ 2^16; different doc ids still spread within
     the tenant's slice (bottom bits differ)."""
     hs = [composite_hash(f"tenantA!doc{i}") for i in range(50)]
-    tops = {h >> 16 for h in np.array(hs, dtype=np.int64) + 0}
     assert len({(h + (1 << 32)) % (1 << 32) >> 16 for h in hs}) == 1
     assert len({h & 0xFFFF for h in hs}) > 1
     for n in (2, 4, 16, 256):
@@ -71,7 +70,6 @@ def test_composite_id_colocation():
     assert composite_hash("plain") == murmur3_32(b"plain")
     with pytest.raises(ValueError):
         composite_hash("t/40!x")
-    del tops
 
 
 def test_distribution_roughly_uniform():
