@@ -714,3 +714,64 @@ def drop_duplicate_paragraphs(docs: DataFrame, sep: str = "\n",
                     F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
                     F.coalesce("kept_paras", F.lit(0))
                     .alias("kept_paras")))
+
+
+def remove_duplicate_windows(docs: DataFrame, width: int = 13,
+                             hashed: bool = True,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" §3, restated over stride-1 token
+    windows like ``substring_dup_stats``): whenever a ``width``-token
+    window occurs more than once corpus-wide, the FIRST occurrence (in
+    (doc_id, window index) order) stays and every other occurrence's
+    token span [idx, idx+width) is excised from its document; documents
+    are rebuilt from the surviving tokens. → (doc_id, text, n_tokens,
+    kept_tokens).
+
+    Scale shape: the window stream + ONE wide shuffle on the window key
+    (8-byte hashes by default) + one min(struct) per key — the same
+    keep-first primitive as ``drop_duplicate_paragraphs``, never a
+    window function or global sort; interval union + token slicing are
+    codegen array expressions per doc (intervals per doc are few —
+    long repeated passages collapse into one merged span).
+
+    Divergence (documented): the reference pipeline excises CHARACTER
+    ranges found by a corpus suffix array; the stride-1 token-window
+    restatement removes the same repeated passages with up to
+    ``width − 1`` tokens of boundary slack, and is exactly
+    SQL-restatable."""
+    from .scrub import word_ngram_hashes, word_ngrams
+    grams = (word_ngram_hashes(F.col(text_col), width) if hashed
+             else word_ngrams(F.col(text_col), width))
+    occ = docs.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(grams).alias("idx", "gram"))
+    first = occ.groupBy("gram").agg(F.min(F.struct("doc_id", "idx"))
+                                    .alias("f"),
+                                    F.count("*").alias("n_occ"))
+    kill = (occ.join(first.filter(F.col("n_occ") >= 2), "gram")
+            .filter((F.col("doc_id") != F.col("f.doc_id"))
+                    | (F.col("idx") != F.col("f.idx")))
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("idx").alias("s"),
+                         (F.col("idx") + width).alias("e"))))
+                 .alias("iv")))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        toks.alias("toks"))
+            .join(kill, "doc_id", "left"))
+    keep_mask = F.filter(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda i: ~F.exists("iv", lambda v: (i >= v["s"]) & (i < v["e"])))
+    rebuilt = F.array_join(
+        F.transform(keep_mask, lambda i: F.element_at(
+            F.col("toks"), (i + 1).cast("int"))), " ")
+    return (base.withColumn(
+        "kept_idx", F.when(F.col("iv").isNotNull(), keep_mask)
+        .otherwise(F.sequence(F.lit(0), F.size("toks") - 1)))
+        .select("doc_id",
+                F.when(F.col("iv").isNotNull(), rebuilt)
+                .otherwise(F.array_join("toks", " ")).alias("text"),
+                F.size("toks").cast("long").alias("n_tokens"),
+                F.size("kept_idx").cast("long").alias("kept_tokens")))

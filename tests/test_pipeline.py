@@ -367,3 +367,40 @@ def test_hashed_gram_paths_equal_string_paths(spark, docs):
                            n=8, hashed=True).collect()}
     assert d_str == d_hsh
     assert any(h > 0 for _, h in d_str.values())
+
+
+def test_remove_duplicate_windows(spark):
+    """ExactSubstr removal: the repeated 13-token passage survives in
+    its FIRST document and is excised everywhere else; unique text is
+    untouched; the hashed and string paths agree."""
+    from lucene_solr_spark.pipeline.dedup import remove_duplicate_windows
+    passage = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (0, f"intro one two {passage} tail zero"),
+        (1, f"other head {passage} closing words here"),
+        (2, "totally unique text with no repeats at all"),
+        (3, passage),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_windows(df, width=13).collect()}
+    # doc 0 holds the first occurrence — full text kept
+    assert got[0]["text"] == rows[0][1]
+    assert got[0]["kept_tokens"] == got[0]["n_tokens"] == 18
+    # doc 1 loses exactly the 13-token span, keeps its own words
+    assert got[1]["text"] == "other head closing words here"
+    assert (got[1]["n_tokens"], got[1]["kept_tokens"]) == (18, 5)
+    # untouched doc bit-identical
+    assert got[2]["text"] == rows[2][1]
+    # doc 3 is nothing but the passage → empty after removal
+    assert got[3]["text"] == "" and got[3]["kept_tokens"] == 0
+    # string path ≡ hashed path
+    got_s = {r["doc_id"]: r["text"] for r in
+             remove_duplicate_windows(df, width=13, hashed=False).collect()}
+    assert got_s == {d: r["text"] for d, r in got.items()}
+    # overlapping occurrences WITHIN one doc: second copy excised
+    df2 = spark.createDataFrame(
+        [(0, f"{passage} bridge {passage}")], "doc_id long, text string")
+    got2 = remove_duplicate_windows(df2, width=13).collect()[0]
+    assert got2["text"] == f"{passage} bridge"
+    assert (got2["n_tokens"], got2["kept_tokens"]) == (27, 14)
