@@ -638,8 +638,10 @@ def _paragraphs(docs: DataFrame, id_col: str, text_col: str,
                 sep: str) -> DataFrame:
     """(doc_id, idx, para, key) — trimmed non-empty paragraphs with the
     CCNet normalization key (lowercase, digits→0, whitespace collapsed)
-    hashed to md5 so the key is 32 bytes however long the paragraph."""
-    paras = F.split(F.col(text_col), sep)
+    hashed to md5 so the key is 32 bytes however long the paragraph.
+    ``sep`` is a LITERAL separator (\\Q…\\E-quoted for the regex split,
+    so it round-trips with the literal array_join reassembly)."""
+    paras = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     norm = lambda p: F.md5(F.regexp_replace(F.regexp_replace(
         F.lower(F.trim(p)), "[0-9]", "0"), "\\s+", " "))
     return (docs.select(F.col(id_col).alias("doc_id"),

@@ -237,6 +237,8 @@ def decode_image_raw(binary_df: DataFrame) -> DataFrame:
     pruned out of any plan that doesn't call this."""
     import numpy as np
 
+    import struct
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -249,7 +251,9 @@ def decode_image_raw(binary_df: DataFrame) -> DataFrame:
                         img, fmt = decode_bmp24(b), "bmp"
                     else:
                         continue
-                except ValueError:
+                except (ValueError, struct.error):
+                    # malformed/truncated payloads drop, never fail the
+                    # task — one bad row must not kill a 100-TB job
                     continue
                 ch = 1 if img.ndim == 2 else img.shape[2]
                 rows.append((int(did), fmt, img.shape[1], img.shape[0],
@@ -268,13 +272,17 @@ def audio_features(binary_df: DataFrame) -> DataFrame:
     cheap audio-quality signals. Non-WAV rows are dropped."""
     import numpy as np
 
+    import struct
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     samples, rate = decode_wav_pcm16(bytes(payload))
-                except ValueError:
+                except (ValueError, struct.error):
+                    continue
+                if rate <= 0:          # declared-zero-rate fmt chunk
                     continue
                 mono = samples.astype(np.float64).mean(axis=1)
                 n = len(mono)

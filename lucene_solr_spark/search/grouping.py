@@ -178,6 +178,9 @@ def group_by_queries(searcher, main_query, group_queries: dict,
     contributes one match-set semi-join + TakeOrderedAndProject —
     mirroring the reference, which runs one collector per group.query."""
     hits = searcher.score_all(main_query, mode=mode)
+    if not group_queries:
+        return searcher.spark.createDataFrame(
+            [], "group string, doc_id long, score double")
     out = None
     for name in sorted(group_queries):
         part = (hits.join(searcher.match_docs(group_queries[name]),

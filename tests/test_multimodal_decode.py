@@ -130,3 +130,26 @@ def test_audio_features_spark(spark):
     assert a["rms"] == pytest.approx(10000 / np.sqrt(2), rel=0.01)
     assert a["zero_cross_rate"] == pytest.approx(880 / rate, rel=0.01)
     assert got[1]["rms"] == 0.0 and got[1]["duration_sec"] == pytest.approx(0.5)
+
+
+def test_malformed_payloads_drop_not_crash(spark):
+    """Truncated/garbage payloads with valid magic bytes must DROP, not
+    fail the task (review finding: struct.error escaped the except)."""
+    rows = [(0, bytearray(b"BM")),                 # 2-byte 'BMP'
+            (1, bytearray(b"BM" + b"\0" * 12)),    # truncated header
+            (2, bytearray(b"P6\n5 5 255\n")),      # raster missing
+            (3, bytearray(_ppm(_img(4, 4, 3, 9))))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = decode_image_raw(df).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    # WAV: truncated fmt chunk + declared zero sample rate both drop
+    import struct
+    zero_rate = _wav(np.zeros((10, 1), dtype=np.int16), 1)
+    zero_rate = zero_rate.replace(struct.pack("<I", 1),
+                                  struct.pack("<I", 0), 1)
+    rows = [(0, bytearray(b"RIFF\x10\0\0\0WAVEfmt \x20\0\0\0\x01\x00")),
+            (1, bytearray(zero_rate)),
+            (2, bytearray(_wav(np.ones((10, 1), dtype=np.int16), 8000)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = audio_features(df).collect()
+    assert [r["doc_id"] for r in got] == [2]

@@ -371,3 +371,39 @@ def test_group_by_queries_and_func(spark):
         assert base[r["doc_id"]] == r["score"]
     idx.release()
     docs.unpersist()
+
+
+def test_paragraph_sep_is_literal(spark):
+    """Review finding: sep went into F.split as a REGEX while the
+    rebuild joined it literally — '.' or '||' separators now round-trip."""
+    from lucene_solr_spark.pipeline.dedup import (drop_duplicate_paragraphs,
+                                                  paragraph_dup_stats)
+    df = spark.createDataFrame(
+        [(0, "alpha beta.shared one.gamma"),
+         (1, "shared one.delta")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           paragraph_dup_stats(df, sep=".").collect()}
+    assert (got[0]["n_paras"], got[0]["dup_paras"]) == (3, 1)
+    assert (got[1]["n_paras"], got[1]["dup_paras"]) == (2, 1)
+    rb = {r["doc_id"]: r["text"] for r in
+          drop_duplicate_paragraphs(df, sep=".").collect()}
+    assert rb[0] == "alpha beta.shared one.gamma"
+    assert rb[1] == "delta"
+    # a no-duplicate doc round-trips byte-identically with '||'
+    df2 = spark.createDataFrame([(0, "aa||bb||cc")],
+                                "doc_id long, text string")
+    rb2 = drop_duplicate_paragraphs(df2, sep="||").collect()[0]["text"]
+    assert rb2 == "aa||bb||cc"
+
+
+def test_group_by_queries_empty(spark):
+    from lucene_solr_spark.search.grouping import group_by_queries
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=128).build(spark, docs).cache()
+    s = Searcher(spark, idx)
+    got = group_by_queries(s, TermQuery("merge"), {})
+    assert got.count() == 0
+    assert got.columns == ["group", "doc_id", "score"]
+    idx.release()
