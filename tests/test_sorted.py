@@ -100,3 +100,61 @@ def test_sorted_cursor_paging(spark, docs, searcher, sdv):
     p2 = _pairs(sdv.topk_after(m, k=10, after=(last_key, last_doc))
                 .select("doc_id", "n_chars"))
     assert p1 + p2 == full
+
+
+@pytest.fixture(scope="module")
+def sdv2(spark, tmp_path_factory):
+    """Compound-sort generation over (lang asc, n_chars …) —
+    IndexWriterConfig.setIndexSort with two SortFields."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "lang", "n_chars"))
+    path = str(tmp_path_factory.mktemp("sorted_dv2"))
+    m = build_sorted_docvalues(spark, docs, path, ["lang", "n_chars"])
+    assert m["keys"] == ["lang", "n_chars"] and m["key"] == "lang"
+    return SortedDocValues(spark, path)
+
+
+def test_compound_sort_topk(spark, searcher, sdv2):
+    matches = searcher.match_docs(TermQuery("merge"))
+    want = {r["doc_id"] for r in matches.collect()}
+    full = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "lang", "n_chars").collect())
+    rows = [(r["lang"], r["n_chars"], r["doc_id"]) for r in full
+            if r["doc_id"] in want]
+    # mixed directions: lang asc, n_chars desc
+    exp = sorted(rows, key=lambda t: (t[0], -t[1], t[2]))[:7]
+    got = sdv2.topk(matches, 7, ascending=[True, False]).collect()
+    assert [(r["lang"], r["n_chars"], r["doc_id"]) for r in got] == exp
+    # both ascending
+    exp2 = sorted(rows)[:7]
+    got2 = sdv2.topk(matches, 7, ascending=True).collect()
+    assert [(r["lang"], r["n_chars"], r["doc_id"]) for r in got2] == exp2
+
+
+def test_compound_cursor_pages_cover_everything(spark, searcher, sdv2):
+    matches = searcher.match_docs(TermQuery("merge"))
+    want = {r["doc_id"] for r in matches.collect()}
+    full = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "lang", "n_chars").collect())
+    rows = sorted((r["lang"], -r["n_chars"], r["doc_id"]) for r in full
+                  if r["doc_id"] in want)
+    exp_order = [(a, -bneg, d) for a, bneg, d in rows]
+    pages, after = [], None
+    while True:
+        page = (sdv2.topk(matches, 5, ascending=[True, False])
+                if after is None else
+                sdv2.topk_after(matches, 5, after,
+                                ascending=[True, False]))
+        got = [(r["lang"], r["n_chars"], r["doc_id"])
+               for r in page.collect()]
+        if not got:
+            break
+        pages.extend(got)
+        after = got[-1]
+        if len(got) < 5:
+            break
+    assert pages == exp_order
+    with pytest.raises(ValueError, match="after tuple"):
+        sdv2.topk_after(matches, 5, ("en", 1))
+    with pytest.raises(ValueError, match="directions"):
+        sdv2.topk(matches, 5, ascending=[True])
