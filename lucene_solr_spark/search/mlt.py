@@ -49,14 +49,23 @@ def interesting_terms(searcher, text: str, field: str = DEFAULT_FIELD,
                       min_term_freq: int = DEFAULT_MIN_TERM_FREQ,
                       min_doc_freq: int = DEFAULT_MIN_DOC_FREQ,
                       max_doc_freq: int | None = None,
-                      max_query_terms: int = DEFAULT_MAX_QUERY_TERMS
-                      ) -> list[tuple[str, float]]:
+                      max_query_terms: int = DEFAULT_MAX_QUERY_TERMS,
+                      min_word_len: int = 0, max_word_len: int = 0,
+                      stop_words=None) -> list[tuple[str, float]]:
     """`MoreLikeThis.retrieveInterestingTerms` — [(term, tf·idf score)]
     sorted by score desc, term asc, filtered and capped per the
-    reference's createQueue (MoreLikeThis.java:651-702)."""
+    reference's createQueue (MoreLikeThis.java:651-702). Word filters
+    per `isNoiseWord` (:742-759): drop terms shorter than
+    ``min_word_len`` / longer than ``max_word_len`` (0 = off, the
+    reference defaults :180,196) or in the caller's ``stop_words`` set
+    (setStopWords — DISTINCT from the analyzer's own stop set)."""
     tf = searcher.index.analyzer.term_freqs(text or "")
+    stop = stop_words or ()
     cand = {t: f for t, f in tf.items()
-            if min_term_freq <= 0 or f >= min_term_freq}
+            if (min_term_freq <= 0 or f >= min_term_freq)
+            and (min_word_len <= 0 or len(t) >= min_word_len)
+            and (max_word_len <= 0 or len(t) <= max_word_len)
+            and t not in stop}
     st = searcher.term_stats([(field, t) for t in cand])
     n = searcher.field_stats(field)["doc_count"]
     scored = []

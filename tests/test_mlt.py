@@ -125,3 +125,30 @@ def test_mlt_boost_path(docs, searcher):
                          min_term_freq=1, min_doc_freq=2,
                          max_query_terms=5).collect()
     assert got and all(r["doc_id"] != 3 for r in got)
+
+
+def test_mlt_noise_word_filters(docs, searcher):
+    """isNoiseWord (MoreLikeThis.java:742-759): min/max word length and
+    the caller's stop set prune candidates before scoring."""
+    seed = {r["doc_id"]: r["text"] for r in docs.collect()}[3]
+    base = interesting_terms(searcher, seed, min_term_freq=1,
+                             min_doc_freq=1, max_query_terms=1000)
+    lens = {len(t) for t, _ in base}
+    cut = sorted(lens)[0]
+    longer = interesting_terms(searcher, seed, min_term_freq=1,
+                               min_doc_freq=1, max_query_terms=1000,
+                               min_word_len=cut + 1)
+    assert {t for t, _ in longer} == {t for t, _ in base
+                                      if len(t) > cut}
+    assert len(longer) < len(base)
+    shorter = interesting_terms(searcher, seed, min_term_freq=1,
+                                min_doc_freq=1, max_query_terms=1000,
+                                max_word_len=cut)
+    assert {t for t, _ in shorter} == {t for t, _ in base
+                                       if len(t) <= cut}
+    top = base[0][0]
+    nostop = interesting_terms(searcher, seed, min_term_freq=1,
+                               min_doc_freq=1, max_query_terms=1000,
+                               stop_words={top})
+    assert top not in {t for t, _ in nostop}
+    assert {t for t, _ in nostop} == {t for t, _ in base} - {top}
