@@ -2859,8 +2859,13 @@ SELECT DISTINCT doc_id FROM tokf WHERE term LIKE 'f%' ORDER BY doc_id"""
 SELECT term, df, ttf FROM dfreq WHERE regexp_matches(term, '^s.*m$')
 ORDER BY term"""
 
+    # engine default now matches FuzzyQuery.defaultTranspositions=true
+    # (OSA); DuckDB's damerau_levenshtein is the UNRESTRICTED variant —
+    # identical for every pair this vocabulary can produce (the models
+    # diverge only on edited-transposition chains like ca→abc, pinned
+    # engine-side in tests)
     sql["q_fuzzy_terms"] = _PRELUDE + """
-SELECT term, df FROM dfreq WHERE levenshtein(term, 'spank') <= 1
+SELECT term, df FROM dfreq WHERE damerau_levenshtein(term, 'spank') <= 1
 ORDER BY term"""
 
     sql["q_range_terms"] = _PRELUDE + """

@@ -85,21 +85,69 @@ def range_terms(terms_df, lower: str | None, upper: str | None,
     return _collect_terms(terms_df, cond, field, size)
 
 
+def osa_distance(a: str, b: str) -> int:
+    """Optimal string alignment (restricted Damerau) distance — the
+    edit model Lucene's transposition automata accept
+    (`util/automaton/LevenshteinAutomata.java:51` withTranspositions,
+    Schulz & Mihov extension): a transposed pair costs 1 and cannot be
+    edited again (so osa('ca','abc') = 3, unlike unrestricted
+    Damerau's 2)."""
+    la, lb = len(a), len(b)
+    prev2, prev = None, list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 def fuzzy_terms(terms_df, term: str, max_edits: int = 2,
                 field: str = DEFAULT_FIELD,
-                size: int = MAX_CLAUSE_COUNT) -> list[str]:
-    """FuzzyQuery: terms within edit distance (plain Levenshtein like the
-    reference's LevenshteinAutomata; transpositions count 2).
+                size: int = MAX_CLAUSE_COUNT,
+                transpositions: bool = True) -> list[str]:
+    """FuzzyQuery: terms within edit distance. ``transpositions=True``
+    is the REFERENCE DEFAULT (`search/FuzzyQuery.java:60`
+    defaultTranspositions) — a transposed adjacent pair counts ONE edit
+    (OSA / restricted Damerau, the model the transposition automata
+    accept); False = plain Levenshtein (transpositions count 2).
 
-    The distance filter runs EXECUTOR-side (`F.levenshtein` is JVM
-    whole-stage codegen) behind a cheap pushed-down length pre-filter, so
-    a web-scale dictionary never reaches the driver; only the ≤1024
+    The plain filter runs EXECUTOR-side (`F.levenshtein` is JVM
+    whole-stage codegen) behind a cheap pushed-down length pre-filter,
+    so a web-scale dictionary never reaches the driver; only the ≤1024
     matching terms do (the automaton-intersection posture,
-    `search/FuzzyQuery.java:55`)."""
-    cond = ((F.length("term") >= len(term) - max_edits)
-            & (F.length("term") <= len(term) + max_edits)
-            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits))
-    return _collect_terms(terms_df, cond, field, size)
+    `search/FuzzyQuery.java:55`). The OSA path keeps the same shape:
+    since osa(d) implies levenshtein ≤ 2d, a codegen
+    ``levenshtein ≤ 2·max_edits`` superset prefilter bounds the rows
+    that reach the exact OSA refine (an Arrow-batched pandas UDF,
+    still executor-side)."""
+    band = ((F.length("term") >= len(term) - max_edits)
+            & (F.length("term") <= len(term) + max_edits))
+    if not transpositions:
+        cond = band & (F.levenshtein(F.col("term"), F.lit(term))
+                       <= max_edits)
+        return _collect_terms(terms_df, cond, field, size)
+    from pyspark.sql.functions import pandas_udf
+
+    def _osa_fn(col):
+        return col.map(lambda t: osa_distance(term, t))
+
+    # explicit PandasUDFType-free registration: with `from __future__
+    # import annotations` in force, string type hints don't resolve for
+    # a locally-imported pandas — pass the plain function instead
+    _osa = pandas_udf(_osa_fn, "int")
+
+    pre = band & (F.levenshtein(F.col("term"), F.lit(term))
+                  <= 2 * max_edits)
+    rows = (terms_df.filter(F.col("field") == field).filter(pre)
+            .filter(_osa(F.col("term")) <= max_edits)
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term")).limit(size).collect())
+    return sorted(r["term"] for r in rows)
 
 
 def build_gram_index(terms_df, n: int = GRAM_N):

