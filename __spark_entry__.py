@@ -5011,90 +5011,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     MACHINE-CHECKED: tests/test_registry_window.py recomputes the
     never-driver-verified set from the CORRECTNESS_r*.json reports on
     disk and asserts every one of them sits inside ``queries()[:50]``.
-    Window policy: (1) never-driver-verified queries first, (2) queries
-    whose implementation changed this round, (3) round-4 additions,
-    (4) stable anchors green in a prior driver report. Everything past
-    position 50 was driver-verified green in r1-r3 on code unchanged
-    since, and ALL entries are re-gated every round by
-    scripts/check_oracles.py (docs/CORRECTNESS_SELF_r04.log) + pytest."""
+    Round-5 rotation (VERDICT r4 #1): the 37 entries without a driver
+    rows+schema+hash row (35 round-4 additions + the 2 declared
+    rows-only queries, whose weaker rows-only driver check re-records
+    each round) occupy positions 0-36; round-5 additions take 37+;
+    driver-green r1-r4 anchors backfill the rest. Everything past
+    position 50 was driver-verified green on code since re-gated every
+    round by scripts/check_oracles.py (docs/CORRECTNESS_SELF_r*.log)
+    + pytest."""
     return {
-        # ---- (1) never driver-verified (the r3 verdict's 18) ----
-        # composite spans (engine-vs-pure-oracle pinned in
-        # tests/test_span_composite.py)
-        "q_span_near_topk": q_span_near_topk,
-        "q_span_or_topk": q_span_or_topk,
-        "q_span_unordered_topk": q_span_unordered_topk,
-        "q_span_not_topk": q_span_not_topk,
-        "q_span_first_topk": q_span_first_topk,
-        # interval algebra extensions
-        "q_interval_prefix_topk": q_interval_prefix_topk,
-        "q_interval_or_topk": q_interval_or_topk,
-        "q_interval_containing_topk": q_interval_containing_topk,
-        "q_interval_before_topk": q_interval_before_topk,
-        "q_interval_within_topk": q_interval_within_topk,
-        "q_interval_nonoverlap_topk": q_interval_nonoverlap_topk,
-        # span position filters (round 4)
-        "q_span_containing_topk": q_span_containing_topk,
-        "q_span_within_topk": q_span_within_topk,
-        "q_span_posrange_topk": q_span_posrange_topk,
-        # lucene/classification (round 4)
-        "q_nb_classify": q_nb_classify,
-        "q_knn_classify": q_knn_classify,
-        # LTR + drill-sideways + interval facets (round 4)
-        "q_ltr_rescore": q_ltr_rescore,
-        "q_facet_interval": q_facet_interval,
-        "q_drill_sideways": q_drill_sideways,
-        # expressions + terms component (round 4)
-        "q_expression_sort": q_expression_sort,
-        "q_terms_enum": q_terms_enum,
-        # streaming expressions (round 4)
-        "q_stream_rollup": q_stream_rollup,
-        "q_stream_innerjoin": q_stream_innerjoin,
-        "q_stream_unique_top": q_stream_unique_top,
-        # Gopher quality rules + corpus hygiene (round 4)
-        "q_gopher_filter": q_gopher_filter,
-        "q_pii_scrub": q_pii_scrub,
-        "q_decontaminate": q_decontaminate,
-        "q_substring_dup": q_substring_dup,
-        # surround parser + docvalues updates (round 4)
-        "q_surround_topk": q_surround_topk,
-        "q_docvalues_update": q_docvalues_update,
-        # facets / similarities / suggest / join / pipeline
-        "q_facet_pivot": q_facet_pivot,
-        "q_facet_metrics": q_facet_metrics,
-        "q_boolean_sim_topk": q_boolean_sim_topk,
-        "q_lmjm_topk": q_lmjm_topk,
-        "q_infix_suggest": q_infix_suggest,
-        "q_blockjoin_children": q_blockjoin_children,
-        "q_minhash_query": q_minhash_query,
-        "q_repetition_stats": q_repetition_stats,
-        "q_geo_distance_count": q_geo_distance_count,
-        # rows-only (lucene-exact sloppy enumeration is not
-        # SQL-expressible; matcher pinned vs TestSloppyPhraseQuery
-        # goldens in tests/test_sloppy_lucene.py)
+        # ---- (1) never-driver-verified backlog: every round-4 query
+        # without a rows+schema+hash row in any CORRECTNESS_r*.json,
+        # plus the declared rows-only queries (their weaker rows-only
+        # driver check re-records each round). 37 entries; the window
+        # test recomputes this set from disk and fails on any drift. ----
         "q_sloppy_lucene_topk": q_sloppy_lucene_topk,
-        # ---- (2) round-4 additions ----
-        # (inserted here as they land; the window test re-counts)
-        "q_dfr_topk": q_dfr_topk,
-        "q_f2exp_topk": q_f2exp_topk,
-        "q_facet_taxonomy": q_facet_taxonomy,
-        "q_geo_polygon_count": q_geo_polygon_count,
-        "q_sorted_index_topk": q_sorted_index_topk,
-        "q_payload_score_topk": q_payload_score_topk,
         "q_passage_highlight": q_passage_highlight,
-        "q_fuzzy_suggest": q_fuzzy_suggest,
-        "q_monitor_matches": q_monitor_matches,
-        "q_ib_topk": q_ib_topk,
         "q_dfi_topk": q_dfi_topk,
-        # ---- (2b) overflow queue: never-driver-verified, contiguous
-        # after the 50-entry window so round 5's report picks them up
-        # first (tests/test_registry_window.py asserts the layout) ----
         "q_term_vectors_positions": q_term_vectors_positions,
         "q_facet_percentiles": q_facet_percentiles,
         "q_feature_score_topk": q_feature_score_topk,
         "q_stream_fetch": q_stream_fetch,
         "q_spellcheck_collate": q_spellcheck_collate,
-        # round-4 session-3 additions (overflow continues contiguously)
         "q_leading_wildcard_topk": q_leading_wildcard_topk,
         "q_ascii_fold_topk": q_ascii_fold_topk,
         "q_word_delimiter_terms": q_word_delimiter_terms,
@@ -5104,8 +5042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_export_sorted": q_export_sorted,
         "q_pack_sequences": q_pack_sequences,
         "q_phonetic_terms": q_phonetic_terms,
-        # round-4 session-4 additions (overflow continues contiguously;
-        # r5's 50-slot window clears all of these with room to spare)
         "q_frange_topk": q_frange_topk,
         "q_stats_field": q_stats_field,
         "q_diversified_topk": q_diversified_topk,
@@ -5122,22 +5058,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_context": q_suggest_context,
         "q_cluster_topdocs": q_cluster_topdocs,
         "q_mlt_classic_topk": q_mlt_classic_topk,
-        # round-4 session-6 additions (overflow still ≤ the 35-entry
-        # budget the window test enforces for r5's terminal rotation)
         "q_synonym_graph_topk": q_synonym_graph_topk,
         "q_blended_suggest": q_blended_suggest,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_temperature_mix": q_temperature_mix,
-        # ---- (3) driver-green in r1-r3, impl touched since (re-gated
-        # every round by the self-check; rotate back into the window
-        # whenever never-verified count allows) ----
+        # ---- (2) round-5 additions land here (<=13 fit the window) ----
+        # ---- (3) driver-verified green in r1-r4 (window backfill; all
+        # re-gated every round by scripts/check_oracles.py + pytest) ----
+        "q_span_near_topk": q_span_near_topk,
+        "q_span_or_topk": q_span_or_topk,
+        "q_span_unordered_topk": q_span_unordered_topk,
+        "q_span_not_topk": q_span_not_topk,
+        "q_span_first_topk": q_span_first_topk,
+        "q_interval_prefix_topk": q_interval_prefix_topk,
+        "q_interval_or_topk": q_interval_or_topk,
+        "q_interval_containing_topk": q_interval_containing_topk,
+        "q_interval_before_topk": q_interval_before_topk,
+        "q_interval_within_topk": q_interval_within_topk,
+        "q_interval_nonoverlap_topk": q_interval_nonoverlap_topk,
+        "q_span_containing_topk": q_span_containing_topk,
+        "q_span_within_topk": q_span_within_topk,
+        "q_span_posrange_topk": q_span_posrange_topk,
+        "q_nb_classify": q_nb_classify,
+        "q_knn_classify": q_knn_classify,
+        "q_ltr_rescore": q_ltr_rescore,
+        "q_facet_interval": q_facet_interval,
+        "q_drill_sideways": q_drill_sideways,
+        "q_expression_sort": q_expression_sort,
+        "q_terms_enum": q_terms_enum,
+        "q_stream_rollup": q_stream_rollup,
+        "q_stream_innerjoin": q_stream_innerjoin,
+        "q_stream_unique_top": q_stream_unique_top,
+        "q_gopher_filter": q_gopher_filter,
+        "q_pii_scrub": q_pii_scrub,
+        "q_decontaminate": q_decontaminate,
+        "q_substring_dup": q_substring_dup,
+        "q_surround_topk": q_surround_topk,
+        "q_docvalues_update": q_docvalues_update,
+        "q_facet_pivot": q_facet_pivot,
+        "q_facet_metrics": q_facet_metrics,
+        "q_boolean_sim_topk": q_boolean_sim_topk,
+        "q_lmjm_topk": q_lmjm_topk,
+        "q_infix_suggest": q_infix_suggest,
+        "q_blockjoin_children": q_blockjoin_children,
+        "q_minhash_query": q_minhash_query,
+        "q_repetition_stats": q_repetition_stats,
+        "q_geo_distance_count": q_geo_distance_count,
+        "q_dfr_topk": q_dfr_topk,
+        "q_f2exp_topk": q_f2exp_topk,
+        "q_facet_taxonomy": q_facet_taxonomy,
+        "q_geo_polygon_count": q_geo_polygon_count,
+        "q_sorted_index_topk": q_sorted_index_topk,
+        "q_payload_score_topk": q_payload_score_topk,
+        "q_fuzzy_suggest": q_fuzzy_suggest,
+        "q_monitor_matches": q_monitor_matches,
+        "q_ib_topk": q_ib_topk,
         "q_spellcheck": q_spellcheck,
         "q_highlight_topk": q_highlight_topk,
         "q_dismax_topk": q_dismax_topk,
         "q_field_term_topk": q_field_term_topk,
         "q_multifield_bool_topk": q_multifield_bool_topk,
         "q_sloppy_phrase_topk": q_sloppy_phrase_topk,
-        # ---- (4) stable anchors (driver-green r3, flagship ops) ----
         "q_term_topk": q_term_topk,
         "q_or_topk": q_or_topk,
         "q_and_topk": q_and_topk,
@@ -5164,7 +5145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_update_search_topk": q_update_search_topk,
         "q_prefix_topterms_topk": q_prefix_topterms_topk,
         "q_dismax_phrase_topk": q_dismax_phrase_topk,
-        # ---- positions 51+: driver-green in r1-r3, code unchanged ----
         "q_interval_ordered_topk": q_interval_ordered_topk,
         "q_interval_unordered_topk": q_interval_unordered_topk,
         "q_interval_block_topk": q_interval_block_topk,
@@ -5208,7 +5188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_top2_lang": q_group_top2_lang,
         "q_windowed_events": q_windowed_events,
         "q_mlt_topk": q_mlt_topk,
-        # training-data pipeline: dedup + similarity
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
@@ -5218,7 +5197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
-        # stable column dumps
         "q_minhash_sigs": q_minhash_sigs,
         "q_simhash_sigs": q_simhash_sigs,
         "q_lang_id": q_lang_id,
