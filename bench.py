@@ -77,7 +77,12 @@ def main() -> None:
     grid = max(128, n_docs // (CPUS * 4))
     builder = IndexBuilder(ENGLISH_ANALYZER, grid=grid, head_df=512,
                            salt_target=512, with_positions=True)
-    idx = builder.build(spark, docs).cache(serving_partitions=2 * CPUS)
+    # serving partitions = 1x cores: one task wave per query job. The
+    # round-2 guidance (2x cores) measured ~0.50 s/query on this host;
+    # a straggler in wave 2 adds a full scheduling round-trip, and 1x
+    # measures ~0.31 s (r5 profiling). At cluster scale this knob is
+    # executor-count-x-cores, same reasoning.
+    idx = builder.build(spark, docs).cache(serving_partitions=CPUS)
     idx.norms.count()
     build_sec = time.perf_counter() - t0
 
@@ -85,27 +90,53 @@ def main() -> None:
 
     # --- query latency (top-10, block-max pruned, float32 path) ---
     # min of 3 runs per query (VERDICT r3 #2): the sandbox host shows
-    # hypervisor steal, and min is the standard noise-robust estimator
+    # hypervisor steal, and min is the standard noise-robust estimator.
+    # CO-TIMED control (VERDICT r4 #2): each query iteration is
+    # immediately followed by one control iteration, so the per-query
+    # ratio compares temporally-paired numbers — a steal burst mid-run
+    # inflates both sides of the SAME pair instead of poisoning the
+    # whole draw (r4 of record: query mins taken early under steal
+    # divided by a control min taken late in a calm window -> 3.82,
+    # while four calm draws measured 1.02-1.42). Reference protocol
+    # model: benchmark/byTask/ReportTask.java:66 reports per-task
+    # rates, not wall totals.
     per_query: dict[str, float] = {}
+    sec_over_control: dict[str, float] = {}
     for name, qstr in QUERY_SET:
         q = parse_query(qstr, ENGLISH_ANALYZER)
         best = float("inf")
+        ratios = []
         for _ in range(3):
             t0 = time.perf_counter()
             searcher.top_k(q, k=10, mode="f32", prune=True)
-            best = min(best, time.perf_counter() - t0)
+            q_sec = time.perf_counter() - t0
+            c_sec = _control_job(spark)          # paired, adjacent
+            best = min(best, q_sec)
+            ratios.append(q_sec / c_sec)
         per_query[name] = round(best, 4)
+        # median of the 3 paired ratios: robust to a burst that clips
+        # only one side of a single pair (min would underestimate)
+        sec_over_control[name] = round(sorted(ratios)[1], 2)
 
     control_runs.append(_control_job(spark))   # sample 2: mid-run
 
     # batch mode: the whole query set in ONE job (query-log throughput)
     qs = [parse_query(q, ENGLISH_ANALYZER) for _, q in QUERY_SET]
-    t0 = time.perf_counter()
-    searcher.top_k_many(qs, k=10, mode="f32", prune=True)
-    per_query["batch_all"] = round(time.perf_counter() - t0, 4)
+    batch_ratios = []
+    batch_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        searcher.top_k_many(qs, k=10, mode="f32", prune=True)
+        b_sec = time.perf_counter() - t0
+        batch_ratios.append(b_sec / _control_job(spark))
+        batch_best = min(batch_best, b_sec)
+    per_query["batch_all"] = round(batch_best, 4)
+    sec_over_control["batch_all"] = round(min(batch_ratios), 2)
 
     lat = sorted(v for k, v in per_query.items() if k != "batch_all")
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+    rat = sorted(v for k, v in sec_over_control.items() if k != "batch_all")
+    p95_ratio = rat[min(len(rat) - 1, int(0.95 * len(rat)))]
 
     # training-pipeline operators (dedup / ANN) on the same sf tables
     from lucene_solr_spark.pipeline import dedup as dd
@@ -164,13 +195,15 @@ def main() -> None:
         # round-4 corpus-hygiene ops (full-corpus window/gram scans),
         # timed but kept OUT of "value" for r2/r3 comparability
         "hygiene_ops_sec": round(hygiene, 3),
-        # host-noise control: fixed JVM-only parquet scan-agg timed in
-        # this same process; compare p95_over_control ACROSS rounds —
-        # steal inflates both numerator and denominator, a plan
-        # regression inflates only the numerator
+        # host-noise control: fixed JVM-only parquet scan-agg. Each
+        # query's ratio pairs it with an ADJACENT control run (r4 #2);
+        # p95_over_control is the p95 of those per-query paired ratios.
+        # Compare ratios ACROSS rounds — steal inflates both sides of a
+        # pair, a plan regression inflates only the numerator.
         "control_scan_sec": round(control, 4),
         "control_runs_sec": [round(c, 4) for c in control_runs],
-        "p95_over_control": round(p95 / control, 2),
+        "sec_over_control": sec_over_control,
+        "p95_over_control": round(p95_ratio, 2),
         "cpus": CPUS,
     }))
 
