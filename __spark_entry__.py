@@ -643,9 +643,13 @@ def q_sort_multi(spark, sf_dir):
 
 
 def q_mlt_topk(spark, sf_dir):
-    from lucene_solr_spark.search.extras import more_like_this
+    """r2-era simplified MLT metric, now explicitly named _simple
+    (VERDICT r4 #4): the public more_like_this is reference-exact
+    (gated as q_mlt_classic_topk); this oracle pins the deprecated
+    variant's unchanged semantics."""
+    from lucene_solr_spark.search.extras import more_like_this_simple
     docs, _, s = _index(spark, sf_dir)
-    q = more_like_this(s, 7, docs, max_terms=5)
+    q = more_like_this_simple(s, 7, docs, max_terms=5)
     raw = s.score_all(q, mode="f64").filter(F.col("doc_id") != 7)
     return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
             .select(F.col("doc_id").cast("long"),

@@ -9,5 +9,6 @@ from .ast import (  # noqa: F401
 from .cache import QueryCache  # noqa: F401
 from .executor import Searcher  # noqa: F401
 from .explain import explain  # noqa: F401
+from .mlt import more_like_this  # noqa: F401  (reference-exact; r5 unification)
 from .parser import parse_query  # noqa: F401
 from .suggest import highlight, suggest_terms  # noqa: F401

@@ -179,19 +179,18 @@ def constant_score(searcher, query, score: float = 1.0) -> DataFrame:
         "doc_id", F.lit(float(score)).alias("score"))
 
 
-def more_like_this(searcher, doc_id: int, docs: DataFrame,
-                   max_terms: int = 5, field: str = DEFAULT_FIELD,
-                   text_col: str = "text"):
-    """MoreLikeThis (`lucene/queries/.../mlt/MoreLikeThis.java:137`):
-    select the seed doc's most interesting terms — ranked by
-    tf × ln(N/df), the classic MLT interestingness metric, ties broken
-    by term asc — and return the OR query over them (seed excluded at
-    search time by the caller or via score_all filter).
-
-    Simplified r2-era metric kept for the gated q_mlt_topk; the
-    reference-exact implementation (ClassicSimilarity idf, minTermFreq/
-    minDocFreq/maxDocFreq filters, boost path, reference defaults) is
-    `search/mlt.py` more_like_this."""
+def more_like_this_simple(searcher, doc_id: int, docs: DataFrame,
+                          max_terms: int = 5, field: str = DEFAULT_FIELD,
+                          text_col: str = "text"):
+    """DEPRECATED name-alias casualty (VERDICT r4 #4): the r2-era
+    simplified MLT — terms ranked by tf × ln(N/df), ties term-asc, no
+    minTermFreq/minDocFreq gates — returned as an OR query. It SILENTLY
+    DIFFERS from Lucene's MoreLikeThis (ClassicSimilarity idf
+    ln((N+1)/(df+1))+1, tf>=2 / df>=5 selection gates, boost path);
+    the public ``more_like_this`` is now the reference-exact
+    `search/mlt.py` implementation. This variant survives only for the
+    long-gated q_mlt_topk oracle and callers who explicitly want the
+    gate-free metric."""
     import math as _math
     from .ast import BooleanQuery, Clause, Occur, TermQuery
     row = (docs.filter(F.col("doc_id") == int(doc_id))
