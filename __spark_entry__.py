@@ -1294,6 +1294,23 @@ def q_update_search_topk(spark, sf_dir):
     return _topk(Searcher(spark, idx2, k1=K1, b=B), TermQuery("merge"))
 
 
+def q_soft_delete_search(spark, sf_dir):
+    """Soft deletes + retention
+    (`index/SoftDeletesRetentionMergePolicy.java:46`,
+    `IndexWriterConfig.setSoftDeletesField`): docs with
+    doc_id % 7 == 3 are soft-deleted (readers mask them, stats keep
+    counting), then the index merges with retention query 'merge' —
+    soft-deleted docs containing 'merge' stay PHYSICALLY present
+    (counting in the rebuilt df/doc_count/avgdl) yet remain masked;
+    the rest drop. Search: 'spark' top-10 over the post-merge stats."""
+    from lucene_solr_spark.index import expunge_deletes, soft_delete_docs
+    docs, idx, _ = _index(spark, sf_dir)
+    soft = docs.filter("doc_id % 7 = 3").select("doc_id")
+    idx2 = soft_delete_docs(spark, idx, soft)
+    merged = expunge_deletes(spark, idx2, retention=TermQuery("merge"))
+    return _topk(Searcher(spark, merged, k1=K1, b=B), TermQuery("spark"))
+
+
 def q_interval_ordered_topk(spark, sf_dir):
     """IntervalQuery maxgaps(3, ordered(key, agg))
     (queries/intervals/IntervalQuery.java:73): canonical minimal
@@ -3400,6 +3417,23 @@ SELECT doc_id, ROUND(s, 4) AS score FROM sc
 WHERE term = 'merge' AND doc_id NOT IN (SELECT old_id FROM upd)
 ORDER BY s DESC, doc_id LIMIT 10""")
 
+    # soft deletes + retention: the physical corpus after the merge is
+    # survivors + retained (soft docs containing the retention term);
+    # stats recompute over it; hits still exclude EVERY soft-deleted doc
+    sql["q_soft_delete_search"] = ("""
+WITH ret AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 7 = 3
+    AND list_contains(regexp_extract_all(text, '[a-z0-9]+'), 'merge')),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 7 <> 3 OR doc_id IN (SELECT doc_id FROM ret))"""
+        + _PRELUDE.replace("WITH tok AS", ", tok AS")
+                  .replace("FROM documents", "FROM corpus") + """
+SELECT doc_id, ROUND(s, 4) AS score FROM sc
+WHERE term = 'spark' AND doc_id % 7 <> 3
+ORDER BY s DESC, doc_id LIMIT 10""")
+
     # interval queries: canonical minimal-interval sets stated directly
     # in SQL — all admissible pairs, keep min end per start, strip
     # intervals containing a later-start/≤-end one; saturation scoring
@@ -5067,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_temperature_mix": q_temperature_mix,
         # ---- (2) round-5 additions land here (<=13 fit the window) ----
+        "q_soft_delete_search": q_soft_delete_search,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

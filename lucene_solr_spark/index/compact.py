@@ -119,6 +119,11 @@ def compact(spark: SparkSession, idx: InvertedIndex) -> InvertedIndex:
         out.deletes = dels
         out.deleted_array = getattr(idx, "deleted_array", None)
         out.del_table = getattr(idx, "del_table", None)
+        # the hard/soft split survives too, so a retention-aware
+        # expunge after compaction still knows which docs it may keep
+        for attr in ("hard_deletes", "soft_deletes", "soft_delete_field"):
+            if getattr(idx, attr, None) is not None:
+                setattr(out, attr, getattr(idx, attr))
     return out
 
 
