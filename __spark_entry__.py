@@ -1834,6 +1834,37 @@ def q_docvalues_update(spark, sf_dir):
                          F.col("n_chars").cast("long"))
 
 
+def q_docvalues_update_binary(spark, sf_dir):
+    """Binary + sorted-set doc-values updates (VERDICT r4 #6:
+    `index/IndexWriter.java:1864` updateBinaryDocValue,
+    `index/BinaryDocValuesFieldUpdates.java`; SORTED_SET for tag sets):
+    gen-1 relabels lang='xx' on doc_id%10==0, gen-2 lang='yy' on
+    doc_id%20==0 (newest generation wins on the overlap); gen-3 replaces
+    the tag SET on doc_id%9==0 with sorted+deduped
+    {'curated', source}. Read back both overlays, tags exploded."""
+    import tempfile
+
+    from lucene_solr_spark.index.dv_updates import (
+        read_docvalues, update_binary_docvalues,
+        update_sortedset_docvalues)
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lss_dvb_")
+    base = docs.select("doc_id", "lang",
+                       F.array("lang", "source").alias("tags"))
+    update_binary_docvalues(spark, path, "lang", docs.filter(
+        "doc_id % 10 = 0").select("doc_id", F.lit("xx").alias("value")))
+    update_binary_docvalues(spark, path, "lang", docs.filter(
+        "doc_id % 20 = 0").select("doc_id", F.lit("yy").alias("value")))
+    update_sortedset_docvalues(spark, path, "tags", docs.filter(
+        "doc_id % 9 = 0").select("doc_id", F.array(
+            F.lit("curated"), F.col("source"),
+            F.lit("curated")).alias("value")))
+    served = read_docvalues(spark, base, path, "lang")
+    served = read_docvalues(spark, served, path, "tags")
+    return served.select(F.col("doc_id").cast("long"), "lang",
+                         F.explode("tags").alias("tag"))
+
+
 def q_term_vectors_positions(spark, sf_dir):
     """TermVectorComponent with tv.df + tv.positions: terms, tf, corpus
     df, and positions for 5 requested docs — pushed doc_id-IN fetch +
@@ -3171,6 +3202,20 @@ SELECT d.doc_id,
             WHEN d.doc_id IN (SELECT doc_id FROM mm) THEN d.doc_id * 10
             ELSE d.n_chars END::BIGINT AS n_chars
 FROM documents d"""
+
+    # binary + sorted-set dv updates: newest generation wins per doc;
+    # sorted-set values dedupe+sort at write; tags exploded per row
+    sql["q_docvalues_update_binary"] = """
+WITH served AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0 THEN 'yy'
+              WHEN doc_id % 10 = 0 THEN 'xx'
+              ELSE lang END AS lang,
+         CASE WHEN doc_id % 9 = 0
+              THEN list_sort(list_distinct(['curated', source]))
+              ELSE [lang, source] END AS tags
+  FROM documents)
+SELECT doc_id, lang, unnest(tags) AS tag FROM served"""
 
     # surround '(key 4w agg) or (fast n scan)': boolean SHOULD sum of
     # an ordered near (slop 3) and an unordered near (slop 0) clause
@@ -5102,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mix": q_temperature_mix,
         # ---- (2) round-5 additions land here (<=13 fit the window) ----
         "q_soft_delete_search": q_soft_delete_search,
+        "q_docvalues_update_binary": q_docvalues_update_binary,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

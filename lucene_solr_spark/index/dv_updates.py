@@ -1,5 +1,5 @@
-"""Numeric doc-values updates: change a per-doc field without
-reindexing.
+"""Doc-values updates (numeric / binary / sorted-set): change a
+per-doc field without reindexing.
 
 Reference semantics:
 - `index/IndexWriter.java` ``updateNumericDocValue(Term, field, value)``
@@ -50,25 +50,69 @@ def _write_manifest(path: str, m: dict) -> None:
     os.replace(tmp, os.path.join(path, MANIFEST))
 
 
+# value normalization per doc-values kind (the write-side analog of
+# the reference's typed update classes, index/DocValuesFieldUpdates.java
+# subclasses NumericDocValuesFieldUpdates / BinaryDocValuesFieldUpdates):
+#   numeric    → long (updateNumericDocValue)
+#   binary     → string payload (updateBinaryDocValue; BytesRef carried
+#                as UTF-8 text — the curation use case is labels/tags)
+#   sorted_set → array<string>, deduped + sorted (SORTED_SET doc values
+#                are a sorted term-ordinal set per doc)
+_KINDS = {
+    "numeric": lambda c: c.cast("long"),
+    "binary": lambda c: c.cast("string"),
+    "sorted_set": lambda c: F.array_sort(F.array_distinct(
+        c.cast("array<string>"))),
+}
+
+
+def _update_docvalues(spark: SparkSession, path: str, field: str,
+                      updates: DataFrame, kind: str) -> int:
+    cols = set(updates.columns)
+    if not {"doc_id", "value"} <= cols:
+        raise ValueError(f"updates needs (doc_id, value), got {sorted(cols)}")
+    m = _read_manifest(path)
+    prior = {u.get("kind", "numeric") for u in m["updates"]
+             if u["field"] == field}
+    if prior - {kind}:
+        raise ValueError(
+            f"field {field!r} already has {sorted(prior)} update "
+            f"generations; cannot mix with {kind!r}")
+    gen = m["next_gen"]
+    dest = f"{path}/gen-{gen}-{field}"
+    (updates.select(F.col("doc_id").cast("long"),
+                    _KINDS[kind](F.col("value")).alias("value"))
+     .write.mode("errorifexists").parquet(dest))
+    m["next_gen"] = gen + 1
+    m["updates"].append({"gen": gen, "field": field, "path": dest,
+                         "kind": kind, "ts": int(time.time())})
+    _write_manifest(path, m)
+    return gen
+
+
 def update_numeric_docvalues(spark: SparkSession, path: str, field: str,
                              updates: DataFrame) -> int:
     """Record one update generation for ``field`` from a (doc_id,
     value) DataFrame; returns the generation number. Later generations
     win over earlier ones doc-by-doc, matching dvGen ordering."""
-    cols = set(updates.columns)
-    if not {"doc_id", "value"} <= cols:
-        raise ValueError(f"updates needs (doc_id, value), got {sorted(cols)}")
-    m = _read_manifest(path)
-    gen = m["next_gen"]
-    dest = f"{path}/gen-{gen}-{field}"
-    (updates.select(F.col("doc_id").cast("long"),
-                    F.col("value").cast("long"))
-     .write.mode("errorifexists").parquet(dest))
-    m["next_gen"] = gen + 1
-    m["updates"].append({"gen": gen, "field": field, "path": dest,
-                         "ts": int(time.time())})
-    _write_manifest(path, m)
-    return gen
+    return _update_docvalues(spark, path, field, updates, "numeric")
+
+
+def update_binary_docvalues(spark: SparkSession, path: str, field: str,
+                            updates: DataFrame) -> int:
+    """``IndexWriter.updateBinaryDocValue`` (`index/IndexWriter.java:1864`,
+    `index/BinaryDocValuesFieldUpdates.java`): per-doc string payload
+    overlay — labels/annotations in a curation pipeline. Same
+    generation model as numeric (VERDICT r4 #6)."""
+    return _update_docvalues(spark, path, field, updates, "binary")
+
+
+def update_sortedset_docvalues(spark: SparkSession, path: str, field: str,
+                               updates: DataFrame) -> int:
+    """SORTED_SET doc-values overlay: per-doc SET of strings (tags).
+    Values are deduped + sorted at write, the on-disk shape of sorted-set
+    doc values (term ordinals ascending per doc)."""
+    return _update_docvalues(spark, path, field, updates, "sorted_set")
 
 
 def update_by_term(searcher, path: str, term: str, field: str,
@@ -87,13 +131,15 @@ def _term_query(term: str):
     return TermQuery(term)
 
 
-def read_numeric_docvalues(spark: SparkSession, base: DataFrame,
-                           path: str, field: str,
-                           id_col: str = "doc_id") -> DataFrame:
+def read_docvalues(spark: SparkSession, base: DataFrame,
+                   path: str, field: str,
+                   id_col: str = "doc_id") -> DataFrame:
     """Serve ``field`` with all recorded update generations overlaid
     (newest generation wins per doc): returns ``base`` with ``field``
     replaced. One broadcast left-join; the base plan (and any pushed
-    predicates on it) is otherwise untouched."""
+    predicates on it) is otherwise untouched. Kind-agnostic — numeric,
+    binary, and sorted-set generations all serve through this overlay
+    (their typing happened at write)."""
     m = _read_manifest(path)
     gens = [u for u in m["updates"] if u["field"] == field]
     if not gens:
@@ -111,3 +157,7 @@ def read_numeric_docvalues(spark: SparkSession, base: DataFrame,
     keep = [F.coalesce("_dv_new", base[field]).alias(field)
             if c == field else base[c] for c in base.columns]
     return out.select(*keep)
+
+
+# kept name: the original numeric-only entry point
+read_numeric_docvalues = read_docvalues

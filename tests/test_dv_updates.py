@@ -82,3 +82,42 @@ def test_bad_updates_schema(spark, setup):
         update_numeric_docvalues(
             spark, path, "views",
             spark.createDataFrame([(1,)], "doc_id long"))
+
+
+def test_binary_and_sortedset_overlays(spark, setup):
+    """VERDICT r4 #6: string + set fields take overlay updates through
+    the same newest-gen-wins broadcast join."""
+    from lucene_solr_spark.index.dv_updates import (
+        read_docvalues, update_binary_docvalues,
+        update_sortedset_docvalues)
+    docs, _, path = setup
+    base = docs.select("doc_id", F.lit("raw").alias("label"),
+                       F.array(F.lit("a"), F.lit("b")).alias("tags"))
+    update_binary_docvalues(spark, path, "label", spark.createDataFrame(
+        [(0, "gold"), (2, "gold")], "doc_id long, value string"))
+    update_binary_docvalues(spark, path, "label", spark.createDataFrame(
+        [(2, "silver")], "doc_id long, value string"))
+    got = {r["doc_id"]: r["label"] for r in
+           read_docvalues(spark, base, path, "label").collect()}
+    assert got == {0: "gold", 1: "raw", 2: "silver", 3: "raw"}
+
+    # sorted-set: write-side dedupe + sort (SORTED_SET ordinal order)
+    update_sortedset_docvalues(spark, path, "tags", spark.createDataFrame(
+        [(1, ["z", "m", "z", "c"])], "doc_id long, value array<string>"))
+    tags = {r["doc_id"]: r["tags"] for r in
+            read_docvalues(spark, base, path, "tags").collect()}
+    assert tags[1] == ["c", "m", "z"]
+    assert tags[0] == ["a", "b"]
+
+
+def test_kind_mixing_raises(spark, setup):
+    from lucene_solr_spark.index.dv_updates import (
+        update_binary_docvalues, update_numeric_docvalues)
+    docs, _, path = setup
+    update_numeric_docvalues(spark, path, "views", spark.createDataFrame(
+        [(0, 1)], "doc_id long, value long"))
+    with pytest.raises(ValueError, match="cannot mix"):
+        update_binary_docvalues(spark, path, "views",
+                                spark.createDataFrame(
+                                    [(0, "x")],
+                                    "doc_id long, value string"))
