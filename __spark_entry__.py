@@ -1834,6 +1834,20 @@ def q_docvalues_update(spark, sf_dir):
                          F.col("n_chars").cast("long"))
 
 
+def q_analyzing_suggest(spark, sf_dir):
+    """AnalyzingSuggester (`suggest/analyzing/AnalyzingSuggester.java:121`):
+    titles analyzed into SEP_LABEL-joined keys (stop words drop, so
+    'the merge plan' keys as 'merge<US>plan' and an analyzed 'merge'
+    lookup finds it where a raw surface prefix misses); lookup 'merge',
+    exactFirst, weight = surface length, top-10."""
+    from lucene_solr_spark.search.suggest import (analyzing_suggest,
+                                                  build_analyzing_suggest)
+    docs = _docs(spark, sf_dir)
+    tbl = build_analyzing_suggest(docs, ENGLISH_ANALYZER,
+                                  text_col="title")
+    return analyzing_suggest(tbl, ENGLISH_ANALYZER, "merge", k=10)
+
+
 def q_docvalues_update_binary(spark, sf_dir):
     """Binary + sorted-set doc-values updates (VERDICT r4 #6:
     `index/IndexWriter.java:1864` updateBinaryDocValue,
@@ -3216,6 +3230,30 @@ WITH served AS (
               ELSE [lang, source] END AS tags
   FROM documents)
 SELECT doc_id, lang, unnest(tags) AS tag FROM served"""
+
+    # AnalyzingSuggester: analyzed-form completion — stop-filtered
+    # title tokens joined by chr(31) form the key; prefix lookup on the
+    # analyzed key; exactFirst, weight desc, surface asc
+    sql["q_analyzing_suggest"] = f"""
+WITH sugg AS (
+  SELECT DISTINCT array_to_string(
+    list_slice(regexp_extract_all(text, '[a-z0-9]+'), 1, 5), ' ')
+    AS surface
+  FROM documents),
+tok AS (
+  SELECT surface,
+         unnest(regexp_extract_all(surface, '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(surface, '[a-z0-9]+'), 1)
+           AS ord
+  FROM sugg),
+keyed AS (
+  SELECT surface, string_agg(term, chr(31) ORDER BY ord) AS akey
+  FROM tok WHERE term NOT IN ({_STOPLIST}) GROUP BY surface)
+SELECT surface, length(surface)::DOUBLE AS weight,
+       (akey = 'merge') AS is_exact
+FROM keyed
+WHERE akey LIKE 'merge%'
+ORDER BY is_exact DESC, weight DESC, surface LIMIT 10"""
 
     # surround '(key 4w agg) or (fast n scan)': boolean SHOULD sum of
     # an ordered near (slop 3) and an unordered near (slop 0) clause
@@ -5148,6 +5186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (2) round-5 additions land here (<=13 fit the window) ----
         "q_soft_delete_search": q_soft_delete_search,
         "q_docvalues_update_binary": q_docvalues_update_binary,
+        "q_analyzing_suggest": q_analyzing_suggest,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

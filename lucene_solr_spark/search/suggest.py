@@ -377,6 +377,77 @@ class FreeTextSuggester:
                 .select("term", F.round("score", 6).alias("score")))
 
 
+SEP_LABEL = "\x1f"   # AnalyzingSuggester.SEP_LABEL (0x1f unit separator)
+
+
+def build_analyzing_suggest(docs: DataFrame, analyzer,
+                            text_col: str = "title",
+                            weight_col: str | None = None,
+                            preserve_sep: bool = True,
+                            max_surface_forms: int = 256) -> DataFrame:
+    """AnalyzingSuggester build (`suggest/analyzing/
+    AnalyzingSuggester.java:121,397`): each suggestion's text runs
+    through the suggest ANALYZER and the resulting token sequence —
+    joined with SEP_LABEL 0x1f when ``preserve_sep`` (preserveSep flag),
+    concatenated bare otherwise — becomes the lookup key. This is the
+    class's headline behavior: "dept" completes to "The Department
+    Store" because both analyze to keys sharing the ``dept…`` prefix,
+    where a raw surface-prefix lookup misses. Identical surface forms
+    dedup to their max weight; each analyzed form keeps at most
+    ``max_surface_forms`` surfaces by weight desc
+    (maxSurfaceFormsPerAnalyzedForm, :161).
+
+    → (analyzed_key, surface, weight), the columnar FST analog. Spark
+    shape: one Arrow-batched analysis projection + one agg keyed on
+    (analyzed_key, surface) + one bounded per-key window — a build-time
+    job, shuffle-bounded by the suggestion table (not the corpus)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..analysis.analyzer import analyze_series
+
+    def _an(col):
+        return analyze_series(col, analyzer)
+
+    toks = pandas_udf(_an, "array<string>")(F.col(text_col))
+    sep = SEP_LABEL if preserve_sep else ""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.length(text_col).cast("double"))
+    tbl = (docs.select(F.col(text_col).alias("surface"),
+                       w.alias("weight"),
+                       F.array_join(toks, sep).alias("analyzed_key"))
+           .filter(F.length("analyzed_key") > 0)
+           .groupBy("analyzed_key", "surface")
+           .agg(F.max("weight").alias("weight")))
+    rank = Window.partitionBy("analyzed_key").orderBy(
+        F.desc("weight"), F.asc("surface"))
+    return (tbl.withColumn("_r", F.row_number().over(rank))
+            .filter(F.col("_r") <= int(max_surface_forms)).drop("_r"))
+
+
+def analyzing_suggest(table: DataFrame, analyzer, key: str, k: int = 10,
+                      exact_first: bool = True,
+                      preserve_sep: bool = True) -> DataFrame:
+    """AnalyzingSuggester lookup (`AnalyzingSuggester.java:571`): the
+    typed key runs through the SAME analyzer; matches are stored
+    analyzed keys with the analyzed query as a PREFIX. ``exact_first``
+    (exactFirst flag, :151) floats suggestions whose analyzed key
+    EXACTLY equals the analyzed query above all others regardless of
+    weight; within each class, weight desc then surface asc.
+    → (surface, weight, is_exact). The prefix predicate is a sargable
+    startswith over the sorted analyzed_key column — at scale a pushed
+    range scan, the FST-traversal analog."""
+    sep = SEP_LABEL if preserve_sep else ""
+    qkey = sep.join(analyzer.tokens(key))
+    if not qkey:
+        return (table.select("surface", "weight",
+                             F.lit(False).alias("is_exact")).limit(0))
+    hit = table.filter(F.col("analyzed_key").startswith(qkey))
+    out = hit.select("surface", "weight",
+                     (F.col("analyzed_key") == qkey).alias("is_exact"))
+    order = [F.desc("is_exact")] if exact_first else []
+    return out.orderBy(*order, F.desc("weight"), F.asc("surface")).limit(k)
+
+
 def suggest_infix(docs: DataFrame, key: str, k: int = 10,
                   text_col: str = "title",
                   weight_col: str | None = None) -> DataFrame:
