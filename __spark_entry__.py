@@ -1529,6 +1529,20 @@ def q_facet_pivot(spark, sf_dir):
                     .alias("count")))
 
 
+def q_facet_assoc(spark, sf_dir):
+    """Association facets (TaxonomyFacetSumIntAssociations.java:34):
+    Σ n_chars per taxonomy path prefix over the 'merge' match set —
+    parent = Σ children over VALUES, not counts."""
+    from lucene_solr_spark.search.facets import taxonomy_facet_sum
+    docs, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("merge"), mode="f64")
+    path = F.concat_ws(
+        "/", F.col("lang"), F.col("source"),
+        F.when(F.col("n_chars") < 300, F.lit("small")).otherwise("large"))
+    return (taxonomy_facet_sum(docs, matches, path, "n_chars")
+            .select("path", F.col("sum").cast("long").alias("sum")))
+
+
 def q_facet_taxonomy(spark, sf_dir):
     """Taxonomy rollup facets (FastTaxonomyFacetCounts.java:39): every
     prefix of the synthesized path lang/source/size-bucket counts over
@@ -2839,6 +2853,23 @@ ORDER BY d.n_chars, d.doc_id LIMIT 10"""
     p]) AS path
   FROM paths)
 SELECT path, count(*)::BIGINT AS count FROM pre
+GROUP BY path ORDER BY path"""
+
+    # association facets: Σ n_chars (not count) per path prefix
+    sql["q_facet_assoc"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+, paths AS (
+  SELECT d.lang || '/' || d.source || '/' ||
+         (CASE WHEN d.n_chars < 300 THEN 'small' ELSE 'large' END) AS p,
+         d.n_chars AS v
+  FROM documents d JOIN m USING (doc_id))
+, pre AS (
+  SELECT unnest([
+    string_split(p, '/')[1],
+    string_split(p, '/')[1] || '/' || string_split(p, '/')[2],
+    p]) AS path, v
+  FROM paths)
+SELECT path, sum(v)::BIGINT AS sum FROM pre
 GROUP BY path ORDER BY path"""
 
     sql["q_function_score_topk"] = _PRELUDE + """
@@ -5187,6 +5218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_soft_delete_search": q_soft_delete_search,
         "q_docvalues_update_binary": q_docvalues_update_binary,
         "q_analyzing_suggest": q_analyzing_suggest,
+        "q_facet_assoc": q_facet_assoc,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

@@ -109,6 +109,32 @@ def taxonomy_facets(docs: DataFrame, matches: DataFrame | None,
             .orderBy(F.asc("path")))
 
 
+def taxonomy_facet_sum(docs: DataFrame, matches: DataFrame | None,
+                       path_col, value_col, sep: str = "/") -> DataFrame:
+    """Association facets: per-path SUM of a per-doc association value
+    (`lucene/facet/.../taxonomy/TaxonomyFacetSumIntAssociations.java:34`
+    + `TaxonomyFacetSumFloatAssociations.java`: each doc carries an
+    AssociationFacetField(value, dim, path...) and the facet aggregates
+    Σ value per ordinal instead of a count; hierarchical dims roll the
+    sums up the ancestor chain, so a parent's sum = Σ children when all
+    docs are labeled at leaves). → (path, sum), path asc.
+
+    Spark shape: identical to :func:`taxonomy_facets` — ONE explode of
+    the per-doc prefix chain weighted by the association value + one
+    map-side-combined SUM; no taxonomy-table join, no ancestor second
+    pass. ``value_col`` may be a name or Column (synthesized values)."""
+    m = _matched(docs, matches)
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    parts = F.split(p, sep)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), sep))
+    return (m.select(F.explode(prefixes).alias("path"), v.alias("_v"))
+            .groupBy("path").agg(F.sum("_v").alias("sum"))
+            .orderBy(F.asc("path")))
+
+
 def facet_queries(searcher, base_matches: DataFrame,
                   named: dict) -> DataFrame:
     """Solr ``facet.query`` (FacetComponent / SimpleFacets

@@ -306,6 +306,33 @@ def test_taxonomy_rollup_parent_is_child_sum(docs, searcher):
     assert sum(v for p, v in counts.items() if depths[p] == 0) == n_match
 
 
+def test_association_facet_parent_sums_values(docs, searcher):
+    """TaxonomyFacetSumIntAssociations.java:34: parent = Σ children over
+    association VALUES (n_chars here), not doc counts, and each leaf =
+    Σ n_chars of the matched docs labeled there."""
+    from lucene_solr_spark.search.facets import taxonomy_facet_sum
+    matches = searcher.score_all(TermQuery("merge"), mode="f64")
+    path = F.concat_ws(
+        "/", F.col("lang"), F.col("source"),
+        F.when(F.col("n_chars") < 300, F.lit("small")).otherwise("large"))
+    got = taxonomy_facet_sum(docs, matches, path, "n_chars").toPandas()
+    sums = dict(zip(got["path"], got["sum"]))
+    assert sums, "match set must be non-empty"
+    depths = {p: p.count("/") for p in sums}
+    for parent, s in sums.items():
+        if depths[parent] == 2:
+            continue
+        kids = sum(v for p, v in sums.items()
+                   if depths[p] == depths[parent] + 1
+                   and p.startswith(parent + "/"))
+        assert kids == s, f"{parent}: {s} != sum(children) {kids}"
+    # root level = Σ n_chars of the whole match set (values, not counts)
+    total = (docs.join(matches.select("doc_id").distinct(), "doc_id",
+                       "left_semi")
+             .agg(F.sum("n_chars")).collect()[0][0])
+    assert sum(v for p, v in sums.items() if depths[p] == 0) == total
+
+
 def test_taxonomy_min_count_prunes(docs, searcher):
     from lucene_solr_spark.search.facets import taxonomy_facets
     matches = searcher.score_all(TermQuery("merge"), mode="f64")
