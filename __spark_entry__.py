@@ -191,6 +191,38 @@ def _geo_events(spark, sf_dir):
                      F.expr(_GEO_LON_SQL).alias("lon"))
 
 
+_LINE_BOX = (10.0, 25.0, -10.0, 20.0)   # min_lat, max_lat, min_lon, max_lon
+
+
+def q_line_shapes(spark, sf_dir):
+    """LatLonShape indexed LINE relations (document/LatLonShape.java:49
+    newLineQuery/newBoxQuery with QueryRelation): each event becomes a
+    deterministic 2-point polyline; counts per relation against one
+    box. INTERSECTS is the exact segment-vs-box SAT test in pure
+    codegen; WITHIN is the sargable bbox predicate; DISJOINT the
+    complement — intersects + disjoint must cover the corpus."""
+    from lucene_solr_spark.search.geoshape import (DISJOINT, INTERSECTS,
+                                                   WITHIN, index_lines,
+                                                   line_box_query)
+    ev = _geo_events(spark, sf_dir)
+    lines = index_lines(ev.select(
+        "event_id",
+        F.array(
+            F.struct(F.col("lat").alias("lat"), F.col("lon").alias("lon")),
+            F.struct((F.col("lat") + (F.col("event_id") % 7 - 3))
+                     .alias("lat"),
+                     (F.col("lon") + (F.col("event_id") % 11 - 5))
+                     .alias("lon"))).alias("line")))
+    mnla, mxla, mnlo, mxlo = _LINE_BOX
+    counts = [line_box_query(lines, mnla, mxla, mnlo, mxlo, relation=rel)
+              .agg(F.count("*").cast("long").alias(name))
+              for rel, name in ((INTERSECTS, "cnt_intersects"),
+                                (WITHIN, "cnt_within"),
+                                (DISJOINT, "cnt_disjoint"))]
+    out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return out
+
+
 def q_geo_box_stats(spark, sf_dir):
     """LatLonPoint.newBoxQuery (document/LatLonPoint.java:176-196):
     Catalyst range predicates over (lat, lon), aggregated."""
@@ -2598,6 +2630,41 @@ ORDER BY ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.freq
 LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
 
     # geo: box stats / nearest-k / distance count over derived coords
+    # indexed LINE shapes: the same endpoint-in-box OR separating-axis
+    # test restated over the 2-point segments, plus bbox WITHIN and the
+    # DISJOINT complement
+    mnla, mxla, mnlo, mxlo = _LINE_BOX
+    sql["q_line_shapes"] = f"""
+WITH pts AS ({_GEO_CTE}),
+seg AS (
+  SELECT event_id, lat AS ay, lon AS ax,
+         lat + (event_id % 7 - 3) AS "by", lon + (event_id % 11 - 5) AS bx
+  FROM pts),
+t AS (
+  SELECT *,
+    (GREATEST(ay, "by") >= {mnla} AND LEAST(ay, "by") <= {mxla} AND
+     GREATEST(ax, bx) >= {mnlo} AND LEAST(ax, bx) <= {mxlo}) AS sb,
+    ((ay >= {mnla} AND ay <= {mxla} AND ax >= {mnlo} AND ax <= {mxlo}) OR
+     ("by" >= {mnla} AND "by" <= {mxla} AND bx >= {mnlo} AND bx <= {mxlo}))
+      AS inside,
+    (bx - ax) * ({mnla} - ay) - ("by" - ay) * ({mnlo} - ax) AS s1,
+    (bx - ax) * ({mnla} - ay) - ("by" - ay) * ({mxlo} - ax) AS s2,
+    (bx - ax) * ({mxla} - ay) - ("by" - ay) * ({mnlo} - ax) AS s3,
+    (bx - ax) * ({mxla} - ay) - ("by" - ay) * ({mxlo} - ax) AS s4
+  FROM seg),
+rel AS (
+  SELECT
+    (sb AND (inside OR (NOT (s1 > 0 AND s2 > 0 AND s3 > 0 AND s4 > 0)
+                        AND NOT (s1 < 0 AND s2 < 0 AND s3 < 0 AND s4 < 0))))
+      AS inter,
+    (LEAST(ay, "by") >= {mnla} AND GREATEST(ay, "by") <= {mxla} AND
+     LEAST(ax, bx) >= {mnlo} AND GREATEST(ax, bx) <= {mxlo}) AS win
+  FROM t)
+SELECT SUM(CASE WHEN inter THEN 1 ELSE 0 END)::BIGINT AS cnt_intersects,
+       SUM(CASE WHEN win THEN 1 ELSE 0 END)::BIGINT AS cnt_within,
+       SUM(CASE WHEN NOT inter THEN 1 ELSE 0 END)::BIGINT AS cnt_disjoint
+FROM rel"""
+
     sql["q_geo_box_stats"] = f"""
 WITH pts AS ({_GEO_CTE})
 SELECT count(*)::BIGINT AS cnt, ROUND(avg(value), 4) AS avg_value
@@ -5219,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_docvalues_update_binary": q_docvalues_update_binary,
         "q_analyzing_suggest": q_analyzing_suggest,
         "q_facet_assoc": q_facet_assoc,
+        "q_line_shapes": q_line_shapes,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,
