@@ -1575,6 +1575,27 @@ def q_facet_assoc(spark, sf_dir):
             .select("path", F.col("sum").cast("long").alias("sum")))
 
 
+def q_standard_parser(spark, sf_dir):
+    """StandardQueryParser (flexible/standard/StandardQueryParser.java:103):
+    multi-field expansion of the fieldless term over (text, title),
+    per-field boost title^2, points-config n_chars as an int range
+    pushed to the doc table, AND default operator — top-10 by the
+    summed BM25."""
+    from lucene_solr_spark.search.standard_parser import (
+        StandardQueryParser, standard_search)
+    docs, _, s = _index(spark, sf_dir)
+    p = (StandardQueryParser(ENGLISH_ANALYZER)
+         .set_multi_fields(["text", "title"])
+         .set_fields_boost({"title": 2.0})
+         .set_points_config("n_chars", int)
+         .set_default_operator("AND"))
+    parsed = p.parse("merge AND n_chars:[240 TO 400]")
+    out = standard_search(s, docs, parsed)
+    return (out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
 def q_facet_taxonomy(spark, sf_dir):
     """Taxonomy rollup facets (FastTaxonomyFacetCounts.java:39): every
     prefix of the synthesized path lang/source/size-bucket counts over
@@ -4088,6 +4109,20 @@ FROM sc WHERE term IN (SELECT term FROM sel)
 GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
 
     # field-scoped term query: BM25 on the TITLE field's own stats
+    # StandardQueryParser: (text:merge OR title:merge^2) with the
+    # points-config n_chars range as a pushed doc-table filter
+    sql["q_standard_parser"] = _PRELUDE + _TITLE_CTES + """
+, tx AS (SELECT doc_id, s FROM sc WHERE term = 'merge')
+, ti AS (SELECT doc_id, 2.0 * s AS s FROM tsc WHERE term = 'merge')
+, uni AS (
+  SELECT COALESCE(tx.doc_id, ti.doc_id) AS doc_id,
+         COALESCE(tx.s, 0) + COALESCE(ti.s, 0) AS s
+  FROM tx FULL OUTER JOIN ti ON tx.doc_id = ti.doc_id)
+SELECT uni.doc_id, ROUND(uni.s, 4) AS score
+FROM uni JOIN documents d ON uni.doc_id = d.doc_id
+WHERE d.n_chars BETWEEN 240 AND 400
+ORDER BY uni.s DESC, uni.doc_id LIMIT 10"""
+
     sql["q_field_term_topk"] = _PRELUDE + _TITLE_CTES + """
 SELECT doc_id, ROUND(s, 4) AS score FROM tsc WHERE term = 'part'
 ORDER BY s DESC, doc_id LIMIT 10"""
@@ -5287,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_analyzing_suggest": q_analyzing_suggest,
         "q_facet_assoc": q_facet_assoc,
         "q_line_shapes": q_line_shapes,
+        "q_standard_parser": q_standard_parser,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

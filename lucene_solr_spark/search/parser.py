@@ -11,6 +11,7 @@ assembly per `QueryParserBase.java:387`):
     "quoted"~N        → sloppy phrase, slop N (PhraseQuery.java:70)
     term~ / term~N    → FuzzyQuery (default maxEdits 2, FuzzyQuery.java:55)
     wild*card / wi?d  → WildcardQuery; pure trailing-* → PrefixQuery
+    /rege.p/          → RegexpQuery (REGEXPTERM, QueryParserBase:812)
     [a TO b] / {a TO b} → TermRangeQuery (inclusive / exclusive)
     atom^2.5          → BoostQuery (QueryParserBase.java:838 handleBoost)
     +term             → MUST        -term / NOT term → MUST_NOT
@@ -32,12 +33,14 @@ from ..analysis.analyzer import StandardAnalyzer
 from ..analysis.lowercase import simple_lowercase
 from .ast import (DEFAULT_FIELD, BooleanQuery, BoostQuery, Clause,
                   FuzzyQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
-                  TermQuery, TermRangeQuery, WildcardQuery, rewrite)
+                  RegexpQuery, TermQuery, TermRangeQuery, WildcardQuery,
+                  rewrite)
 
 _LEX = re.compile(
     r'(?:[A-Za-z0-9_.]+:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'   # [f:]"…"[~n][^b]
     r'|(?:[A-Za-z0-9_.]+:)?\[[^\]]*\](?:\^[\d.]+)?'        # [f:][a TO b][^b]
     r'|(?:[A-Za-z0-9_.]+:)?\{[^}]*\}(?:\^[\d.]+)?'         # [f:]{a TO b}[^b]
+    r'|(?:[A-Za-z0-9_.]+:)?/[^/]*/(?:\^[\d.]+)?'           # [f:]/regex/[^b]
     r'|\(|\)'
     r'|\^[\d.]+'                                           # group boost
     r'|[^\s()]+'
@@ -51,8 +54,16 @@ _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.DOTALL)
 
 
 def parse_query(text: str, analyzer: StandardAnalyzer,
-                default_field: str = DEFAULT_FIELD):
-    """Parse classic-subset syntax → normalized query AST."""
+                default_field: str = DEFAULT_FIELD,
+                default_operator: str = "OR"):
+    """Parse classic-subset syntax → normalized query AST.
+
+    ``default_operator`` is QueryParserBase's setDefaultOperator
+    (`classic/QueryParserBase.java:63`, addClause `:387`): with "AND",
+    a clause with no explicit operator is required, and a clause
+    introduced by OR demotes the preceding clause to optional unless
+    it is prohibited — the exact addClause rule."""
+    and_default = str(default_operator).upper() == "AND"
     tokens = _LEX.findall(text or "")
     pos = [0]
 
@@ -79,18 +90,22 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
                 pending_op = "OR"
                 advance()
                 continue
-            occur = Occur.SHOULD
+            occur = Occur.MUST if and_default else Occur.SHOULD
+            explicit_mod = False
             if t in ("NOT", "!"):
                 advance()
                 t = peek()
                 if t is None or t == ")":
                     break
                 occur = Occur.MUST_NOT
+                explicit_mod = True
             elif t.startswith("+") and len(t) > 1:
                 occur = Occur.MUST
+                explicit_mod = True
                 tokens[pos[0]] = t[1:]
             elif t.startswith("-") and len(t) > 1:
                 occur = Occur.MUST_NOT
+                explicit_mod = True
                 tokens[pos[0]] = t[1:]
 
             sub = parse_atom()
@@ -100,11 +115,20 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
                     and _BOOST_RE.match("x" + nxt)):
                 advance()
                 sub = BoostQuery(sub, float(nxt[1:]))
-            if pending_op == "AND" and occur == Occur.SHOULD:
+            if pending_op == "AND" and occur != Occur.MUST_NOT:
                 occur = Occur.MUST
                 # retroactively promote the left neighbor, classic-parser style
                 if clauses and clauses[-1].occur == Occur.SHOULD:
                     clauses[-1] = Clause(Occur.MUST, clauses[-1].query)
+            elif pending_op == "OR":
+                if occur == Occur.MUST and not explicit_mod:
+                    occur = Occur.SHOULD  # AND-default yields to OR; an
+                                          # explicit + keeps MUST (mods win)
+                # addClause: OR demotes the preceding clause to optional
+                # unless prohibited — only under the AND default
+                if (and_default and clauses
+                        and clauses[-1].occur == Occur.MUST):
+                    clauses[-1] = Clause(Occur.SHOULD, clauses[-1].query)
             pending_op = None
             if sub is not None:
                 clauses.append(Clause(occur, sub))
@@ -152,6 +176,11 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
             else:
                 q = PhraseQuery(tuple(toks), fld, slop)
             return BoostQuery(q, boost) if boost is not None else q
+        if len(t) >= 2 and t.startswith("/") and t.endswith("/"):
+            # /regex/ → RegexpQuery (QueryParserBase REGEXPTERM handling;
+            # pattern kept verbatim apart from lowercasing, like the
+            # other expanded terms)
+            return RegexpQuery(simple_lowercase(t[1:-1]), fld)
         mr = _RANGE_RE.match(t)
         if mr:
             lo = None if mr.group(2) == "*" else simple_lowercase(mr.group(2))
