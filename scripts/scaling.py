@@ -172,8 +172,12 @@ def main() -> None:
         import shutil as _shutil
         if _shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        # timeout scales with corpus size: warmup + iters builds at
+        # ~30k docs/s/32-cores (measured r4), generous 4x margin
+        child_timeout = max(3600, int((args.iters + 1) * args.docs
+                                      / 30_000 * 4 * (32 / cores)))
         out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                             timeout=3600)
+                             timeout=child_timeout)
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("CHILD_RESULT ")]
         if not line:
