@@ -53,8 +53,11 @@ def child(cores: int, input_path: str, iters: int = 3) -> None:
 
     # identical shuffle sizing at both parallelism levels (partitions are
     # sized by data volume; only the executor count differs — exactly the
-    # N vs 4N cluster comparison the north rule describes)
-    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=96)
+    # N vs 4N cluster comparison the north rule describes). Override for
+    # corpora much larger than the default sizing (e.g. 30M docs needs
+    # more partitions to keep per-task memory bounded on one host).
+    sp = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "96"))
+    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=sp)
     docs = spark.read.parquet(input_path)
     n_docs = docs.count()
 
