@@ -894,6 +894,16 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.round("cos", 4).alias("cos"))
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Two-stage ANN: int8 scalar-quantized candidate scan (top-100 by
+    cosine over dequantized 8-bit codes — the 4x-narrower read at
+    100 TB) + exact re-rank of the candidates only."""
+    top = sim.sq8_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir),
+                       k=10, candidates=100)
+    return top.select(F.col("vec_id").cast("long"),
+                      F.round("cos", 4).alias("cos"))
+
+
 def q_embed_neardup_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     planes = (emb.filter("vec_id >= 1 AND vec_id <= 4")
@@ -4593,6 +4603,47 @@ FROM embeddings e CROSS JOIN q
 JOIN a2 ON a2.vec_id = e.vec_id JOIN probe ON probe.cell = a2.cell
 ORDER BY {_COS_E} DESC, e.vec_id LIMIT 10"""
 
+    # SQ8 two-stage ANN: per-dim min/max codebook -> int8 quantize ->
+    # approx-cosine top-100 over DEQUANTIZED values -> exact re-rank.
+    # round() is half-away-from-zero in both engines on the
+    # non-negative inputs here, so candidate sets agree bit-for-bit.
+    sql["q_ann_sq8_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dims AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e)
+  GROUP BY i),
+dq AS (
+  SELECT e.vec_id,
+         list(CASE WHEN d.mx = d.mn THEN d.mn
+              ELSE d.mn + (round(((e.v[d.i] - d.mn) / (d.mx - d.mn))
+                                 * 255) / 255.0) * (d.mx - d.mn)
+              END ORDER BY d.i) AS dv
+  FROM e JOIN dims d ON true GROUP BY e.vec_id),
+dqq AS (
+  SELECT list(CASE WHEN d.mx = d.mn THEN d.mn
+              ELSE d.mn + (round(((q.qv[d.i] - d.mn) / (d.mx - d.mn))
+                                 * 255) / 255.0) * (d.mx - d.mn)
+              END ORDER BY d.i) AS dv
+  FROM q JOIN dims d ON true),
+cand AS (
+  SELECT dq.vec_id
+  FROM dq CROSS JOIN dqq
+  ORDER BY list_dot_product(dq.dv, dqq.dv) /
+           (sqrt(list_dot_product(dq.dv, dq.dv)) *
+            sqrt(list_dot_product(dqq.dv, dqq.dv))) DESC, dq.vec_id
+  LIMIT 100)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY list_dot_product(e.v, q.qv) /
+         (sqrt(list_dot_product(e.v, e.v)) *
+          sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+LIMIT 10"""
+
     sql["q_embed_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -5323,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_assoc": q_facet_assoc,
         "q_line_shapes": q_line_shapes,
         "q_standard_parser": q_standard_parser,
+        "q_ann_sq8_topk": q_ann_sq8_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

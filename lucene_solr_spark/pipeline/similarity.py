@@ -169,6 +169,80 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec,
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def sq8_train(emb: DataFrame, vec_col: str = "embedding"):
+    """Per-dimension (min, max) over the corpus — the SQ8 codebook.
+
+    One posexplode + groupBy(dim) agg; the result is dim-sized (the
+    same driver-resident-codebook posture as IVF centroids). Returns
+    ``(mins, maxs)`` as python float lists, index-aligned with the
+    embedding dimensions.
+    """
+    rows = (emb.select(F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx"))
+            .orderBy("i").collect())
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def _sq8_dequant(x, mn, mx):
+    """Quantize ``x`` to an int8 code then dequantize — the value the
+    approximate scan actually sees. round() is half-away-from-zero on
+    both Spark (HALF_UP, inputs are non-negative here) and DuckDB, so
+    the oracle reproduces it bit-for-bit in double precision."""
+    code = F.round(((x.cast("double") - mn) / (mx - mn)) * F.lit(255.0))
+    return F.when(mx == mn, mn).otherwise(mn + (code / 255.0) * (mx - mn))
+
+
+def sq8_topk(emb: DataFrame, query_vec, k: int = 10, candidates: int = 100,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             codebook=None) -> DataFrame:
+    """Two-stage ANN: int8 scalar-quantized scan + exact re-rank.
+
+    Stage 1 scores every vector by cosine over its DEQUANTIZED form
+    (8-bit per dimension) and keeps the top ``candidates`` — at 100 TB
+    the production layout persists the codes column beside the vectors
+    so this scan reads 4x fewer bytes than float32 and stays entirely
+    in whole-stage codegen (transform/aggregate, no Python). Stage 2
+    re-ranks only those ``candidates`` rows by exact cosine, so the
+    full-precision reads are O(candidates), not O(corpus). Recall
+    follows from SQ8's bounded per-dim error ((mx-mn)/255/2); the
+    pytest pins top-k identity vs the exhaustive scan on the test
+    corpus. Ties break toward lower ``vec_id`` in both stages.
+
+    The reference has no vector search (Lucene HNSW landed
+    post-snapshot); like IVF/LSH above this is the training-pipeline
+    extension, built Spark-first.
+    """
+    mns, mxs = codebook if codebook is not None else sq8_train(emb, vec_col)
+    mnc = F.array(*[F.lit(float(v)) for v in mns])
+    mxc = F.array(*[F.lit(float(v)) for v in mxs])
+
+    def dq_query():
+        out = []
+        for x, mn, mx in zip(query_vec, mns, mxs):
+            if mx == mn:
+                out.append(mn)
+            else:
+                import math
+                code = math.floor(((float(x) - mn) / (mx - mn)) * 255.0 + 0.5)
+                out.append(mn + (code / 255.0) * (mx - mn))
+        return out
+
+    dv = F.transform(
+        F.col(vec_col),
+        lambda x, i: _sq8_dequant(x, F.element_at(mnc, i + 1),
+                                  F.element_at(mxc, i + 1)))
+    dq_q = _lit_vec(dq_query())
+    cand = (emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
+                       cosine(dv, dq_q).alias("approx"))
+            .orderBy(F.desc("approx"), F.asc("vec_id")).limit(candidates))
+    exact = cand.select("vec_id",
+                        cosine(F.col(vec_col), _lit_vec(query_vec))
+                        .alias("cos"))
+    return exact.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:

@@ -97,6 +97,36 @@ def test_ivf_probe_subset_of_bruteforce(spark, emb):
     assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in bf]
 
 
+def test_sq8_topk_matches_exact(spark, emb):
+    """Two-stage SQ8 ANN recovers the exact top-k on the test corpus:
+    SQ8's per-dim error is bounded by (mx-mn)/255/2, far below the
+    score gaps here, so the exact re-rank over 100 candidates must
+    return the exhaustive-scan answer, scores included."""
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    sq8 = similarity.sq8_topk(emb, qv, k=10, candidates=100).collect()
+    bf = similarity.cosine_topk(emb, qv, 10).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in sq8] == \
+           [(r["vec_id"], round(r["cos"], 9)) for r in bf]
+
+
+def test_sq8_constant_dim_and_codebook_reuse(spark):
+    """A dimension with mx == mn must not NaN/null the scores, and a
+    precomputed codebook (the persisted-table posture at scale) gives
+    the same answer as inline training."""
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i), -2.0]) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    top = similarity.sq8_topk(df, [1.0, 4.0, -2.0], k=3, candidates=6)
+    rows = top.collect()
+    assert rows[0]["vec_id"] == 4  # exact direction match ranks first
+    assert all(r["cos"] is not None for r in rows)
+    cb = similarity.sq8_train(df)
+    again = similarity.sq8_topk(df, [1.0, 4.0, -2.0], k=3, candidates=6,
+                                codebook=cb).collect()
+    assert [(r["vec_id"], r["cos"]) for r in again] == \
+           [(r["vec_id"], r["cos"]) for r in rows]
+
+
 def test_lsh_neardup_precision(spark, emb):
     planes = (emb.orderBy("vec_id").limit(6)
               .select(F.col("vec_id").cast("int").alias("pid"),
