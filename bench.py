@@ -162,6 +162,14 @@ def main() -> None:
     # across rounds; the round-4 hygiene ops below are timed separately
     total = time.perf_counter() - t_all
 
+    # SQ8 two-stage ANN (round 5): codebook trained once (amortized,
+    # like the IVF build), timed as the quantized scan + exact re-rank.
+    # Kept OUT of the headline total for r2/r3 "value" comparability.
+    sq8_cb = sim.sq8_train(emb)
+    t0 = time.perf_counter()
+    sim.sq8_topk(emb, qv, k=10, candidates=100, codebook=sq8_cb).collect()
+    per_query["op_ann_sq8"] = round(time.perf_counter() - t0, 4)
+
     # corpus hygiene (round 4): exact-substring dup + decontamination —
     # corpus-scale scans (every 13-token window / every 8-gram), an
     # order of magnitude more work than one top-k query; reported as
