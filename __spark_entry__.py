@@ -712,6 +712,39 @@ def q_dedup_components(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup cluster representative selection (CCNet keep-best
+    retention): the representative of each MinHash connected component
+    is its highest-n_chars member (ties -> lowest doc_id), not the
+    arbitrary min-id one — boilerplate families usually hold one full
+    article and many truncated mirrors."""
+    pairs = dd.minhash_dedup(_raw_docs(spark, sf_dir), threshold=0.8)
+    comps = dd.canonicalize_near_dups(pairs)
+    qual = _raw(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    res = dd.component_representatives(comps, qual, quality_col="n_chars")
+    return (res.select(F.col("doc_id").cast("long"),
+                       F.col("component").cast("long"),
+                       F.col("rep_id").cast("long"), "is_duplicate")
+            .orderBy("doc_id"))
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Exact per-source token budget (training mixes are quoted in
+    tokens): md5-ordered prefix per source, keep while the running
+    whitespace-token total fits the source's budget (src0-src4: 600,
+    others: 300)."""
+    from lucene_solr_spark.pipeline.sampling import token_budget_cut
+    docs = _raw(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"))
+    budgets = {f"src{i}": 600.0 for i in range(5)}
+    res = token_budget_cut(docs, budgets, default_budget=300.0)
+    return (res.select(F.col("doc_id").cast("long"), "source",
+                       F.col("n_tok").cast("long"),
+                       F.col("cum_tokens").cast("long"))
+            .orderBy("doc_id"))
+
+
 def q_windowed_events(spark, sf_dir):
     from lucene_solr_spark.streaming.windowed import windowed_event_counts
     ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
@@ -4255,6 +4288,57 @@ SELECT doc_id, component AS canonical_id,
        doc_id <> component AS is_duplicate
 FROM lab ORDER BY doc_id"""
 
+    # same CC chain as q_dedup_components, then per-component rep =
+    # highest n_chars (ties -> lowest doc_id)
+    sql["q_dedup_keep_best"] = _P2 + _MINHASH_CTES + """
+, prs AS (
+  SELECT doc_a, doc_b FROM jac WHERE j >= 0.8
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM prs
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM prs
+), nodes AS (
+  SELECT DISTINCT u AS doc_id FROM edges
+), lab AS (
+  WITH RECURSIVE walk(src, doc_id) AS (
+    SELECT doc_id AS src, doc_id FROM nodes
+    UNION
+    SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.doc_id
+  )
+  SELECT src AS doc_id, MIN(doc_id) AS component
+  FROM walk GROUP BY src
+), memb AS (
+  SELECT l.doc_id, l.component, d.n_chars
+  FROM lab l JOIN documents d USING (doc_id)
+), reps AS (
+  SELECT component, doc_id AS rep_id FROM (
+    SELECT component, doc_id,
+      row_number() OVER (PARTITION BY component
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM memb) WHERE rn = 1
+)
+SELECT m.doc_id, m.component, r.rep_id,
+       m.doc_id <> r.rep_id AS is_duplicate
+FROM memb m JOIN reps r USING (component) ORDER BY m.doc_id"""
+
+    sql["q_token_budget_mix"] = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+    (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+      / 4294967296.0 AS frac
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+    SUM(n_tok) OVER (PARTITION BY source ORDER BY frac, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                         THEN 600 ELSE 300 END
+ORDER BY doc_id"""
+
     sql["q_windowed_events"] = """
 SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -5375,6 +5459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_shapes": q_line_shapes,
         "q_standard_parser": q_standard_parser,
         "q_ann_sq8_topk": q_ann_sq8_topk,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_token_budget_mix": q_token_budget_mix,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

@@ -335,6 +335,36 @@ def canonicalize_near_dups(pairs: DataFrame,
                         F.col("doc_id") != F.col("canonical_id")))
 
 
+def component_representatives(components: DataFrame, quality: DataFrame,
+                              quality_col: str = "quality",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, component, rep_id, is_duplicate) — per near-dup
+    component, the representative is the HIGHEST-QUALITY member (ties
+    → lowest doc_id), not the arbitrary min-id one: CCNet/RealNews
+    keep the best copy of a duplicate cluster (longest / cleanest),
+    because boilerplate families usually contain one full article and
+    many truncated mirrors.
+
+    ``components`` is :func:`canonicalize_near_dups` output (the
+    ``canonical_id`` column doubles as the component label);
+    ``quality`` maps doc_id → ``quality_col`` (chars, tokens, or a
+    model score). Cost on top of the CC run: one map-side-combinable
+    ``max_by`` agg over component (components are tiny relative to
+    the corpus) + an equi-join of component → rep back onto the
+    membership rows — no new corpus-wide shuffle."""
+    q = quality.select(F.col(id_col).alias("doc_id"),
+                       F.col(quality_col).cast("double").alias("_q"))
+    memb = (components
+            .select("doc_id", F.col("canonical_id").alias("component"))
+            .join(q, "doc_id"))
+    reps = memb.groupBy("component").agg(
+        F.max_by("doc_id", F.struct(F.col("_q").alias("q"),
+                                    (-F.col("doc_id")).alias("nid")))
+        .alias("rep_id"))
+    return (memb.select("doc_id", "component").join(reps, "component")
+            .withColumn("is_duplicate", F.col("doc_id") != F.col("rep_id")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -82,3 +82,35 @@ def temperature_sample(df: DataFrame, key_col: str, strata_col: str,
               df.groupBy(strata_col).count().collect()}
     rates = temperature_rates(counts, alpha, sample_frac)
     return stratified_sample(df, key_col, strata_col, rates)
+
+
+def token_budget_cut(df: DataFrame, budgets: dict[str, float],
+                     default_budget: float = 0.0,
+                     key_col: str = "doc_id", strata_col: str = "source",
+                     tokens_col: str = "n_tok") -> DataFrame:
+    """Exact per-stratum TOKEN budget — the final trim of a training
+    mixture (Dolma/GPT-3-style recipes quote mixes in tokens, not
+    docs; see PAPERS.md): docs are ordered by the deterministic md5
+    hash of ``key_col`` (a reshard-stable pseudo-random shuffle, ties
+    → key), and each stratum keeps the prefix whose RUNNING token
+    total fits its budget — a doc survives iff the cumulative sum
+    INCLUDING it is within budget. Adds ``cum_tokens``.
+
+    Scale posture: the running sum is a window partitioned by stratum,
+    so each stratum sorts in one task — right for the final trim,
+    where stratified_sample/temperature_sample (pure projections, no
+    shuffle) have already cut volume to the target's neighborhood and
+    per-stratum rows are bounded. For the raw-corpus stage use those
+    rate-based samplers; exactness only matters at the end.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(strata_col)
+         .orderBy(hash_frac(key_col).asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    budget = F.lit(float(default_budget))
+    for k, v in sorted(budgets.items()):
+        budget = (F.when(F.col(strata_col) == k, F.lit(float(v)))
+                  .otherwise(budget))
+    return (df.withColumn("cum_tokens",
+                          F.sum(F.col(tokens_col).cast("long")).over(w))
+            .filter(F.col("cum_tokens") <= budget))

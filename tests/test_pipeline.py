@@ -127,6 +127,53 @@ def test_sq8_constant_dim_and_codebook_reuse(spark):
            [(r["vec_id"], r["cos"]) for r in rows]
 
 
+def test_component_representatives_keep_best(spark):
+    """Planted component where the highest-quality member is NOT the
+    min doc_id: keep-best must pick it, keep-first would not."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    comps = dedup.canonicalize_near_dups(pairs)
+    quality = spark.createDataFrame(
+        [(1, 50.0), (2, 90.0), (3, 70.0), (10, 5.0), (11, 5.0)],
+        "doc_id long, quality double")
+    res = {r["doc_id"]: r for r in
+           dedup.component_representatives(comps, quality).collect()}
+    assert res[1]["rep_id"] == 2 and res[1]["is_duplicate"]
+    assert res[2]["rep_id"] == 2 and not res[2]["is_duplicate"]
+    assert res[3]["rep_id"] == 2 and res[3]["is_duplicate"]
+    # quality tie in {10, 11} -> lowest doc_id wins
+    assert res[10]["rep_id"] == 10 and not res[10]["is_duplicate"]
+    assert res[11]["rep_id"] == 10 and res[11]["is_duplicate"]
+
+
+def test_token_budget_cut_exact_and_reshard_invariant(spark, docs):
+    from lucene_solr_spark.pipeline import sampling
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"))
+    budgets = {"src0": 400.0}
+    kept = sampling.token_budget_cut(src, budgets, default_budget=200.0)
+    rows = kept.collect()
+    assert rows, "budget cut kept nothing"
+    # every kept row's running total is within its source's budget
+    for r in rows:
+        cap = 400 if r["source"] == "src0" else 200
+        assert r["cum_tokens"] <= cap
+    # per-source kept token sums equal the max cum_tokens (prefix
+    # property: the kept set is exactly the hash-order prefix)
+    agg = {(r["source"]): r for r in
+           kept.groupBy("source").agg(
+               F.sum("n_tok").alias("s"),
+               F.max("cum_tokens").alias("m")).collect()}
+    for r in agg.values():
+        assert r["s"] == r["m"]
+    # reshard invariance: identical kept set at a different layout
+    again = sampling.token_budget_cut(
+        src.repartition(13), budgets, default_budget=200.0)
+    assert sorted((r["doc_id"], r["cum_tokens"]) for r in again.collect()) \
+        == sorted((r["doc_id"], r["cum_tokens"]) for r in rows)
+
+
 def test_lsh_neardup_precision(spark, emb):
     planes = (emb.orderBy("vec_id").limit(6)
               .select(F.col("vec_id").cast("int").alias("pid"),
