@@ -728,6 +728,17 @@ def q_dedup_keep_best(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """CCNet-style quality signal, bigram edition: interpolated
+    Jelinek-Mercer bits per doc (lambda 0.2 unigram floor + 0.8
+    bigram MLE), both models trained on this corpus by aggregation."""
+    res = tstat.bigram_logprob(_raw_docs(spark, sf_dir))
+    return (res.select(F.col("doc_id").cast("long"),
+                       F.col("n_bigrams").cast("long"),
+                       F.round("bits", 4).alias("bits"))
+            .orderBy("doc_id"))
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Exact per-source token budget (training mixes are quoted in
     tokens): md5-ordered prefix per source, keep while the running
@@ -5112,6 +5123,34 @@ SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN pd USING (doc_id)
 ORDER BY d.doc_id"""
 
+    sql["q_bigram_logprob"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
+  FROM documents
+), uni AS (
+  SELECT unnest(ts) AS term FROM tok
+), vocab AS (SELECT term, count(*)::DOUBLE AS ttf FROM uni GROUP BY term
+), tot AS (SELECT sum(ttf) AS t FROM vocab
+), bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM tok WHERE len(ts) >= 2)
+), pair AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2
+), lft AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY w1
+), sc AS (
+  SELECT b.doc_id,
+    -log2(0.2 * (v.ttf / tot.t) + 0.8 * (p.c12 / l.c1)) AS bits
+  FROM bg b JOIN pair p USING (w1, w2) JOIN lft l USING (w1)
+            JOIN vocab v ON v.term = b.w2 CROSS JOIN tot
+), pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(bits) AS bits
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       ROUND(pd.bits, 4) AS bits
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id"""
+
     # text tagger: token-position restatement of every dictionary phrase
     # (overlap policy ALL — every start position counts)
     sql["q_text_tagger"] = r"""
@@ -5461,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_sq8_topk": q_ann_sq8_topk,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_token_budget_mix": q_token_budget_mix,
+        "q_bigram_logprob": q_bigram_logprob,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

@@ -249,6 +249,56 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                     "bits"))
 
 
+def bigram_logprob(docs: DataFrame, lam: float = 0.2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc interpolated-bigram LM score — one rung up the CCNet
+    ladder from :func:`unigram_logprob` toward its 5-gram KenLM:
+    bits = −mean log2( λ·p(w_i) + (1−λ)·p(w_i|w_{i−1}) ) over
+    positions i ≥ 2, both estimators MLE over THIS corpus
+    (p(w) = ttf/T, p(w|v) = c(v,w)/c(v,·)). The λ mix is the classic
+    Jelinek-Mercer interpolation: the bigram term captures local
+    word-order predictability (boilerplate scores low, shuffled or
+    tail text scores high) and the unigram floor keeps scores finite
+    under any future held-out split.
+
+    Spark shape: bigrams come straight off each doc's token ARRAY (a
+    ``transform`` over ``sequence()`` — no self-join, no window);
+    training = two map-side-combined groupBys (bigram counts +
+    left-context totals, vocabulary-sized outputs); scoring =
+    equi-joins of the bigram stream against those tables (Zipf keeps
+    the model side ≪ corpus; Catalyst broadcasts under the threshold)
+    + one per-doc agg. Docs with < 2 tokens report n_bigrams = 0 and
+    NULL bits. → (doc_id, n_bigrams, bits)."""
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       _tok(F.col(text_col)).alias("ts"))
+    big = (base.select("doc_id", F.explode(F.expr(
+        "CASE WHEN size(ts) >= 2 THEN "
+        "transform(sequence(0, size(ts) - 2), "
+        "i -> struct(ts[i] AS w1, ts[i+1] AS w2)) "
+        "ELSE array() END")).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"),
+                F.col("bg.w2").alias("w2")))
+    pair = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    tok = base.select(F.explode("ts").alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("ttf"))
+    total = vocab.agg(F.sum("ttf").alias("T"))
+    sc = (big.join(pair, ["w1", "w2"]).join(left, "w1")
+          .join(vocab.withColumnRenamed("term", "w2"), "w2")
+          .crossJoin(total)
+          .withColumn("_bits", -F.log2(
+              F.lit(float(lam)) * (F.col("ttf") / F.col("T"))
+              + F.lit(1.0 - float(lam)) * (F.col("c12") / F.col("c1")))))
+    per_doc = sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("_bits").alias("bits"))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "bits"))
+
+
 def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """CCNet's head/middle/tail split: documents bucketed by LM score

@@ -193,6 +193,27 @@ def test_lang_id_mostly_en(spark, docs):
     assert en >= res.count() * 0.5
 
 
+def test_bigram_logprob_orders_predictability(spark):
+    """Repeated boilerplate must score LOWER bits than text whose
+    word order is unique, and degenerate docs are handled."""
+    rows = [(i, "the cat sat on the mat") for i in range(1, 11)]
+    # same unigrams AND same first token as the template (bigram
+    # scoring drops position 1), scrambled word order: its bigrams are
+    # corpus-rare while its scored unigrams are identical, so only the
+    # bigram term can tell it apart
+    rows += [(11, "the mat on cat sat the"), (12, "solo"), (13, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in textstats.bigram_logprob(df).collect()}
+    assert res[11]["bits"] > res[1]["bits"]
+    assert res[12]["n_bigrams"] == 0 and res[12]["bits"] is None
+    assert res[13]["n_bigrams"] == 0 and res[13]["bits"] is None
+    # lambda = 1 degenerates to the unigram model, which CANNOT tell
+    # the scrambled doc from the template (identical token multisets)
+    lam1 = {r["doc_id"]: r for r in
+            textstats.bigram_logprob(df, lam=1.0).collect()}
+    assert abs(lam1[11]["bits"] - lam1[1]["bits"]) < 1e-9
+
+
 def test_quality_bounds(spark, docs):
     res = textstats.quality_score(docs)
     bad = res.filter((F.col("quality") < 0) | (F.col("quality") > 1) |
