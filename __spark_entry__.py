@@ -728,6 +728,20 @@ def q_dedup_keep_best(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_cross_dedup(spark, sf_dir):
+    """Incremental-crawl dedup: near-dups of the 'new increment'
+    (doc_id % 5 == 0) against the 'reference corpus' (the rest) via
+    cross-corpus MinHash band join + exact Jaccard verify."""
+    docs = _raw_docs(spark, sf_dir)
+    new = docs.filter("doc_id % 5 = 0")
+    ref = docs.filter("doc_id % 5 <> 0")
+    res = dd.cross_corpus_neardups(new, ref, threshold=0.8)
+    return (res.select(F.col("new_id").cast("long"),
+                       F.col("ref_id").cast("long"),
+                       F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("new_id", "ref_id"))
+
+
 def q_bigram_logprob(spark, sf_dir):
     """CCNet-style quality signal, bigram edition: interpolated
     Jelinek-Mercer bits per doc (lambda 0.2 unigram floor + 0.8
@@ -5123,6 +5137,28 @@ SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN pd USING (doc_id)
 ORDER BY d.doc_id"""
 
+    # cross-corpus dedup: same minhash/band CTEs over the whole table
+    # (signatures are per-doc, so whole-corpus signing == per-side
+    # signing), candidates restricted to new-side x ref-side
+    sql["q_cross_dedup"] = _P2 + _MINHASH_CTES + """
+, xc AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+), xinter AS (
+  SELECT c.new_id, c.ref_id, count(*)::BIGINT AS inter
+  FROM xc c JOIN sh a ON a.doc_id = c.new_id
+            JOIN sh b ON b.doc_id = c.ref_id AND b.s = a.s
+  GROUP BY c.new_id, c.ref_id
+)
+SELECT x.new_id, x.ref_id,
+       ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM xc x JOIN xinter i USING (new_id, ref_id)
+          JOIN sizes sa ON sa.doc_id = x.new_id
+          JOIN sizes sb ON sb.doc_id = x.ref_id
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+ORDER BY new_id, ref_id"""
+
     sql["q_bigram_logprob"] = """
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
@@ -5501,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_token_budget_mix": q_token_budget_mix,
         "q_bigram_logprob": q_bigram_logprob,
+        "q_cross_dedup": q_cross_dedup,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest) ----
         "q_span_near_topk": q_span_near_topk,

@@ -83,6 +83,24 @@ def minhash_signatures(sh: DataFrame, num_perms: int = 16) -> DataFrame:
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(sigs: DataFrame, bands: int = 4,
+                      rows: int = 4) -> DataFrame:
+    """(doc_id, band, sig) — each doc's LSH bucket keys. At scale this
+    is the table you PERSIST for a reference corpus: crawl increments
+    sign themselves and equi-join into the same buckets without ever
+    re-reading (or re-signing) the reference."""
+    frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        frames.append(sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("sig")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def lsh_candidates(sigs: DataFrame, bands: int = 4, rows: int = 4,
                    max_bucket: int | None = 1000,
                    drop_stats: dict | None = None) -> DataFrame:
@@ -101,15 +119,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = 4, rows: int = 4,
     """
     if max_bucket is not None and drop_stats is not None:
         sigs = sigs.persist()
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_frames.append(sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("sig")))
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+    banded = banded_signatures(sigs, bands=bands, rows=rows)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "sig").agg(F.count("*").alias("bn"))
         if drop_stats is not None:
@@ -333,6 +343,54 @@ def canonicalize_near_dups(pairs: DataFrame,
     return (cc.select("doc_id", F.col("component").alias("canonical_id"))
             .withColumn("is_duplicate",
                         F.col("doc_id") != F.col("canonical_id")))
+
+
+def cross_corpus_neardups(new_docs: DataFrame, ref_docs: DataFrame,
+                          k: int = 3, num_perms: int = 16,
+                          bands: int = 4, rows: int = 4,
+                          threshold: float = 0.8) -> DataFrame:
+    """(new_id, ref_id, jaccard ≥ threshold) — near-dups of NEW docs
+    against an existing REFERENCE corpus: the incremental-crawl dedup
+    path (Lee et al. 2022 dedup a new crawl against the training set,
+    not just within itself). At 100 TB the asymmetry is the point: the
+    reference's :func:`banded_signatures` table is computed and
+    persisted ONCE; each increment signs only itself, equi-joins into
+    the same (band, sig) buckets, and the reference TEXT is touched
+    only for the exact-Jaccard verify of candidate pairs — candidate-
+    semi-joined like every verify in this module. MinHash signatures
+    are per-doc (a min over the doc's own shingles), so per-side
+    signing is bit-identical to whole-corpus signing. Doc ids may
+    overlap between the corpora — sides are tracked by column, the
+    ids never compare across sides."""
+    sh_n = shingles(new_docs, k=k)
+    sh_r = shingles(ref_docs, k=k)
+    b_n = banded_signatures(minhash_signatures(sh_n, num_perms=num_perms),
+                            bands=bands, rows=rows)
+    b_r = banded_signatures(minhash_signatures(sh_r, num_perms=num_perms),
+                            bands=bands, rows=rows)
+    cand = (b_n.select("band", "sig", F.col("doc_id").alias("new_id"))
+            .join(b_r.select("band", "sig", F.col("doc_id").alias("ref_id")),
+                  ["band", "sig"])
+            .select("new_id", "ref_id").distinct())
+    sh_na = (sh_n.join(cand.select(F.col("new_id").alias("doc_id"))
+                       .distinct(), "doc_id")
+             .select(F.col("doc_id").alias("new_id"), "shingle"))
+    sh_rb = (sh_r.join(cand.select(F.col("ref_id").alias("doc_id"))
+                       .distinct(), "doc_id")
+             .select(F.col("doc_id").alias("ref_id"), "shingle"))
+    inter = (cand.join(sh_na, "new_id").join(sh_rb, ["ref_id", "shingle"])
+             .groupBy("new_id", "ref_id").agg(F.count("*").alias("inter")))
+    sz_n = sh_n.groupBy("doc_id").agg(F.count("*").alias("na")) \
+               .withColumnRenamed("doc_id", "new_id")
+    sz_r = sh_r.groupBy("doc_id").agg(F.count("*").alias("nb")) \
+               .withColumnRenamed("doc_id", "ref_id")
+    return (cand.join(inter, ["new_id", "ref_id"], "left")
+            .na.fill({"inter": 0})
+            .join(sz_n, "new_id").join(sz_r, "ref_id")
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "ref_id", "jaccard"))
 
 
 def component_representatives(components: DataFrame, quality: DataFrame,

@@ -127,6 +127,29 @@ def test_sq8_constant_dim_and_codebook_reuse(spark):
            [(r["vec_id"], r["cos"]) for r in rows]
 
 
+def test_cross_corpus_neardups_matches_union_restriction(spark, docs):
+    """Per-doc MinHash signing makes two-sided banding equivalent to
+    whole-corpus banding restricted to cross-side pairs: the
+    cross-corpus result must equal minhash_dedup over the union,
+    filtered to (new, ref) pairs — and contain no within-side pair."""
+    new = docs.filter("doc_id % 5 = 0")
+    ref = docs.filter("doc_id % 5 <> 0")
+    cross = {(r["new_id"], r["ref_id"]): round(r["jaccard"], 9)
+             for r in dedup.cross_corpus_neardups(
+                 new, ref, threshold=0.8).collect()}
+    assert all(a % 5 == 0 and b % 5 != 0 for a, b in cross)
+    full = dedup.minhash_dedup(docs, threshold=0.8,
+                               max_bucket=None).collect()
+    expect = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 5 == 0 and b % 5 != 0:
+            expect[(a, b)] = round(r["jaccard"], 9)
+        elif b % 5 == 0 and a % 5 != 0:
+            expect[(b, a)] = round(r["jaccard"], 9)
+    assert cross == expect and cross, "cross result diverged or empty"
+
+
 def test_component_representatives_keep_best(spark):
     """Planted component where the highest-quality member is NOT the
     min doc_id: keep-best must pick it, keep-first would not."""
