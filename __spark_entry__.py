@@ -1141,6 +1141,46 @@ def q_span_near_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_span_wildcard_topk(spark, sf_dir):
+    """SpanMultiTermQueryWrapper(wildcard s*) chained before 'key' in an
+    ordered span-near, slop 3 (SpanMultiTermQueryWrapper.java:40: the
+    MTQ rewrites to a SpanOr of the expanded terms, which then composes
+    under spanNear). Expansion runs against the index dictionary; the
+    oracle re-derives the same set with LIKE 's%' over the corpus."""
+    from lucene_solr_spark.search import multiterm as mt
+    from lucene_solr_spark.search.ast import SpanNearQuery, SpanTermQuery
+    s = _searcher(spark, sf_dir)
+    wrap = mt.span_multiterm_wrapper(s.index.terms, "s*", kind="wildcard")
+    q = SpanNearQuery(clauses=(wrap, SpanTermQuery("key")), slop=3,
+                      in_order=True)
+    return _topk(s, q)
+
+
+def q_check_index(spark, sf_dir):
+    """CheckIndex analog (CheckIndex.java:450-900): decode every
+    postings block where it lives, re-derive df/ttf per term and
+    compare with the dictionary, cross-check norms and collection
+    stats. Totals gate index == corpus; the *_delta / mismatch rows
+    are identically 0 on a healthy index (the oracle pins them)."""
+    from lucene_solr_spark.index.checkindex import check_index
+    idx = _index(spark, sf_dir)[1]
+    return check_index(idx, "text").orderBy("check_name")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-doc log p_target/p_raw under add-1
+    smoothed hashed-unigram bag models (target = lang='en' docs, raw =
+    whole corpus, 64 md5 buckets — identical bits in the SQL oracle)."""
+    from lucene_solr_spark.pipeline.dsir import dsir_weights
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (dsir_weights(docs, F.col("lang") == "en", buckets=64)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("n_tokens").cast("long"),
+                    F.round("weight", 4).alias("weight"))
+            .orderBy("doc_id"))
+
+
 def q_span_or_topk(spark, sf_dir):
     """SpanOr(key, part) (SpanOrQuery.java:360): union of the two term
     span streams, each span width 0 → freq = tf(key)+tf(part); one
@@ -3294,6 +3334,28 @@ ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl
   FROM dfreq CROSS JOIN stats WHERE dfreq.term IN ('key', 'part')
 )""" + _SPAN_TAIL
 
+    # SpanMultiTermQueryWrapper(wildcard s*) before 'key', ordered,
+    # slop 3: the first child is the SpanOr over the s* dictionary
+    # expansion (stop words are never indexed, so they are excluded
+    # here too); per expansion-term position, chain to the FIRST 'key'
+    # strictly after it; one SimScorer over the aggregated stats →
+    # w = Σ idf over {s*-terms} ∪ {key} (SpanWeight.java:100-118)
+    sql["q_span_wildcard_topk"] = _PRELUDE + _POS_CTE + f"""
+, chain AS (
+  SELECT a.doc_id, a.p AS ap, MIN(b.p) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p
+  WHERE a.term LIKE 's%' AND a.term NOT IN ({_STOPLIST})
+    AND b.term = 'key'
+  GROUP BY a.doc_id, a.p
+), pf AS (
+  SELECT doc_id, SUM(1.0 / (1 + (bp - ap - 1))) AS pf
+  FROM chain WHERE bp - ap - 1 <= 3 GROUP BY doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq.term = 'key' OR dfreq.term LIKE 's%'
+)""" + _SPAN_TAIL
+
     # unordered near key/agg slop 3: per 'key' position, the nearest
     # 'agg' by |Δstart| (ties → the later one); extent = |Δ|+1 matches
     # when extent − 2 ≤ 3, contributing 1/(1+extent)
@@ -5187,6 +5249,51 @@ SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
 FROM documents d LEFT JOIN pd USING (doc_id)
 ORDER BY d.doc_id"""
 
+    # CheckIndex: the corpus-comparable totals are recomputed from the
+    # RAW documents through the identical analysis chain (tokenize →
+    # stoplist → tf → df/ttf), proving index == corpus; the internal
+    # consistency counters are pinned to 0 — any decode/dictionary/norms
+    # drift in the engine breaks the hash match.
+    sql["q_check_index"] = _PRELUDE + """
+SELECT check_name, value FROM (
+  SELECT 'doc_count' AS check_name, n::BIGINT AS value FROM stats
+  UNION ALL SELECT 'distinct_terms', count(*)::BIGINT FROM dfreq
+  UNION ALL SELECT 'sum_df', sum(df)::BIGINT FROM dfreq
+  UNION ALL SELECT 'sum_ttf', sum(ttf)::BIGINT FROM dfreq
+  UNION ALL SELECT 'bad_blocks', 0
+  UNION ALL SELECT 'term_df_mismatches', 0
+  UNION ALL SELECT 'term_ttf_mismatches', 0
+  UNION ALL SELECT 'norms_ttf_delta', 0
+  UNION ALL SELECT 'stats_delta', 0
+) ORDER BY check_name"""
+
+    # DSIR importance weights: identical md5 bucketing (hashing.md5h60),
+    # add-1 smoothed log-ratio per bucket (target = lang='en'), per-doc
+    # sum over hashed tokens; token-free docs pinned to 0
+    sql["q_dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t
+  FROM documents
+), bk AS (
+  SELECT doc_id, lang, {md5h60_sql('t')} % 64 AS b FROM tok
+), counts AS (
+  SELECT b, count(*)::BIGINT AS cr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+  FROM bk GROUP BY b
+), tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM counts
+), lr AS (
+  SELECT b, ln((ct + 1.0) / (t + 64)) - ln((cr + 1.0) / (r + 64)) AS logratio
+  FROM counts CROSS JOIN tot
+), w AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(logratio) AS weight
+  FROM bk JOIN lr USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(w.n_tokens, 0)::BIGINT AS n_tokens,
+       ROUND(coalesce(w.weight, 0.0), 4) AS weight
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY doc_id"""
+
     # text tagger: token-position restatement of every dictionary phrase
     # (overlap policy ALL — every start position counts)
     sql["q_text_tagger"] = r"""
@@ -5475,22 +5582,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     MACHINE-CHECKED: tests/test_registry_window.py recomputes the
     never-driver-verified set from the CORRECTNESS_r*.json reports on
     disk and asserts every one of them sits inside ``queries()[:50]``.
-    Round-5 rotation (VERDICT r4 #1): the 37 entries without a driver
-    rows+schema+hash row (35 round-4 additions + the 2 declared
-    rows-only queries, whose weaker rows-only driver check re-records
-    each round) occupy positions 0-36; round-5 additions take 37+;
-    driver-green r1-r4 anchors backfill the rest. Everything past
-    position 50 was driver-verified green on code since re-gated every
-    round by scripts/check_oracles.py (docs/CORRECTNESS_SELF_r*.log)
-    + pytest."""
+    Round-5 rotation (VERDICT r4 #1): the 35 round-4 additions without
+    a driver rows+schema+hash row plus rows-only q_sloppy_lucene_topk
+    occupy positions 0-35; the 14 round-5 additions take 36-49 — the
+    window is exactly full, so rows-only q_passage_highlight (driver
+    rows-only row in r4) backfills below it. Everything past position
+    50 was driver-verified green on code since re-gated every round by
+    scripts/check_oracles.py (docs/CORRECTNESS_SELF_r*.log) + pytest."""
     return {
         # ---- (1) never-driver-verified backlog: every round-4 query
         # without a rows+schema+hash row in any CORRECTNESS_r*.json,
-        # plus the declared rows-only queries (their weaker rows-only
-        # driver check re-records each round). 37 entries; the window
+        # plus rows-only q_sloppy_lucene_topk (its weaker rows-only
+        # driver check re-records each round). 36 entries; the window
         # test recomputes this set from disk and fails on any drift. ----
         "q_sloppy_lucene_topk": q_sloppy_lucene_topk,
-        "q_passage_highlight": q_passage_highlight,
         "q_dfi_topk": q_dfi_topk,
         "q_term_vectors_positions": q_term_vectors_positions,
         "q_facet_percentiles": q_facet_percentiles,
@@ -5526,7 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blended_suggest": q_blended_suggest,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_temperature_mix": q_temperature_mix,
-        # ---- (2) round-5 additions land here (<=13 fit the window) ----
+        # ---- (2) round-5 additions: 14 — fills the window exactly ----
         "q_soft_delete_search": q_soft_delete_search,
         "q_docvalues_update_binary": q_docvalues_update_binary,
         "q_analyzing_suggest": q_analyzing_suggest,
@@ -5538,8 +5643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_mix": q_token_budget_mix,
         "q_bigram_logprob": q_bigram_logprob,
         "q_cross_dedup": q_cross_dedup,
+        "q_span_wildcard_topk": q_span_wildcard_topk,
+        "q_check_index": q_check_index,
+        "q_dsir_weights": q_dsir_weights,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
-        # re-gated every round by scripts/check_oracles.py + pytest) ----
+        # re-gated every round by scripts/check_oracles.py + pytest).
+        # q_passage_highlight's weaker rows-only driver check has a row
+        # in r4; with 49 never-verified entries above, the window has no
+        # spare slot for it this round. ----
+        "q_passage_highlight": q_passage_highlight,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

@@ -264,6 +264,49 @@ def expanded_or(terms: list[str], field: str = DEFAULT_FIELD) -> BooleanQuery:
                               for t in terms))
 
 
+_SPAN_EXPANDERS = {"prefix": prefix_terms, "wildcard": wildcard_terms,
+                   "regexp": regexp_terms}
+
+
+def span_multiterm_wrapper(terms_df, pattern: str,
+                           field: str = DEFAULT_FIELD,
+                           kind: str = "wildcard",
+                           size: int = MAX_CLAUSE_COUNT):
+    """SpanMultiTermQueryWrapper analog
+    (`search/spans/SpanMultiTermQueryWrapper.java:40-120`): expand a
+    multi-term pattern against the dictionary and rewrite to a span —
+    the reference's SpanRewriteMethod builds a SpanOrQuery of
+    SpanTermQuerys over the matched terms (its top-terms variant,
+    TopTermsSpanBooleanQueryRewrite, caps the expansion by df exactly
+    like ``_collect_terms`` does here). The result composes under any
+    span operator (near/or/not/containing/...), which is the class's
+    whole point: ``spanNear([wild*, term], slop)``.
+
+    ``kind`` picks the wrapped MultiTermQuery: 'prefix' | 'wildcard' |
+    'regexp'. A single-term expansion collapses to the bare
+    SpanTermQuery (SpanOrQuery.rewrite does the same); an EMPTY
+    expansion raises ValueError — the reference rewrites to
+    SpanMatchNoDocsQuery, and this engine's span executor has no
+    match-none node, so the caller decides (matching no docs is almost
+    always a query bug worth surfacing).
+
+    Scale: the expansion is a pushed predicate scan over the sorted
+    dictionary with a df-ranked LIMIT — the driver receives at most
+    ``size`` terms, never the dictionary.
+    """
+    from .ast import SpanOrQuery, SpanTermQuery
+    if kind not in _SPAN_EXPANDERS:
+        raise ValueError(f"kind must be one of {sorted(_SPAN_EXPANDERS)}")
+    terms = _SPAN_EXPANDERS[kind](terms_df, pattern, field, size)
+    if not terms:
+        raise ValueError(
+            f"span_multiterm_wrapper: {kind} pattern {pattern!r} matches "
+            f"no dictionary term (reference: SpanMatchNoDocsQuery)")
+    if len(terms) == 1:
+        return SpanTermQuery(terms[0], field)
+    return SpanOrQuery(tuple(SpanTermQuery(t, field) for t in terms), field)
+
+
 def complex_phrase_query(searcher, phrase_text: str,
                          field: str = DEFAULT_FIELD, slop: int = 0,
                          size: int = MAX_CLAUSE_COUNT):
