@@ -1181,6 +1181,41 @@ def q_dsir_weights(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR step 3 — Gumbel-top-k resampling without replacement over
+    the importance weights (Xie et al. 2023 §3): key = weight + G with
+    G = −ln(−ln(u)), u deterministic from md5(doc_id), take the 50
+    largest keys. One TakeOrderedAndProject; no rand(), so the selected
+    subset is reshard-stable and bit-restatable in SQL."""
+    from lucene_solr_spark.pipeline.dsir import dsir_select, dsir_weights
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_weights(docs, F.col("lang") == "en", buckets=64)
+    return (dsir_select(w, n=50)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("gkey", 4).alias("gkey"))
+            .orderBy("doc_id"))
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 top-50 for term 'key'
+    fused with cosine-ANN top-50 (query = vector 0, vec_id ≡ doc_id)
+    by Reciprocal Rank Fusion, k=60 (Cormack 2009) — rank-based, so no
+    score calibration across the two retrievers. n_lists records how
+    many retrievers surfaced the doc."""
+    from lucene_solr_spark.search.hybrid import rrf_fuse
+    s = _searcher(spark, sf_dir)
+    bm = (s.score_all(TermQuery("key"), mode="f64")
+          .orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+          .select("doc_id", "score"))
+    ann = (sim.cosine_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), 50)
+           .select(F.col("vec_id").alias("doc_id"), "cos"))
+    fused = rrf_fuse([bm, ann], k=60)
+    return (fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("rrf", 4).alias("rrf"),
+                    F.col("n_lists").cast("long")))
+
+
 def q_span_or_topk(spark, sf_dir):
     """SpanOr(key, part) (SpanOrQuery.java:360): union of the two term
     span streams, each span width 0 → freq = tf(key)+tf(part); one
@@ -5294,6 +5329,61 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN w USING (doc_id)
 ORDER BY doc_id"""
 
+    # DSIR Gumbel-top-k selection: same weight pipeline, then
+    # key = weight − ln(−ln(u)) with u = (md5h60(doc_id)+0.5)/2^60 —
+    # identical md5 bits on both engines, top-50 keys
+    sql["q_dsir_select"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t
+  FROM documents
+), bk AS (
+  SELECT doc_id, lang, {md5h60_sql('t')} % 64 AS b FROM tok
+), counts AS (
+  SELECT b, count(*)::BIGINT AS cr,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+  FROM bk GROUP BY b
+), tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM counts
+), lr AS (
+  SELECT b, ln((ct + 1.0) / (t + 64)) - ln((cr + 1.0) / (r + 64)) AS logratio
+  FROM counts CROSS JOIN tot
+), w AS (
+  SELECT doc_id, sum(logratio) AS weight
+  FROM bk JOIN lr USING (b) GROUP BY doc_id
+), keyed AS (
+  SELECT d.doc_id, coalesce(w.weight, 0.0)
+    - ln(-ln(({md5h60_sql('CAST(d.doc_id AS VARCHAR)')} + 0.5)
+             / 1152921504606846976.0)) AS gkey
+  FROM documents d LEFT JOIN w USING (doc_id)
+), sel AS (
+  SELECT doc_id, gkey FROM keyed ORDER BY gkey DESC, doc_id LIMIT 50
+)
+SELECT doc_id::BIGINT AS doc_id, ROUND(gkey, 4) AS gkey
+FROM sel ORDER BY doc_id"""
+
+    # hybrid RRF: BM25('key') ranking from the shared analysis chain +
+    # cosine ranking vs query vector 0 (vec_id ≡ doc_id), fused by
+    # Σ 1/(60 + rank); ranks tie-break (score desc, doc_id asc) exactly
+    # like the engine
+    sql["q_hybrid_rrf_topk"] = _PRELUDE + f"""
+, bm AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+    FROM sc WHERE term = 'key')
+  WHERE r <= 50
+), qc AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), an AS (
+  SELECT doc_id, r FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (ORDER BY {_COS_E} DESC, e.vec_id) AS r
+    FROM embeddings e CROSS JOIN qc q)
+  WHERE r <= 50
+), fused AS (
+  SELECT doc_id, sum(1.0 / (60 + r)) AS rrf, count(*)::BIGINT AS n_lists
+  FROM (SELECT * FROM bm UNION ALL SELECT * FROM an) GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, ROUND(rrf, 4) AS rrf, n_lists
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
+
     # text tagger: token-position restatement of every dictionary phrase
     # (overlap policy ALL — every start position counts)
     sql["q_text_tagger"] = r"""
@@ -5646,6 +5736,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_wildcard_topk": q_span_wildcard_topk,
         "q_check_index": q_check_index,
         "q_dsir_weights": q_dsir_weights,
+        # ---- (2b) overflow: never-driver-verified queries that no
+        # longer fit the exactly-full window sit DIRECTLY after it
+        # (machine-checked ordering) so a hypothetical next rotation
+        # picks them up without re-counting; both are self-gated by
+        # scripts/check_oracles.py every run. ----
+        "q_dsir_select": q_dsir_select,
+        "q_hybrid_rrf_topk": q_hybrid_rrf_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

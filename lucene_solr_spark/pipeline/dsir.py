@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .hashing import md5h60
 from .textstats import TOKEN_RE
 
-__all__ = ["dsir_logratios", "dsir_weights"]
+__all__ = ["dsir_logratios", "dsir_select", "dsir_weights"]
 
 
 def _buckets(docs: DataFrame, text_col: str, buckets: int) -> DataFrame:
@@ -86,3 +86,29 @@ def dsir_weights(docs: DataFrame, target: Column, buckets: int = 64,
             .select(id_col,
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     F.coalesce("weight", F.lit(0.0)).alias("weight")))
+
+
+_TWO60 = float(1 << 60)
+
+
+def dsir_select(weights: DataFrame, n: int, temperature: float = 1.0,
+                id_col: str = "doc_id",
+                weight_col: str = "weight") -> DataFrame:
+    """Gumbel-top-k resampling — the paper's step 3 (§3: "sample k
+    examples without replacement" ∝ exp(weight); Gumbel-top-k is the
+    standard exact construction): key = weight/temperature + G_i, take
+    the n largest keys. G_i = −ln(−ln(u_i)) with u_i ∈ (0,1) derived
+    DETERMINISTICALLY from md5(id) — no rand(), so the selection is
+    reproducible under any partitioning/resharding and restatable by
+    the SQL oracle bit-for-bit.
+
+    Returns (id_col, weight, gkey) for the n selected docs. At 100 TB
+    this is one TakeOrderedAndProject over the weights table (per-
+    partition top-n, then a driver merge of n·P candidates — no global
+    sort, no shuffle of the corpus).
+    """
+    u = (md5h60(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(_TWO60)
+    key = (F.col(weight_col) / F.lit(float(temperature))
+           - F.log(-F.log(u))).alias("gkey")
+    return (weights.select(F.col(id_col), F.col(weight_col), key)
+            .orderBy(F.desc("gkey"), F.asc(id_col)).limit(int(n)))

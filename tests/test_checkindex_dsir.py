@@ -220,6 +220,36 @@ def test_dsir_partition_invariant(spark):
         == [(r["doc_id"], r["n_tokens"], round(r["weight"], 9)) for r in b]
 
 
+def _gumbel_key(doc_id: int, weight: float, temperature: float = 1.0) -> float:
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    u = (h + 0.5) / float(1 << 60)
+    return weight / temperature - math.log(-math.log(u))
+
+
+def test_dsir_select_gumbel_topk(spark):
+    docs = spark.createDataFrame(
+        [(i, t, tgt) for i, (t, tgt) in enumerate(DSIR_ROWS)],
+        "doc_id long, text string, is_t boolean")
+    from lucene_solr_spark.pipeline.dsir import dsir_select
+    w = dsir_weights(docs, F.col("is_t"), buckets=64)
+    wl = {r["doc_id"]: r["weight"] for r in w.collect()}
+    got = dsir_select(w, n=3).collect()
+    # exact paper-construction parity: top-3 keys computed in Python
+    exp = sorted(((-_gumbel_key(d, wt), d) for d, wt in wl.items()))[:3]
+    assert [r["doc_id"] for r in got] == [d for _, d in exp]
+    for r in got:
+        assert r["gkey"] == pytest.approx(_gumbel_key(r["doc_id"],
+                                                      wl[r["doc_id"]]))
+    # temperature → weights dominate the noise: at tiny temperature the
+    # selection converges to pure top-weight
+    cold = {r["doc_id"] for r in dsir_select(w, n=2,
+                                             temperature=1e-6).collect()}
+    assert cold == set(sorted(wl, key=lambda d: -wl[d])[:2])
+    # reshard-stable
+    again = dsir_select(w.repartition(5), n=3).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in got]
+
+
 def test_dsir_logratio_table_shape(spark):
     docs = spark.createDataFrame(
         [(i, t, tgt) for i, (t, tgt) in enumerate(DSIR_ROWS)],
