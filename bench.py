@@ -170,6 +170,28 @@ def main() -> None:
     sim.sq8_topk(emb, qv, k=10, candidates=100, codebook=sq8_cb).collect()
     per_query["op_ann_sq8"] = round(time.perf_counter() - t0, 4)
 
+    # DSIR data selection (round 5): train + score + Gumbel-top-k over
+    # the full corpus; timed separately like the other pipeline ops
+    from lucene_solr_spark.pipeline import dsir as ds
+    t0 = time.perf_counter()
+    ds.dsir_select(ds.dsir_weights(docs, F.col("lang") == "en",
+                                   buckets=64), n=50).collect()
+    per_query["op_dsir_select"] = round(time.perf_counter() - t0, 4)
+
+    # hybrid RRF (round 5): BM25 top-50 + cosine top-50 fused; the
+    # retrievers dominate, the fuse itself is candidate-list-sized
+    from lucene_solr_spark.search.ast import TermQuery as _TQ
+    from lucene_solr_spark.search.hybrid import rrf_fuse
+    t0 = time.perf_counter()
+    bm_l = (searcher.score_all(_TQ("key"), mode="f32")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+            .select("doc_id", "score"))
+    ann_l = (sim.cosine_topk(emb, qv, 50)
+             .select(F.col("vec_id").alias("doc_id"), "cos"))
+    rrf_fuse([bm_l, ann_l], k=60) \
+        .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10).collect()
+    per_query["op_hybrid_rrf"] = round(time.perf_counter() - t0, 4)
+
     # corpus hygiene (round 4): exact-substring dup + decontamination —
     # corpus-scale scans (every 13-token window / every 8-gram), an
     # order of magnitude more work than one top-k query; reported as

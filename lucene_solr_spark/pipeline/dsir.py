@@ -33,7 +33,7 @@ rounds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashing import md5h60
 from .textstats import TOKEN_RE
@@ -62,12 +62,17 @@ def dsir_logratios(docs: DataFrame, target: Column, buckets: int = 64,
     counts = (bk.groupBy("_b")
               .agg(F.count(F.lit(1)).alias("_cr"),
                    F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct")))
-    tot = counts.agg(F.sum("_cr").alias("_r"), F.sum("_ct").alias("_t"))
-    return (counts.crossJoin(F.broadcast(tot))
-            .select(F.col("_b").alias("bucket"),
-                    (F.log((F.col("_ct") + 1) / (F.col("_t") + buckets))
-                     - F.log((F.col("_cr") + 1) / (F.col("_r") + buckets))
-                     ).alias("logratio")))
+    # totals via a window over the ≤`buckets`-row counts table — NOT
+    # counts.agg(...) + crossJoin, which would re-derive counts from a
+    # SECOND full corpus scan (Catalyst does not dedupe the shared
+    # subplan); training is one corpus pass, the window sorts 64 rows
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    return counts.select(
+        F.col("_b").alias("bucket"),
+        (F.log((F.col("_ct") + 1) / (F.sum("_ct").over(tot) + buckets))
+         - F.log((F.col("_cr") + 1) / (F.sum("_cr").over(tot) + buckets))
+         ).alias("logratio"))
 
 
 def dsir_weights(docs: DataFrame, target: Column, buckets: int = 64,
