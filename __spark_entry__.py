@@ -1216,6 +1216,82 @@ def q_hybrid_rrf_topk(spark, sf_dir):
                     F.col("n_lists").cast("long")))
 
 
+def q_eval_quality(spark, sf_dir):
+    """Search-quality benchmark (benchmark/quality/QualityStats.java:30,
+    QualityBenchmark.java:37): each lang is a 'query'; the run is its
+    top-10 docs by (n_chars desc, doc_id); judgments grade docs with
+    doc_id % 3 == 0 at 1 + doc_id % 2. P@10 / recall@10 / MRR / nDCG@10
+    per query — one broadcast run⋈qrels join + map-side aggregations."""
+    from lucene_solr_spark.search.quality import quality_stats
+    docs = _raw(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    run = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                       F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= 10))
+    qrels = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select(F.col("lang").alias("query_id"), "doc_id",
+                     (1 + F.col("doc_id") % 2).cast("int").alias("grade")))
+    out = quality_stats(run, qrels, k=10)
+    return (out.select("query_id",
+                       F.round("p_at_k", 4).alias("p_at_10"),
+                       F.round("recall_at_k", 4).alias("recall_at_10"),
+                       F.round("mrr", 4).alias("mrr"),
+                       F.round("ndcg_at_k", 4).alias("ndcg_at_10"))
+            .orderBy("query_id"))
+
+
+def q_phrase_wildcard_topk(spark, sf_dir):
+    """PhraseWildcardQuery (sandbox/.../PhraseWildcardQuery.java:64):
+    phrase "merge s*" — the wildcard slot expands against the term
+    dictionary (top-terms-capped, df desc) and the phrase executes as
+    MultiPhraseQuery on the positions kernel."""
+    from lucene_solr_spark.search.phrase_wildcard import (
+        phrase_wildcard_query)
+    s = _searcher(spark, sf_dir)
+    q = phrase_wildcard_query(s.index.terms, ("merge", "s*"))
+    return _topk(s, q)
+
+
+def q_luke_fields(spark, sf_dir):
+    """LukeRequestHandler /admin/luke per-field stats
+    (handler/admin/LukeRequestHandler.java:85 over Terms.java:82-120
+    metadata): distinct terms, docs-with-field, sumDocFreq,
+    sumTotalTermFreq for each indexed field — pure aggregations over
+    the distributed dictionary and norms tables."""
+    from lucene_solr_spark.search.luke import luke_field_stats
+    _, idx, _ = _index(spark, sf_dir)
+    return luke_field_stats(idx).orderBy("field")
+
+
+# Deterministic synthetic URLs exercising every canonicalization rule:
+# scheme/host case, www. label, default :443 port, trailing slash,
+# tracking params, param order, fragment. Plain ANSI so the SAME string
+# feeds Spark's F.expr and the DuckDB oracle.
+_URL_SYNTH_SQL = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://', "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END, "
+    "source, '.Example.COM', "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END, "
+    "'/Docs/', CAST(doc_id % 50 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '?a=1&b=2&gclid=xyz' ELSE '' END, "
+    "'#frag')")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (CCNet §3.1 keep-one-per-URL; RFC
+    3986 §6 syntax-based normalization): canonicalize synthesized URLs
+    with one codegen projection, group on the canonical string, keep
+    the best member (longest text, ties → lowest doc_id)."""
+    from lucene_solr_spark.pipeline.urldedup import url_dedup
+    docs = (_raw(spark, sf_dir, "documents")
+            .withColumn("url", F.expr(_URL_SYNTH_SQL)))
+    return (url_dedup(docs, "url", "doc_id", "n_chars")
+            .select("canonical_url", F.col("rep_id").cast("long"),
+                    F.col("n_dups"))
+            .orderBy("canonical_url"))
+
+
 def q_span_or_topk(spark, sf_dir):
     """SpanOr(key, part) (SpanOrQuery.java:360): union of the two term
     span streams, each span width 0 → freq = tf(key)+tf(part); one
@@ -4606,6 +4682,159 @@ FROM m WHERE pos1 > 0
 ORDER BY n_chars * (1.0 - 0.10 * (pos1 - 1)) DESC, title, doc_id
 LIMIT 10"""
 
+    # retrieval-quality eval: independent windowed restatement of the
+    # run + judgments, standard exponential-gain nDCG
+    sql["q_eval_quality"] = """
+WITH run AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT lang AS query_id, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents) WHERE rank <= 10
+), qrels AS (
+  SELECT lang AS query_id, doc_id,
+         (1 + (doc_id % 2))::DOUBLE AS grade
+  FROM documents WHERE doc_id % 3 = 0
+), j AS (
+  SELECT r.query_id, r.rank, COALESCE(q.grade, 0) AS grade
+  FROM run r LEFT JOIN qrels q
+    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+), per AS (
+  SELECT query_id,
+         SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::DOUBLE / 10 AS p,
+         COALESCE(MAX(CASE WHEN grade > 0 THEN 1.0 / rank END), 0) AS mrr,
+         SUM((pow(2, grade) - 1) / log2(rank + 1)) AS dcg,
+         SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS rel_found
+  FROM j GROUP BY query_id
+), ideal AS (
+  SELECT query_id,
+         SUM(CASE WHEN rn <= 10
+                  THEN (pow(2, grade) - 1) / log2(rn + 1)
+                  ELSE 0 END) AS idcg,
+         COUNT(*) AS total_rel
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC) AS rn
+        FROM qrels)
+  GROUP BY query_id
+)
+SELECT per.query_id,
+       ROUND(per.p, 4) AS p_at_10,
+       ROUND(CASE WHEN i.total_rel > 0
+                  THEN per.rel_found::DOUBLE / i.total_rel
+                  ELSE 0 END, 4) AS recall_at_10,
+       ROUND(per.mrr, 4) AS mrr,
+       ROUND(CASE WHEN i.idcg > 0 THEN per.dcg / i.idcg ELSE 0 END, 4)
+         AS ndcg_at_10
+FROM per LEFT JOIN ideal i ON per.query_id = i.query_id
+ORDER BY per.query_id"""
+
+    # phrase wildcard: MultiPhrase scoring with the slot expanded by
+    # LIKE against the post-stop dictionary (same as the engine's
+    # dictionary scan)
+    sql["q_phrase_wildcard_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), pf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'merge' AND b.term LIKE 's%'
+    AND b.term IN (SELECT term FROM dfreq)
+  GROUP BY a.doc_id
+), idfs AS (
+  SELECT SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))) AS w
+  FROM dfreq CROSS JOIN stats
+  WHERE dfreq.term = 'merge' OR dfreq.term LIKE 's%'
+)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # Luke per-field stats: independent re-tokenization of BOTH fields
+    # (title = first 5 raw tokens, then the same stop filter)
+    sql["q_luke_fields"] = f"""
+WITH rawtok AS (
+  SELECT doc_id, 'text' AS field,
+         unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'title' AS field,
+         unnest(list_slice(regexp_extract_all(text, '[a-z0-9]+'), 1, 5))
+           AS term
+  FROM documents
+), tokf AS (
+  SELECT * FROM rawtok WHERE term NOT IN ({_STOPLIST})
+), tf AS (
+  SELECT field, doc_id, term, count(*)::BIGINT AS freq
+  FROM tokf GROUP BY field, doc_id, term
+)
+SELECT field,
+       count(DISTINCT term)::BIGINT AS distinct_terms,
+       count(DISTINCT doc_id)::BIGINT AS doc_count,
+       count(*)::BIGINT AS sum_df,
+       SUM(freq)::BIGINT AS sum_ttf
+FROM tf GROUP BY field ORDER BY field"""
+
+    # URL dedup: the SAME synthetic URL expression, canonicalized with
+    # DuckDB's string/list primitives, keep-best via window rank
+    sql["q_url_dedup"] = f"""
+WITH u0 AS (
+  SELECT doc_id, n_chars,
+         regexp_replace({_URL_SYNTH_SQL}, '#.*$', '') AS u
+  FROM documents
+), p1 AS (
+  SELECT doc_id, n_chars,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+  FROM u0
+), p2 AS (
+  SELECT doc_id, n_chars, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                        '^www\\.', '') AS hostport,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM p1
+), p3 AS (
+  SELECT doc_id, n_chars, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN contains(pathq, '?')
+              THEN regexp_extract(pathq, '^([^?]*)', 1)
+              ELSE pathq END AS raw_path,
+         CASE WHEN contains(pathq, '?')
+              THEN regexp_replace(pathq, '^[^?]*\\?', '')
+              ELSE '' END AS qs
+  FROM p2
+), p4 AS (
+  SELECT doc_id, n_chars, scheme, host,
+         CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+         array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[^=]*|fbclid|gclid|msclkid)='))), '&') AS q2
+  FROM p3
+), c AS (
+  SELECT doc_id, n_chars,
+         concat(scheme, '://', host, path,
+                CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END)
+           AS canonical_url
+  FROM p4
+), ranked AS (
+  SELECT canonical_url, doc_id,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY canonical_url) AS n_dups
+  FROM c
+)
+SELECT canonical_url, doc_id AS rep_id, n_dups::BIGINT AS n_dups
+FROM ranked WHERE rn = 1 ORDER BY canonical_url"""
+
     sql.update(_pipeline_oracle_sql())
     return sql
 
@@ -5743,6 +5972,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracles.py every run. ----
         "q_dsir_select": q_dsir_select,
         "q_hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "q_eval_quality": q_eval_quality,
+        "q_phrase_wildcard_topk": q_phrase_wildcard_topk,
+        "q_luke_fields": q_luke_fields,
+        "q_url_dedup": q_url_dedup,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
