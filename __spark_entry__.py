@@ -1292,6 +1292,31 @@ def q_url_dedup(spark, sf_dir):
             .orderBy("canonical_url"))
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE vocabulary learning, round-0 pair statistics (Sennrich 2016
+    §3.2): adjacent symbol-pair frequencies (chars + </w>) over the
+    word-frequency table — the single corpus-wide pass of BPE training
+    (all later rounds run on the bounded vocab). Top-20 by (count
+    desc, pair)."""
+    from lucene_solr_spark.pipeline.bpe import pair_counts, word_freqs
+    docs = _raw(spark, sf_dir, "documents")
+    pc = pair_counts(word_freqs(docs))
+    return (pc.orderBy(F.desc("count"), F.asc("pair")).limit(20)
+            .select("pair", F.col("count").cast("long").alias("count")))
+
+
+def q_strdist_topk(spark, sf_dir):
+    """Solr strdist() function query (ValueSourceParser strdist over
+    StrDistanceFunction): 1 − levenshtein/max(len) similarity of each
+    title to 'merge sort fast' — top-10 most similar (ties → doc_id)."""
+    from lucene_solr_spark.search.function import strdist
+    docs, _, _ = _index(spark, sf_dir)
+    sim_col = strdist("title", F.lit("merge sort fast"))
+    return (docs.select(F.col("doc_id").cast("long"),
+                        F.round(sim_col, 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("doc_id")).limit(10))
+
+
 def q_span_or_topk(spark, sf_dir):
     """SpanOr(key, part) (SpanOrQuery.java:360): union of the two term
     span streams, each span width 0 → freq = tf(key)+tf(part); one
@@ -4835,6 +4860,41 @@ WITH u0 AS (
 SELECT canonical_url, doc_id AS rep_id, n_dups::BIGINT AS n_dups
 FROM ranked WHERE rn = 1 ORDER BY canonical_url"""
 
+    # BPE round-0 pair counts: chars + </w> symbols over the
+    # word-frequency table, adjacent pairs space-joined
+    sql["q_bpe_pair_counts"] = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents
+), wf AS (
+  SELECT w, count(*)::BIGINT AS freq FROM words GROUP BY w
+), sym AS (
+  SELECT list_concat(regexp_extract_all(w, '.'), ['</w>']) AS s, freq FROM wf
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(s)),
+                i -> concat(s[i], ' ', s[i + 1]))) AS pair, freq
+  FROM sym
+)
+SELECT pair, SUM(freq)::BIGINT AS count FROM pairs GROUP BY pair
+ORDER BY SUM(freq) DESC, pair LIMIT 20"""
+
+    # strdist: levenshtein-normalized similarity, ordered by the SAME
+    # rounded value both sides so the top-10 cut is deterministic
+    sql["q_strdist_topk"] = """
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           regexp_extract_all(text, '[a-z0-9]+'), 1, 5), ' ') AS title
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN greatest(length(title), 15) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(title, 'merge sort fast')::DOUBLE
+                   / greatest(length(title), 15) END AS sim
+  FROM t
+)
+SELECT doc_id, ROUND(sim, 4) AS sim FROM s
+ORDER BY ROUND(sim, 4) DESC, doc_id LIMIT 10"""
+
     sql.update(_pipeline_oracle_sql())
     return sql
 
@@ -5976,6 +6036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_wildcard_topk": q_phrase_wildcard_topk,
         "q_luke_fields": q_luke_fields,
         "q_url_dedup": q_url_dedup,
+        "q_bpe_pair_counts": q_bpe_pair_counts,
+        "q_strdist_topk": q_strdist_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

@@ -132,3 +132,28 @@ def function_range_filter(searcher, query, docs: DataFrame,
         pred = pred & (F.col("_fv") <= upper if include_upper
                        else F.col("_fv") < upper)
     return joined.filter(pred).select("doc_id", "score")
+
+
+def strdist(a: Column | str, b: Column | str,
+            measure: str = "edit") -> Column:
+    """Solr ``strdist(a, b, measure)`` function query
+    (`solr/core/src/java/org/apache/solr/search/ValueSourceParser.java`
+    strdist parser over `StrDistanceFunction`): a 0..1 SIMILARITY
+    between two strings. ``edit`` is Levenshtein normalized the way
+    commons-text's LevenshteinDistance-based similarity is consumed by
+    Solr: 1 − distance / max(len(a), len(b)); identical strings → 1,
+    one empty → 0 unless both empty (→ 1). ``jw``/``ngram`` measures
+    are not implemented (Spark has no built-in; a UDF would put Python
+    in a per-row scoring position) — ValueError rather than a silent
+    fallback.
+
+    Pure codegen: `levenshtein` is a JVM built-in, the normalization a
+    constant-folded projection."""
+    if measure != "edit":
+        raise ValueError(f"strdist measure {measure!r} not implemented "
+                         "(only 'edit'); jw/ngram need per-row Python")
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    mx = F.greatest(F.length(ca), F.length(cb))
+    return (F.when(mx == 0, F.lit(1.0))
+            .otherwise(1.0 - F.levenshtein(ca, cb) / mx))
