@@ -1240,6 +1240,25 @@ def q_eval_quality(spark, sf_dir):
             .orderBy("query_id"))
 
 
+def q_eval_map(spark, sf_dir):
+    """QualityStats.getAvp (QualityStats.java:178): per-query average
+    precision over the same synthetic run/qrels as q_eval_quality —
+    AP = Σ_i (i / rank_i) / R over relevant hits in rank order."""
+    from lucene_solr_spark.search.quality import average_precision
+    docs = _raw(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    run = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                       F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= 10))
+    qrels = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select(F.col("lang").alias("query_id"), "doc_id",
+                     (1 + F.col("doc_id") % 2).cast("int").alias("grade")))
+    out = average_precision(run, qrels)
+    return (out.select("query_id",
+                       F.round("avg_precision", 4).alias("avg_precision"))
+            .orderBy("query_id"))
+
+
 def q_phrase_wildcard_topk(spark, sf_dir):
     """PhraseWildcardQuery (sandbox/.../PhraseWildcardQuery.java:64):
     phrase "merge s*" — the wildcard slot expands against the term
@@ -4754,6 +4773,34 @@ SELECT per.query_id,
 FROM per LEFT JOIN ideal i ON per.query_id = i.query_id
 ORDER BY per.query_id"""
 
+    # MAP: relevant hits numbered in rank order per query, AP = the
+    # precision-at-each-relevant-hit mean over ALL judged relevant
+    sql["q_eval_map"] = """
+WITH run AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT lang AS query_id, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents) WHERE rank <= 10
+), qrels AS (
+  SELECT lang AS query_id, doc_id, 1 + (doc_id % 2) AS grade
+  FROM documents WHERE doc_id % 3 = 0
+), hits AS (
+  SELECT r.query_id, r.rank,
+         row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank) AS i
+  FROM run r JOIN qrels q
+    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+  WHERE q.grade > 0
+), total AS (
+  SELECT query_id, COUNT(*) AS total_rel FROM qrels
+  WHERE grade > 0 GROUP BY query_id
+)
+SELECT h.query_id,
+       ROUND(SUM(h.i::DOUBLE / h.rank) / ANY_VALUE(t.total_rel), 4)
+         AS avg_precision
+FROM hits h JOIN total t ON h.query_id = t.query_id
+GROUP BY h.query_id ORDER BY h.query_id"""
+
     # phrase wildcard: MultiPhrase scoring with the slot expanded by
     # LIKE against the post-stop dictionary (same as the engine's
     # dictionary scan)
@@ -6033,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select": q_dsir_select,
         "q_hybrid_rrf_topk": q_hybrid_rrf_topk,
         "q_eval_quality": q_eval_quality,
+        "q_eval_map": q_eval_map,
         "q_phrase_wildcard_topk": q_phrase_wildcard_topk,
         "q_luke_fields": q_luke_fields,
         "q_url_dedup": q_url_dedup,

@@ -192,6 +192,19 @@ def main() -> None:
         .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10).collect()
     per_query["op_hybrid_rrf"] = round(time.perf_counter() - t0, 4)
 
+    # round-5 session-2 pipeline ops: URL dedup (one codegen projection
+    # + one agg) and the BPE corpus pass (word freqs + pair counts)
+    from lucene_solr_spark.pipeline.bpe import pair_counts, word_freqs
+    from lucene_solr_spark.pipeline.urldedup import url_dedup
+    import __spark_entry__ as _e
+    t0 = time.perf_counter()
+    url_dedup(docs.withColumn("url", F.expr(_e._URL_SYNTH_SQL)),
+              "url", "doc_id", "n_chars").count()
+    per_query["op_url_dedup"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    pair_counts(word_freqs(docs)).orderBy(F.desc("count")).limit(20).count()
+    per_query["op_bpe_pair_counts"] = round(time.perf_counter() - t0, 4)
+
     # corpus hygiene (round 4): exact-substring dup + decontamination —
     # corpus-scale scans (every 13-token window / every 8-gram), an
     # order of magnitude more work than one top-k query; reported as
