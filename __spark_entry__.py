@@ -1311,6 +1311,32 @@ def q_url_dedup(spark, sf_dir):
             .orderBy("canonical_url"))
 
 
+# deterministic synthetic IPv4 per doc — plain ANSI (%, *, CAST) so the
+# SAME string feeds Spark's F.expr and the DuckDB oracle
+_IP_SYNTH_SQL = ("concat('10.', CAST(doc_id % 4 AS STRING), '.', "
+                 "CAST((doc_id * 7) % 256 AS STRING), '.', "
+                 "CAST((doc_id * 13) % 256 AS STRING))")
+
+
+def q_ip_cidr_stats(spark, sf_dir):
+    """InetAddressPoint.newPrefixQuery (misc/.../InetAddressPoint.java):
+    encode synthetic dotted-quads to sortable longs (the ingest-time
+    encode), filter CIDR 10.2.0.0/15 as one numeric BETWEEN, roll up
+    per /16 network: count + min/max encoded address."""
+    from lucene_solr_spark.search.ip import (ip_cidr, ipv4_to_long,
+                                             long_to_ipv4)
+    docs = (_raw(spark, sf_dir, "documents")
+            .withColumn("ip", F.expr(_IP_SYNTH_SQL))
+            .withColumn("ipl", ipv4_to_long(F.col("ip"))))
+    hits = ip_cidr(docs, "ipl", "10.2.0.0/15")
+    net16 = F.shiftright(F.col("ipl"), 16) * (1 << 16)
+    return (hits.groupBy(long_to_ipv4(net16).alias("network"))
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.min("ipl").cast("long").alias("min_ip"),
+                 F.max("ipl").cast("long").alias("max_ip"))
+            .orderBy("network"))
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE vocabulary learning, round-0 pair statistics (Sennrich 2016
     §3.2): adjacent symbol-pair frequencies (chars + </w>) over the
@@ -4907,6 +4933,27 @@ WITH u0 AS (
 SELECT canonical_url, doc_id AS rep_id, n_dups::BIGINT AS n_dups
 FROM ranked WHERE rn = 1 ORDER BY canonical_url"""
 
+    # IP CIDR stats: independent octet-arithmetic encode; 10.2.0.0/15
+    # = [167903232, 168034303] (net | hostmask computed by hand)
+    sql["q_ip_cidr_stats"] = f"""
+WITH ips AS (
+  SELECT doc_id, {_IP_SYNTH_SQL} AS ip FROM documents
+), enc AS (
+  SELECT doc_id,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+       + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+       + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+       + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipl
+  FROM ips
+), hits AS (
+  SELECT * FROM enc WHERE ipl BETWEEN 167903232 AND 168034303
+)
+SELECT concat(CAST((ipl >> 24) & 255 AS STRING), '.',
+              CAST((ipl >> 16) & 255 AS STRING), '.0.0') AS network,
+       count(*)::BIGINT AS count,
+       MIN(ipl)::BIGINT AS min_ip, MAX(ipl)::BIGINT AS max_ip
+FROM hits GROUP BY 1 ORDER BY network"""
+
     # BPE round-0 pair counts: chars + </w> symbols over the
     # word-frequency table, adjacent pairs space-joined
     sql["q_bpe_pair_counts"] = """
@@ -6086,6 +6133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": q_url_dedup,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_strdist_topk": q_strdist_topk,
+        "q_ip_cidr_stats": q_ip_cidr_stats,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
