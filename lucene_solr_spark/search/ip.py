@@ -2,7 +2,8 @@
 
 References (semantics only):
 - ``lucene/misc/src/java/org/apache/lucene/document/
-  InetAddressPoint.java`` — exact / prefix (CIDR) / range queries over
+  InetAddressPoint.java:200,213,251`` (newExactQuery /
+  newPrefixQuery / newRangeQuery) — exact / prefix (CIDR) / range queries over
   IP addresses; the reference encodes addresses AT INDEX TIME into
   sortable bytes, and every query becomes a byte-range comparison.
 - ``InetAddressRange.java`` — indexed IP ranges (same encoding).

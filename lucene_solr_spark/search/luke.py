@@ -1,7 +1,7 @@
 """Luke-style index introspection: per-field stats and top terms.
 
 Parity target: ``solr/core/src/java/org/apache/solr/handler/admin/
-LukeRequestHandler.java:85`` (the /admin/luke handler: per-field
+LukeRequestHandler.java:98`` (docs:398, topTerms:693) (the /admin/luke handler: per-field
 ``docs`` / ``distinct`` term counts and ``topTerms``) plus Lucene's
 ``Terms.size()/getSumDocFreq()/getSumTotalTermFreq()/getDocCount()``
 accessors (``index/Terms.java:82-120``) that the handler reads per

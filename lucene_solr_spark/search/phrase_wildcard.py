@@ -1,7 +1,7 @@
 """PhraseWildcardQuery — a phrase where some slots are multi-terms.
 
 Parity target: ``lucene/sandbox/src/java/org/apache/lucene/search/
-PhraseWildcardQuery.java:64`` (builder with ``addTerm`` /
+PhraseWildcardQuery.java:69`` (maxMultiTermExpansions:76) (builder with ``addTerm`` /
 ``addMultiTerm(MultiTermQuery)``, ``maxMultiTermExpansions``,
 rewrite-to-MultiPhraseQuery semantics: a document matches when for
 every slot ONE of the slot's expanded terms occupies the required

@@ -2,9 +2,9 @@
 
 Parity target: the reference's search-quality benchmark package —
 ``lucene/benchmark/src/java/org/apache/lucene/benchmark/quality/
-QualityStats.java:30`` (recall / precision-at-k / MRR over
+QualityStats.java:27`` (getPrecisionAt:108, getRecall:128) (recall / precision-at-k / MRR over
 ``TrecJudge`` binary judgments, one stats object per query) and
-``QualityBenchmark.java:37`` (run the query set, judge the top-k).
+``QualityBenchmark.java:41`` (run the query set, judge the top-k).
 Re-expressed Spark-first:
 
 * the *run* (query_id, doc_id, rank) and the *judgments*
@@ -94,7 +94,7 @@ def average_precision(run: DataFrame, qrels: DataFrame,
                       k: int | None = None,
                       broadcast_qrels: bool = True) -> DataFrame:
     """Per-query average precision (→ MAP when averaged), the headline
-    number of QualityStats (``getAvp``, QualityStats.java:178).
+    number of QualityStats (``getAvp``, QualityStats.java:121).
 
     AP = (Σ over relevant retrieved hits i of (i / rank_i)) / R where
     i counts relevant hits in rank order and R = total relevant. The
