@@ -1337,6 +1337,21 @@ def q_ip_cidr_stats(spark, sf_dir):
             .orderBy("network"))
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle/sharding (GPT-3 appx B data-order
+    reproducibility): shard = md5h60(id) mod 8, audited per shard as
+    (count, min_key, max_key) — assignment is one codegen projection,
+    reshard-invariant, no global sort."""
+    from lucene_solr_spark.pipeline.sharding import shard_manifest
+    docs = _raw(spark, sf_dir, "documents")
+    return (shard_manifest(docs, 8)
+            .select(F.col("shard").cast("int"),
+                    F.col("count").cast("long"),
+                    F.col("min_key").cast("long"),
+                    F.col("max_key").cast("long"))
+            .orderBy("shard"))
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE vocabulary learning, round-0 pair statistics (Sennrich 2016
     §3.2): adjacent symbol-pair frequencies (chars + </w>) over the
@@ -4954,6 +4969,18 @@ SELECT concat(CAST((ipl >> 24) & 255 AS STRING), '.',
        MIN(ipl)::BIGINT AS min_ip, MAX(ipl)::BIGINT AS max_ip
 FROM hits GROUP BY 1 ORDER BY network"""
 
+    # deterministic shuffle shards: the identical md5h60 arithmetic
+    sql["q_shuffle_shards"] = """
+WITH a AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 15))
+              AS BIGINT) AS k
+  FROM documents
+)
+SELECT CAST(k % 8 AS INT) AS shard, count(*)::BIGINT AS count,
+       MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key
+FROM a GROUP BY 1 ORDER BY shard"""
+
     # BPE round-0 pair counts: chars + </w> symbols over the
     # word-frequency table, adjacent pairs space-joined
     sql["q_bpe_pair_counts"] = """
@@ -6134,6 +6161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_strdist_topk": q_strdist_topk,
         "q_ip_cidr_stats": q_ip_cidr_stats,
+        "q_shuffle_shards": q_shuffle_shards,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
