@@ -962,6 +962,19 @@ def q_ann_sq8_topk(spark, sf_dir):
                       F.round("cos", 4).alias("cos"))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Two-stage PQ ANN (Jégou 2011): 16-subspace ADC candidate scan
+    over uint8 codes (16 B/vector — the 16x-narrower read at 100 TB)
+    + exact cosine re-rank of the top-100 candidates. Codebook is the
+    deterministic seed rule (vec_id 1..16 sub-slices, no refinement) so
+    the oracle reproduces the WHOLE approximate pipeline in SQL, not
+    just the final ranking."""
+    top = sim.pq_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir),
+                      k=10, m=16, n_centroids=16, candidates=100)
+    return top.select(F.col("vec_id").cast("long"),
+                      F.round("cos", 4).alias("cos"))
+
+
 def q_embed_neardup_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     planes = (emb.filter("vec_id >= 1 AND vec_id <= 4")
@@ -2724,6 +2737,29 @@ _TITLE_CTES = f"""
 """
 
 
+_BLOOM_CACHE: dict = {}
+
+
+def q_bloom_or_topk(spark, sf_dir):
+    """Bloom-pruned disjunction (BloomFilteringPostingsFormat.java:60 /
+    FuzzySet.java:39 analog): a per-field bloom sidecar built once from
+    the terms table answers seekExact-style "definitely absent" BEFORE
+    any Spark job launches, so the two planted absent terms are dropped
+    driver-side and the cluster only ever sees the surviving clauses.
+    Blooms have no false negatives, so pruning is semantics-free — the
+    oracle is the plain 4-term OR (absent terms contribute no rows)."""
+    from lucene_solr_spark.index.bloom import build_term_bloom, bloom_prune
+    key = ("bloom", sf_dir)
+    if key not in _BLOOM_CACHE:
+        _BLOOM_CACHE[key] = build_term_bloom(
+            _index(spark, sf_dir)[1].terms, field="text")
+    keep, drop = bloom_prune(
+        _BLOOM_CACHE[key],
+        ["merge", "qqzzabsentterm", "fast", "xxyynotindexed"])
+    assert "qqzzabsentterm" in drop and "xxyynotindexed" in drop
+    return _topk(_searcher(spark, sf_dir), _should(*keep))
+
+
 def _sql_topk_sum(term_list, extra=""):
     terms = ", ".join(f"'{t}'" for t in term_list)
     return _PRELUDE + f"""
@@ -2740,6 +2776,11 @@ SELECT doc_id, ROUND(s, 4) AS score FROM sc WHERE term = 'merge'
 ORDER BY s DESC, doc_id LIMIT 10"""
 
     sql["q_or_topk"] = _sql_topk_sum(["spark", "merge", "fast"])
+
+    # bloom pruning is semantics-free (no false negatives): the oracle is
+    # the un-pruned OR — absent terms contribute no sc rows either way
+    sql["q_bloom_or_topk"] = _sql_topk_sum(
+        ["merge", "qqzzabsentterm", "fast", "xxyynotindexed"])
 
     sql["q_and_topk"] = _sql_topk_sum(
         ["spark", "table"], extra="HAVING count(DISTINCT term) = 2")
@@ -5260,6 +5301,54 @@ ORDER BY list_dot_product(e.v, q.qv) /
           sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
 LIMIT 10"""
 
+    # PQ ADC pipeline reproduced end-to-end: seeds = vec_id 1..16; 16
+    # subspaces of 4 dims; per-subspace code = argmin(-2 x·c + |c|²)
+    # (the |x|²-free form the Spark kernel uses — identical expression,
+    # identical tie-break toward lower cid); approx cosine from the ADC
+    # tables; top-100 candidates; exact re-rank. Matches
+    # sim.pq_topk(m=16, n_centroids=16, candidates=100).
+    sql["q_ann_pq_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 16),
+sl AS (SELECT j, j*4+1 AS a, j*4+4 AS b
+       FROM (SELECT unnest(range(16)) AS j)),
+dist AS (
+  SELECT e.vec_id, sl.j, s.cid,
+         -2*list_dot_product(e.v[sl.a:sl.b], s.cv[sl.a:sl.b])
+         + list_dot_product(s.cv[sl.a:sl.b], s.cv[sl.a:sl.b]) AS d2
+  FROM e CROSS JOIN sl CROSS JOIN seeds s),
+code AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2, cid) AS rn
+    FROM dist) WHERE rn = 1),
+adc AS (
+  SELECT sl.j, s.cid,
+         list_dot_product(q.qv[sl.a:sl.b], s.cv[sl.a:sl.b]) AS dot,
+         list_dot_product(s.cv[sl.a:sl.b], s.cv[sl.a:sl.b]) AS n2
+  FROM sl CROSS JOIN seeds s CROSS JOIN q),
+qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+ap AS (
+  SELECT c.vec_id, sum(a.dot) AS dot, sum(a.n2) AS n2
+  FROM code c JOIN adc a ON a.j = c.j AND a.cid = c.cid
+  GROUP BY c.vec_id),
+cand AS (
+  SELECT ap.vec_id FROM ap CROSS JOIN qn
+  ORDER BY CASE WHEN sqrt(ap.n2) * qn.qn = 0 THEN 0
+           ELSE ap.dot / (sqrt(ap.n2) * qn.qn) END DESC, ap.vec_id
+  LIMIT 100)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY list_dot_product(e.v, q.qv) /
+         (sqrt(list_dot_product(e.v, e.v)) *
+          sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+LIMIT 10"""
+
     sql["q_embed_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -6168,6 +6257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r4; with 49 never-verified entries above, the window has no
         # spare slot for it this round. ----
         "q_passage_highlight": q_passage_highlight,
+        "q_bloom_or_topk": q_bloom_or_topk,
+        "q_ann_pq_topk": q_ann_pq_topk,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

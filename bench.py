@@ -170,6 +170,15 @@ def main() -> None:
     sim.sq8_topk(emb, qv, k=10, candidates=100, codebook=sq8_cb).collect()
     per_query["op_ann_sq8"] = round(time.perf_counter() - t0, 4)
 
+    # PQ two-stage ANN (round 5): codebook is the deterministic seed
+    # rule (amortized like IVF/SQ8 training); timed as encode + ADC
+    # candidate scan + exact re-rank. Out of the headline total.
+    pq_cb = sim.pq_train(emb, n_centroids=16)
+    t0 = time.perf_counter()
+    sim.pq_topk(emb, qv, k=10, m=16, candidates=100,
+                codebook=pq_cb).collect()
+    per_query["op_ann_pq"] = round(time.perf_counter() - t0, 4)
+
     # DSIR data selection (round 5): train + score + Gumbel-top-k over
     # the full corpus; timed separately like the other pipeline ops
     from lucene_solr_spark.pipeline import dsir as ds

@@ -243,6 +243,131 @@ def sq8_topk(emb: DataFrame, query_vec, k: int = 10, candidates: int = 100,
     return exact.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def pq_train(emb: DataFrame, n_centroids: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic product-quantization codebook (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    The codebook is the sub-slices of the ``n_centroids`` lowest-id
+    corpus vectors — pure seed selection, no k-means refinement. That
+    choice is deliberate twice over: (a) it is reproducible in ANSI SQL,
+    so the whole PQ pipeline stays oracle-gatable end to end, and (b) at
+    100 TB the codebook must be trained on a bounded sample anyway (the
+    classic recipe trains each sub-quantizer on ~100k sampled slices);
+    swapping the seed rule for a sampled k-means changes only this
+    function. Returns a float64 numpy array of shape
+    ``(n_centroids, dim)`` (each row one seed vector; sub-slicing is the
+    encoder's job so one table serves every ``m``).
+    """
+    import numpy as np
+    rows = (emb.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids))
+            .select(id_col, vec_col).orderBy(id_col).collect())
+    if len(rows) < n_centroids:
+        raise ValueError(f"need vec_id 1..{n_centroids} as PQ seeds, "
+                         f"found {len(rows)}")
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def pq_encode(emb: DataFrame, codebook, m: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to ``m`` uint8 centroid ids — the persisted
+    codes column. 64-dim float32 (256 B) → 4 B/vector: the 64× narrower
+    scan is what makes the candidate stage read-bound rather than
+    IO-bound at corpus scale.
+
+    One Arrow ``mapInPandas`` pass (numpy batch L2 against the broadcast
+    codebook, no shuffle). Ties in the per-subspace argmin break toward
+    the LOWER centroid id (numpy argmin's first-minimum rule — the same
+    rule the SQL oracle's ``row_number ... ORDER BY dist, cid`` applies).
+    """
+    import numpy as np
+    import pandas as pd
+    cb = np.asarray(codebook, dtype=np.float64)
+    dim = cb.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # (m, k, sub) centroid slices, broadcast by closure (tiny)
+    slices = cb.reshape(cb.shape[0], m, sub).transpose(1, 0, 2).copy()
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                xj = X[:, j * sub:(j + 1) * sub]            # (n, sub)
+                cj = slices[j]                              # (k, sub)
+                # |x-c|^2 = |x|^2 - 2 x·c + |c|^2 ; argmin over c
+                d = (-2.0 * xj @ cj.T
+                     + (cj * cj).sum(axis=1)[None, :])
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<long>")
+
+
+def pq_topk(emb: DataFrame, query_vec, k: int = 10, m: int = 4,
+            n_centroids: int = 16, candidates: int = 100,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            codebook=None, codes: DataFrame | None = None) -> DataFrame:
+    """Two-stage PQ ANN: ADC candidate scan + exact re-rank.
+
+    Stage 1 (asymmetric distance computation): the query is NOT
+    quantized; per subspace j the driver precomputes
+    ``adc[j][c] = q_j · centroid_c_j`` and ``cn2[j][c] = |centroid_c_j|²``
+    (m×k doubles — broadcast by literal), and each vector's approximate
+    cosine is ``Σ_j adc[j][code_j] / (|q| · sqrt(Σ_j cn2[j][code_j]))`` —
+    m array lookups per row, pure codegen over the 4-byte codes column,
+    then TakeOrderedAndProject keeps ``candidates``. Stage 2 re-ranks
+    only those rows by exact cosine (full-precision reads are
+    O(candidates)). Ties break toward lower ``vec_id`` in both stages.
+
+    Complements the IVF (partition-pruned probes) and SQ8 (4× codes)
+    paths: PQ is the 64× compression point on the same recall/IO curve.
+    """
+    import math
+
+    import numpy as np
+    cb = pq_train(emb, n_centroids, id_col, vec_col) if codebook is None \
+        else np.asarray(codebook, dtype=np.float64)
+    dim = cb.shape[1]
+    sub = dim // m
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = math.sqrt(float(q @ q))
+    adc = np.empty((m, cb.shape[0]), dtype=np.float64)
+    cn2 = np.empty((m, cb.shape[0]), dtype=np.float64)
+    for j in range(m):
+        cj = cb[:, j * sub:(j + 1) * sub]
+        adc[j] = cj @ q[j * sub:(j + 1) * sub]
+        cn2[j] = (cj * cj).sum(axis=1)
+    if codes is None:
+        codes = pq_encode(emb, cb, m, id_col, vec_col)
+    adc_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                        for row in adc])
+    cn2_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                        for row in cn2])
+    jdx = list(range(m))
+    dot_expr = sum(F.element_at(F.element_at(adc_lit, j + 1),
+                                (F.element_at("codes", j + 1) + 1).cast("int"))
+                   for j in jdx)
+    n2_expr = sum(F.element_at(F.element_at(cn2_lit, j + 1),
+                               (F.element_at("codes", j + 1) + 1).cast("int"))
+                  for j in jdx)
+    approx = F.when(F.sqrt(n2_expr) * qn == 0, F.lit(0.0)) \
+        .otherwise(dot_expr / (F.sqrt(n2_expr) * F.lit(qn)))
+    cand = (codes.select(id_col, approx.alias("approx"))
+            .orderBy(F.desc("approx"), F.asc(id_col)).limit(candidates))
+    exact = (emb.join(cand.select(id_col), id_col, "left_semi")
+             .select(F.col(id_col).alias("vec_id"),
+                     cosine(F.col(vec_col), _lit_vec(list(query_vec)))
+                     .alias("cos")))
+    return exact.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
