@@ -975,6 +975,19 @@ def q_ann_pq_topk(spark, sf_dir):
                       F.round("cos", 4).alias("cos"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas 2023): embedding-cluster semantic dedup — seed
+    centroids + max-cosine assignment (the IVF machinery), within-cell
+    pairs >= 0.4, connected components, keep the lowest-centroid-cosine
+    member per group (the paper's diversity-preserving keep rule)."""
+    out = sim.semdedup(_emb(spark, sf_dir), threshold=0.4, n_cells=8)
+    return (out.select(F.col("vec_id").cast("long"),
+                       F.col("cell").cast("int"),
+                       F.col("canonical_id").cast("long"),
+                       F.col("keep"))
+            .orderBy("vec_id"))
+
+
 def q_embed_neardup_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     planes = (emb.filter("vec_id >= 1 AND vec_id <= 4")
@@ -5349,6 +5362,61 @@ ORDER BY list_dot_product(e.v, q.qv) /
           sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
 LIMIT 10"""
 
+    # SemDeDup replayed end to end: same seed centroids / max-cosine
+    # assignment as the IVF oracle, within-cell pairs, recursive-CTE
+    # connected components (the q_dedup_components pattern), and the
+    # paper's keep rule (min centroid-cosine, ties -> lower id).
+    sql["q_semdedup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+cc AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(e.v, c.cv) /
+         (sqrt(list_dot_product(e.v, e.v)) *
+          sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+  FROM e CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT vec_id, cell, ccos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cell) AS rn
+    FROM cc) WHERE rn = 1),
+prs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) *
+         sqrt(list_dot_product(eb.v, eb.v))) >= 0.4),
+edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM prs
+  UNION ALL SELECT doc_b AS u, doc_a AS w FROM prs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+lab AS (
+  WITH RECURSIVE walk(src, id) AS (
+    SELECT id AS src, id FROM nodes
+    UNION
+    SELECT wk.src, ed.w FROM walk wk JOIN edges ed ON ed.u = wk.id
+  )
+  SELECT src AS id, MIN(id) AS component FROM walk GROUP BY src
+),
+reps AS (
+  SELECT component, id AS rep FROM (
+    SELECT l.component, l.id,
+           row_number() OVER (PARTITION BY l.component
+                              ORDER BY a.ccos, l.id) AS rn
+    FROM lab l JOIN asg a ON a.vec_id = l.id) WHERE rn = 1)
+SELECT a.vec_id, a.cell::INT AS cell,
+       COALESCE(r.rep, a.vec_id) AS canonical_id,
+       COALESCE(r.rep, a.vec_id) = a.vec_id AS keep
+FROM asg a
+LEFT JOIN lab l ON l.id = a.vec_id
+LEFT JOIN reps r ON r.component = l.component
+ORDER BY a.vec_id"""
+
     sql["q_embed_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -6259,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_passage_highlight": q_passage_highlight,
         "q_bloom_or_topk": q_bloom_or_topk,
         "q_ann_pq_topk": q_ann_pq_topk,
+        "q_semdedup": q_semdedup,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

@@ -368,6 +368,68 @@ def pq_topk(emb: DataFrame, query_vec, k: int = 10, m: int = 4,
     return exact.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def semdedup(emb: DataFrame, threshold: float = 0.4, n_cells: int = 8,
+             centroids: DataFrame | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_iter: int = 25) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §3): semantic
+    deduplication by embedding clusters.
+
+    The paper's recipe, Spark-first: (1) cluster the embeddings —
+    here the deterministic seed centroids + max-cosine assignment the
+    IVF path already uses, so the oracle replays it in SQL; (2) within
+    each cluster only, find pairs with cosine ≥ ``threshold`` (the
+    cluster bound is what makes the pairwise step tractable — the
+    paper's whole point is that the quadratic never sees the corpus,
+    only a cell); (3) connect the pair graph into duplicate groups;
+    (4) keep ONE member per group — the one with the LOWEST cosine to
+    its cluster centroid (the paper keeps low-centroid-similarity
+    examples to preserve diversity), ties toward the lower id.
+
+    Returns (vec_id, cell, canonical_id, keep) for every vector:
+    singletons keep themselves; in a duplicate group only the
+    representative has ``keep`` true.
+
+    100-TB posture: the only joins are the broadcast centroid
+    assignment, the within-cell equi-join (bounded by the largest
+    cell — size cells to executors exactly as IVF does; a hot cell is
+    visible in the cell histogram, not silent), and vocabulary-sized
+    component bookkeeping. Per-round CC cost is bounded by the dup
+    graph, never the corpus (see dedup.connected_components)."""
+    from .dedup import connected_components
+    cent = seed_centroids(emb, n_cells, id_col, vec_col) \
+        if centroids is None else centroids
+    asg = ivf_assign(emb, cent, id_col, vec_col)
+    e = (emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+         .join(asg, "vec_id"))
+    with_c = (e.join(F.broadcast(cent), "cell")
+              .select("vec_id", "cell", "v",
+                      cosine(F.col("v"), F.col("cvec")).alias("ccos")))
+    a = with_c.select(F.col("vec_id").alias("doc_a"), "cell",
+                      F.col("v").alias("va"))
+    b = with_c.select(F.col("vec_id").alias("doc_b"), "cell",
+                      F.col("v").alias("vb"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+             .select("doc_a", "doc_b"))
+    comps = connected_components(pairs, max_iter=max_iter)
+    scored = comps.join(
+        with_c.select(F.col("vec_id").alias("doc_id"), "ccos"), "doc_id")
+    reps = (scored.groupBy("component")
+            .agg(F.min(F.struct(F.col("ccos").cast("double").alias("c"),
+                                F.col("doc_id").alias("d"))).alias("r"))
+            .select("component", F.col("r.d").alias("rep")))
+    labeled = (comps.join(reps, "component")
+               .select(F.col("doc_id").alias("vec_id"), "rep"))
+    return (with_c.select("vec_id", "cell")
+            .join(labeled, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce("rep", F.col("vec_id")).alias("canonical_id"),
+                    (F.coalesce("rep", F.col("vec_id")) == F.col("vec_id"))
+                    .alias("keep")))
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.45,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
