@@ -1891,6 +1891,35 @@ def q_facet_pivot(spark, sf_dir):
                     .alias("count")))
 
 
+def q_facet_params(spark, sf_dir):
+    """Classic facet.field parameter block (SimpleFacets.java:432):
+    prefix filter + mincount + index sort + offset/limit pagination +
+    the unconditional facet.missing NULL bucket, over the 'merge'
+    match set on the source field."""
+    from lucene_solr_spark.search.facets import facet_field_params
+    docs, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("merge"), mode="f64")
+    return (facet_field_params(docs, matches, "source", prefix="src1",
+                               mincount=2, sort="index", offset=1,
+                               limit=4, missing=True)
+            .select("value", F.col("count").cast("long").alias("count")))
+
+
+def q_relatedness(spark, sf_dir):
+    """JSON-facet relatedness() — Semantic Knowledge Graph scoring
+    (RelatednessAgg.java:699, Grainger 2016): lang buckets of the
+    'merge' foreground vs the whole-corpus background, ranked by the
+    5-sigmoid-blended approximate z-score."""
+    from lucene_solr_spark.search.facets import relatedness_facets
+    docs, _, s = _index(spark, sf_dir)
+    fg = s.score_all(TermQuery("merge"), mode="f64")
+    return relatedness_facets(docs, fg, None, "lang", mincount=1,
+                              limit=20).select(
+        "value", F.col("fg_count").cast("long"),
+        F.col("fg_size").cast("long"), F.col("bg_count").cast("long"),
+        F.col("bg_size").cast("long"), "fg_pop", "bg_pop", "relatedness")
+
+
 def q_facet_assoc(spark, sf_dir):
     """Association facets (TaxonomyFacetSumIntAssociations.java:34):
     Σ n_chars per taxonomy path prefix over the 'merge' match set —
@@ -3224,6 +3253,55 @@ ORDER BY d.lang, d.source"""
 
     # Monitor/percolator: each registered alert restated as its match
     # set over the same batch
+    sql["q_facet_params"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+base AS (
+  SELECT d.source AS value, count(*)::BIGINT AS count
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.source IS NOT NULL AND d.source LIKE 'src1%'
+  GROUP BY d.source HAVING count(*) >= 2
+  ORDER BY value LIMIT 4 OFFSET 1),
+miss AS (
+  SELECT NULL::VARCHAR AS value,
+         sum(CASE WHEN d.source IS NULL THEN 1 ELSE 0 END)::BIGINT AS count
+  FROM documents d JOIN m USING (doc_id))
+SELECT * FROM base UNION ALL SELECT * FROM miss"""
+
+    # relatedness(): the exact RelatednessAgg.java:699 arithmetic —
+    # z-score vs background probability, 5-sigmoid blend, Math.round
+    # (floor(x*1e5+0.5)) truncation on pop/relatedness
+    sql["q_relatedness"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+fg AS (SELECT d.* FROM documents d JOIN m USING (doc_id)),
+sizes AS (SELECT (SELECT count(*) FROM fg)::BIGINT AS fgs,
+                 (SELECT count(*) FROM documents)::BIGINT AS bgs),
+fgc AS (SELECT lang AS value, count(*)::BIGINT AS fg_count
+        FROM fg WHERE lang IS NOT NULL GROUP BY lang),
+bgc AS (SELECT lang AS value, count(*)::BIGINT AS bg_count
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+z AS (
+  SELECT b.value, COALESCE(f.fg_count, 0) AS fg_count, b.bg_count,
+         s.fgs, s.bgs,
+         (COALESCE(f.fg_count, 0)::DOUBLE
+          - s.fgs * (b.bg_count::DOUBLE / s.bgs)) /
+         (CASE WHEN sqrt(s.fgs * (b.bg_count::DOUBLE / s.bgs)
+                         * (1 - b.bg_count::DOUBLE / s.bgs)) = 0
+               THEN 1e-10
+               ELSE sqrt(s.fgs * (b.bg_count::DOUBLE / s.bgs)
+                         * (1 - b.bg_count::DOUBLE / s.bgs)) END) AS zv
+  FROM bgc b LEFT JOIN fgc f USING (value) CROSS JOIN sizes s)
+SELECT value, fg_count, fgs AS fg_size, bg_count, bgs AS bg_size,
+       floor(fg_count::DOUBLE / bgs * 1e5 + 0.5) / 1e5 AS fg_pop,
+       floor(bg_count::DOUBLE / bgs * 1e5 + 0.5) / 1e5 AS bg_pop,
+       floor((0.2 * ((zv - 80) / (50 + abs(zv - 80)))
+            + 0.2 * ((zv - 30) / (30 + abs(zv - 30)))
+            + 0.2 * (zv / (30 + abs(zv)))
+            + 0.2 * ((zv + 30) / (30 + abs(zv + 30)))
+            + 0.2 * ((zv + 80) / (50 + abs(zv + 80)))) * 1e5 + 0.5) / 1e5
+         AS relatedness
+FROM z WHERE fg_count >= 1
+ORDER BY relatedness DESC, value LIMIT 20"""
+
     sql["q_monitor_matches"] = _PRELUDE + """
 , pos AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
@@ -6328,6 +6406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_or_topk": q_bloom_or_topk,
         "q_ann_pq_topk": q_ann_pq_topk,
         "q_semdedup": q_semdedup,
+        "q_facet_params": q_facet_params,
+        "q_relatedness": q_relatedness,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

@@ -42,6 +42,114 @@ def facet_counts(docs: DataFrame, matches: DataFrame | None,
             .orderBy(F.desc("count"), F.asc("value")))
 
 
+def facet_field_params(docs: DataFrame, matches: DataFrame | None,
+                       field: str, prefix: str | None = None,
+                       mincount: int = 1, limit: int = 100,
+                       offset: int = 0, sort: str = "count",
+                       missing: bool = False) -> DataFrame:
+    """The classic Solr facet.field parameter block
+    (`solr/core/src/java/org/apache/solr/request/SimpleFacets.java:432`):
+    facet.prefix filters values BEFORE pagination, facet.mincount prunes,
+    facet.sort is "count" (count desc, value asc) or "index" (value asc),
+    facet.offset/facet.limit paginate the sorted buckets, and
+    facet.missing appends one NULL-valued bucket counting docs WITHOUT
+    the field — after pagination, exempt from mincount and prefix
+    (SimpleFacets.java:748 adds it unconditionally).
+
+    One map-side-combined groupBy; prefix becomes a pushed startswith on
+    the grouped values; the missing count is a second tiny agg over the
+    same match set. Driver sees ≤ limit+1 rows."""
+    if sort not in ("count", "index"):
+        raise ValueError("facet.sort must be 'count' or 'index'")
+    m = _matched(docs, matches)
+    base = m.filter(F.col(field).isNotNull())
+    if prefix is not None:
+        base = base.filter(F.col(field).startswith(prefix))
+    counts = (base.groupBy(F.col(field).cast("string").alias("value"))
+              .agg(F.count(F.lit(1)).alias("count"))
+              .filter(F.col("count") >= mincount))
+    if sort == "count":
+        counts = counts.orderBy(F.desc("count"), F.asc("value"))
+    else:
+        counts = counts.orderBy(F.asc("value"))
+    page = counts.offset(offset).limit(limit) if offset else \
+        counts.limit(limit)
+    if missing:
+        miss = (m.agg(F.sum(F.when(F.col(field).isNull(), 1).otherwise(0))
+                      .cast("long").alias("count"))
+                .select(F.lit(None).cast("string").alias("value"), "count"))
+        page = page.unionByName(miss)
+    return page
+
+
+def relatedness_facets(docs: DataFrame, fg_matches: DataFrame,
+                       bg_matches: DataFrame | None, field: str,
+                       mincount: int = 1, limit: int = 20) -> DataFrame:
+    """JSON-facet ``relatedness(fg, bg)`` — Solr's Semantic Knowledge
+    Graph edge scoring (`solr/core/src/java/org/apache/solr/search/facet/
+    RelatednessAgg.java:699`; Grainger et al. 2016, arXiv:1609.00464
+    "Scoring Semantic Relationships").
+
+    Per bucket of ``field`` over the FOREGROUND match set:
+    an approximated z-score of the foreground count against the
+    background probability, squashed by the reference's 5-sigmoid blend
+
+        z = (fg_count − fg_size·p) / sqrt(fg_size·p·(1−p)),
+        p = bg_count / bg_size
+        relatedness = Σ 0.2·sig(z, off, scale) for
+                      (off, scale) ∈ {(−80,50),(−30,30),(0,30),(30,30),(80,50)}
+        sig(x, o, s) = (x+o) / (s + |x+o|)
+
+    fg_pop / bg_pop = count/bg_size, all three rounded to 5 digits with
+    Java ``Math.round`` semantics (floor(x·1e5 + 0.5)/1e5 — NOT Spark's
+    HALF_UP, which differs on negative values).
+
+    Spark shape: two map-side-combined groupBys (fg buckets, bg buckets)
+    + a broadcast-sized outer join on the bucket value; the z-score and
+    sigmoid blend are one codegen projection. At 100 TB the corpus is
+    read twice (fg is usually a pushed filter of bg) and nothing wider
+    than the bucket table ever shuffles."""
+    bg = _matched(docs, bg_matches)
+    fg = _matched(docs, fg_matches)
+    fg_size = fg.count()
+    bg_size = bg.count()
+    fgc = (fg.filter(F.col(field).isNotNull())
+           .groupBy(F.col(field).cast("string").alias("value"))
+           .agg(F.count(F.lit(1)).alias("fg_count")))
+    bgc = (bg.filter(F.col(field).isNotNull())
+           .groupBy(F.col(field).cast("string").alias("value"))
+           .agg(F.count(F.lit(1)).alias("bg_count")))
+    j = (bgc.join(fgc, "value", "left")
+         .select("value", F.coalesce("fg_count", F.lit(0)).alias("fg_count"),
+                 "bg_count"))
+
+    def _round5(col):
+        # Java Math.round: floor(x + 0.5) — differs from HALF_UP below 0
+        return F.floor(col * 1e5 + F.lit(0.5)) / 1e5
+
+    def _sig(x, off, scale):
+        return (x + F.lit(off)) / (F.lit(scale) + F.abs(x + F.lit(off)))
+
+    p = F.col("bg_count").cast("double") / F.lit(float(bg_size))
+    num = F.col("fg_count").cast("double") - F.lit(float(fg_size)) * p
+    denom_raw = F.sqrt(F.lit(float(fg_size)) * p * (F.lit(1.0) - p))
+    denom = F.when(denom_raw == 0, F.lit(1e-10)).otherwise(denom_raw)
+    z = num / denom
+    rel = _round5(F.lit(0.2) * _sig(z, -80, 50) + F.lit(0.2) * _sig(z, -30, 30)
+                  + F.lit(0.2) * _sig(z, 0, 30) + F.lit(0.2) * _sig(z, 30, 30)
+                  + F.lit(0.2) * _sig(z, 80, 50))
+    out = (j.select(
+        "value", "fg_count", F.lit(fg_size).alias("fg_size"),
+        "bg_count", F.lit(bg_size).alias("bg_size"),
+        _round5(F.col("fg_count").cast("double") / F.lit(float(bg_size)))
+        .alias("fg_pop"),
+        _round5(F.col("bg_count").cast("double") / F.lit(float(bg_size)))
+        .alias("bg_pop"),
+        rel.alias("relatedness"))
+        .filter(F.col("fg_count") >= mincount))
+    return out.orderBy(F.desc("relatedness"), F.asc("value")).limit(limit)
+
+
 def range_facets(docs: DataFrame, matches: DataFrame | None, field: str,
                  ranges: list[tuple[str, float, float]]) -> DataFrame:
     """LongRangeFacetCounts analog: ``ranges`` is [(label, lo, hi)) —
