@@ -1880,6 +1880,19 @@ def q_facet_range(spark, sf_dir):
                          ("r3_400_2000", 400, 2000)])
 
 
+def q_facet_range_other(spark, sf_dir):
+    """Solr facet.range with generated gap buckets + the FacetRangeOther
+    before/after/between buckets (start=100 end=500 gap=150, hardend) —
+    docs below 100 land in 'before', >= 500 in 'after'."""
+    from lucene_solr_spark.search.facets import solr_range_facets
+    docs, _, s = _index(spark, sf_dir)
+    matches = s.score_all(TermQuery("merge"), mode="f64")
+    return (solr_range_facets(docs, matches, "n_chars", 100, 500, 150,
+                              other=("before", "after", "between"),
+                              hardend=True)
+            .select("label", F.col("count").cast("long").alias("count")))
+
+
 def q_facet_pivot(spark, sf_dir):
     """Solr facet.pivot analog: lang → source counts over the 'merge'
     match set, path-ordered."""
@@ -3243,6 +3256,23 @@ SELECT * FROM (
   UNION ALL SELECT 'r3_400_2000',
     (SELECT count(*) FROM md WHERE n_chars >= 400 AND n_chars < 2000)
 ) ORDER BY label"""
+
+    sql["q_facet_range_other"] = _PRELUDE + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+d AS (SELECT dd.n_chars AS v FROM documents dd JOIN m USING (doc_id))
+SELECT '100' AS label,
+       sum(CASE WHEN v >= 100 AND v < 250 THEN 1 ELSE 0 END)::BIGINT AS count
+FROM d
+UNION ALL SELECT '250',
+       sum(CASE WHEN v >= 250 AND v < 400 THEN 1 ELSE 0 END)::BIGINT FROM d
+UNION ALL SELECT '400',
+       sum(CASE WHEN v >= 400 AND v < 500 THEN 1 ELSE 0 END)::BIGINT FROM d
+UNION ALL SELECT 'before',
+       sum(CASE WHEN v < 100 THEN 1 ELSE 0 END)::BIGINT FROM d
+UNION ALL SELECT 'after',
+       sum(CASE WHEN v >= 500 THEN 1 ELSE 0 END)::BIGINT FROM d
+UNION ALL SELECT 'between',
+       sum(CASE WHEN v >= 100 AND v < 500 THEN 1 ELSE 0 END)::BIGINT FROM d"""
 
     sql["q_facet_pivot"] = _PRELUDE + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
@@ -6408,6 +6438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_facet_params": q_facet_params,
         "q_relatedness": q_relatedness,
+        "q_facet_range_other": q_facet_range_other,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

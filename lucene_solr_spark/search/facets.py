@@ -173,6 +173,58 @@ def range_facets(docs: DataFrame, matches: DataFrame | None, field: str,
             .orderBy("_o").drop("_o"))
 
 
+def solr_range_facets(docs: DataFrame, matches: DataFrame | None,
+                      field: str, start: float, end: float, gap: float,
+                      other: tuple = (), hardend: bool = False) -> DataFrame:
+    """Solr facet.range (`org.apache.solr.request.SimpleFacets` range
+    mode / `RangeFacetRequest`): buckets are GENERATED from
+    start/end/gap — [start, start+gap), [start+gap, start+2·gap), … up
+    to ``end``; with ``hardend`` the last bucket is clipped to
+    [last_lo, end) instead of running a full gap past it. ``other`` may
+    include any of "before" (v < start), "after" (v ≥ actual upper
+    bound), "between" (start ≤ v < bound) — Solr's FacetRangeOther
+    buckets, appended after the gap buckets in that order.
+
+    Compiles to the same one-projection + one-agg CASE plan as
+    range_facets: bucket count is a plan-time constant, so the whole
+    facet is a single codegen pass regardless of how many buckets the
+    gap generates."""
+    if gap <= 0:
+        raise ValueError("gap must be positive")
+    ranges = []
+    lo = float(start)
+    while lo < end:
+        hi = min(lo + gap, end) if hardend else lo + gap
+        label = f"{_fmt_edge(lo)}"
+        ranges.append((label, lo, hi))
+        lo = hi
+    bound = ranges[-1][2] if ranges else float(start)
+    out = range_facets(docs, matches, field, ranges)
+    m = _matched(docs, matches)
+    v = F.col(field)
+    extras = []
+    for name in other:
+        if name == "before":
+            cond = v < F.lit(float(start))
+        elif name == "after":
+            cond = v >= F.lit(float(bound))
+        elif name == "between":
+            cond = (v >= F.lit(float(start))) & (v < F.lit(float(bound)))
+        else:
+            raise ValueError(f"unknown facet.range.other value: {name}")
+        extras.append(
+            m.agg(F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                  .alias("count"))
+            .select(F.lit(name).alias("label"), "count"))
+    for e in extras:
+        out = out.unionByName(e)
+    return out
+
+
+def _fmt_edge(x: float) -> str:
+    return str(int(x)) if float(x).is_integer() else str(x)
+
+
 def pivot_facets(docs: DataFrame, matches: DataFrame | None,
                  fields: list[str], min_count: int = 1) -> DataFrame:
     """Solr facet.pivot analog, flattened: one row per leaf path →

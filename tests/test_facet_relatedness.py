@@ -137,3 +137,57 @@ def test_relatedness_degenerate_p_one(spark):
     fg = spark.createDataFrame([(0,), (1,)], ["doc_id"])
     r = relatedness_facets(d, fg, None, "cat", mincount=0).collect()[0]
     assert r.relatedness == pytest.approx(_rel(2, 2, 4, 4), abs=0)
+
+
+# --- solr_range_facets (facet.range start/end/gap + other) ------------------
+
+NUMS = [(i, v) for i, v in enumerate([5, 15, 25, 35, 45, 55, 65, 95, 120])]
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.createDataFrame(NUMS, ["doc_id", "v"]).cache()
+
+
+def _pairs(df):
+    return [(r.label, r["count"]) for r in df.collect()]
+
+
+def test_gap_buckets_generated(nums):
+    from lucene_solr_spark.search.facets import solr_range_facets
+    got = _pairs(solr_range_facets(nums, None, "v", 10, 70, 20))
+    assert got == [("10", 2), ("30", 2), ("50", 2)]
+
+
+def test_hardend_clips_last_bucket(nums):
+    from lucene_solr_spark.search.facets import solr_range_facets
+    # without hardend the last bucket runs to 90 (covers 65); with it,
+    # the bucket stops at end=75 (still covers 65) — use end=60 to see
+    # the clip: [50,60) excludes 65
+    got = _pairs(solr_range_facets(nums, None, "v", 10, 60, 20,
+                                   hardend=True))
+    assert got == [("10", 2), ("30", 2), ("50", 1)]
+    got2 = _pairs(solr_range_facets(nums, None, "v", 10, 60, 20,
+                                    hardend=False))
+    assert got2 == [("10", 2), ("30", 2), ("50", 2)]   # soft end → 70
+
+
+def test_other_buckets(nums):
+    from lucene_solr_spark.search.facets import solr_range_facets
+    got = dict(_pairs(solr_range_facets(
+        nums, None, "v", 10, 70, 20, other=("before", "after", "between"))))
+    assert got["before"] == 1            # 5
+    assert got["after"] == 2             # 95, 120 (bound = 70)
+    assert got["between"] == 6           # 15..65
+
+
+def test_other_unknown_raises(nums):
+    from lucene_solr_spark.search.facets import solr_range_facets
+    with pytest.raises(ValueError):
+        solr_range_facets(nums, None, "v", 0, 10, 5, other=("outside",))
+
+
+def test_nonpositive_gap_raises(nums):
+    from lucene_solr_spark.search.facets import solr_range_facets
+    with pytest.raises(ValueError):
+        solr_range_facets(nums, None, "v", 0, 10, 0)
