@@ -469,6 +469,16 @@ def q_dfr_topk(spark, sf_dir):
     return _topk(s, TermQuery("merge"))
 
 
+def q_sweetspot_topk(spark, sf_dir):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:39): Classic
+    idf × baselineTf (base=0, min=0 → √freq) × the lengthNorm PLATEAU
+    (flat 1.0 on dl ∈ [20,120], hyperbolic falloff at steepness 0.5
+    outside) — two terms OR'd so the plateau reorders docs vs classic."""
+    s = Searcher(spark, _index(spark, sf_dir)[1], similarity="sweetspot",
+                 ss_min=20, ss_max=120, ss_steep=0.5)
+    return _topk(s, _should("merge", "spark"))
+
+
 def q_f2exp_topk(spark, sf_dir):
     """Axiomatic F2EXP single-term (Axiomatic.java:52 combiner,
     AxiomaticF2EXP.java components, s=0.25, k=0.35): score =
@@ -3466,6 +3476,20 @@ ORDER BY GREATEST(0,
 SELECT doc_id, ROUND(s, 4) AS score FROM dfr
 ORDER BY s DESC, doc_id LIMIT 10"""
 
+    # SweetSpot: classic idf, baselineTf defaults (= sqrt(freq)),
+    # lengthNorm plateau l=20 h=120 s=0.5 over the quantized dl
+    sql["q_sweetspot_topk"] = _PRELUDE + """
+, ss AS (
+  SELECT tf.doc_id,
+    (ln((stats.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+      * sqrt(tf.freq)
+      * (1.0 / sqrt(0.5 * (abs(dlq.dlq - 20) + abs(dlq.dlq - 120) - 100)
+                    + 1.0)) AS s
+  FROM tf JOIN dlq USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id, ROUND(SUM(s), 4) AS score FROM ss
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
     # IB LL-DF-H2
     sql["q_ib_topk"] = _PRELUDE + """
 , ib AS (
@@ -6439,6 +6463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_params": q_facet_params,
         "q_relatedness": q_relatedness,
         "q_facet_range_other": q_facet_range_other,
+        "q_sweetspot_topk": q_sweetspot_topk,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

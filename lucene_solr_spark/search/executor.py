@@ -124,13 +124,16 @@ class Searcher:
     phrase/span leaves remain BM25-only."""
 
     SIMILARITIES = ("bm25", "classic", "lmdirichlet", "lmjelinekmercer",
-                    "boolean", "dfr", "f2exp", "ib", "dfi")
+                    "boolean", "dfr", "f2exp", "ib", "dfi", "sweetspot")
 
     def __init__(self, spark: SparkSession, index: InvertedIndex,
                  k1: float = 1.2, b: float = 0.75,
                  similarity: str = "bm25", mu: float = 2000.0,
                  lam: float = 0.1, dfr_c: float = 1.0,
-                 ax_s: float = 0.25, ax_k: float = 0.35):
+                 ax_s: float = 0.25, ax_k: float = 0.35,
+                 ss_min: int = 1, ss_max: int = 1,
+                 ss_steep: float = 0.5, ss_tf_base: float = 0.0,
+                 ss_tf_min: float = 0.0):
         if similarity not in self.SIMILARITIES:
             raise ValueError(f"unknown similarity {similarity!r}")
         self.spark = spark
@@ -142,6 +145,11 @@ class Searcher:
         self.dfr_c = float(dfr_c)
         self.ax_s = float(ax_s)
         self.ax_k = float(ax_k)
+        # SweetSpotSimilarity.java:41-51 lengthNorm plateau + baselineTf
+        self.ss_min, self.ss_max = int(ss_min), int(ss_max)
+        self.ss_steep = float(ss_steep)
+        self.ss_tf_base = float(ss_tf_base)
+        self.ss_tf_min = float(ss_tf_min)
         self.stats = index.stats
         # driver-side stats cache keyed by (field, term): the index is
         # immutable, queries repeat terms, and each miss costs a (tiny but
@@ -408,6 +416,8 @@ class Searcher:
             avgdl64=avgdl64,
             k1=self.k1, b=self.b, sim=self.sim, mu=self.mu, lam=self.lam,
             dfr_c=self.dfr_c, ax_s=self.ax_s,
+            ss=(self.ss_min, self.ss_max, self.ss_steep,
+                self.ss_tf_base, self.ss_tf_min),
             grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
@@ -428,6 +438,8 @@ class Searcher:
             tree=root, deleted=deleted, cache32=cache32, avgdl64=avgdl64,
             k1=self.k1, b=self.b, sim=self.sim, mu=self.mu, lam=self.lam,
             dfr_c=self.dfr_c, ax_s=self.ax_s,
+            ss=(self.ss_min, self.ss_max, self.ss_steep,
+                self.ss_tf_base, self.ss_tf_min),
             grid=self.stats["grid"], mode=mode, k=k,
             collect_all=collect_all, prune=prune and not collect_all,
             with_positions=self.index.with_positions,
@@ -1290,7 +1302,7 @@ def _annotate_leaf(c, st, weights, outer_boost: float = 1.0,
             return None
         b = c["boost"] * outer_boost
         w = weights[key]
-        if sim == "classic":
+        if sim in ("classic", "sweetspot"):
             return dict(c, w32=None, w64=b * w["cidf64"])
         if sim == "dfr":
             # the freq/dl-dependent factor (1 − 1/(1+tfn)) < 1, so the
@@ -2000,6 +2012,16 @@ def _score_freqs(freqs, norms, w, field, spec, dtype, cp=None):
             # tf(f)=sqrt(f) × queryWeight × 1/sqrt(dl)
             # (TFIDFSimilarity.java:562-566, ClassicSimilarity.java:39-47)
             return w * np.sqrt(f) / np.sqrt(dl)
+        if sim == "sweetspot":
+            # SweetSpotSimilarity.java: ClassicSimilarity idf with
+            # baselineTf (:121 — freq<=min ? base : sqrt(freq+base²−min))
+            # and the lengthNorm plateau (:100 — flat 1.0 on [min,max],
+            # hyperbolic falloff at steepness s outside it)
+            l, h, st_, tb, tm = spec["ss"]
+            tf = np.where(f <= tm, tb, np.sqrt(f + tb * tb - tm))
+            ln = 1.0 / np.sqrt(
+                st_ * (np.abs(dl - l) + np.abs(dl - h) - (h - l)) + 1.0)
+            return w * tf * ln
         if sim == "boolean":
             # BooleanSimilarity.java:38 — constant boost per match
             return np.full(len(f), w, dtype=np.float64)
@@ -2050,6 +2072,15 @@ def _score_freqs(freqs, norms, w, field, spec, dtype, cp=None):
 def _max_impact(imp_freqs, imp_norms, w, field, spec, dtype, cp=None):
     if len(imp_freqs) == 0:
         return 0.0
+    if spec.get("sim") == "sweetspot":
+        # SweetSpot's lengthNorm is NOT anti-monotone in doc length (it
+        # RISES toward the [min,max] plateau), so the pareto skyline's
+        # (freq↑, norm↓) guarantee does not bound it — bound with the
+        # plateau value ln=1.0 (the global max), monotone in freq only.
+        l, h, st_, tb, tm = spec["ss"]
+        f = np.asarray(imp_freqs, dtype=np.float64)
+        tf = np.where(f <= tm, tb, np.sqrt(f + tb * tb - tm))
+        return float(np.max(w * tf))
     s = _score_freqs(np.asarray(imp_freqs, dtype=np.int64),
                      np.asarray(imp_norms, dtype=np.int64),
                      w, field, spec, dtype, cp=cp)

@@ -283,3 +283,90 @@ def test_phrase_rejected_and_unknown_sim(spark, corpus):
     t0, t1 = _top_terms(oracle)[:2]
     with pytest.raises(ValueError):
         s.top_k(PhraseQuery((t0, t1)), k=K)
+
+
+def _sweetspot_scores(oracle, term, boost=1.0, field="text",
+                      l=1, h=1, steep=0.5, tb=0.0, tm=0.0):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:39): Classic
+    idf × baselineTf(:121) × lengthNorm plateau(:100)."""
+    plist = oracle.postings.get(field, {}).get(term, {})
+    if not plist:
+        return {}
+    n = oracle.field_doc_count[field]
+    idf = math.log((n + 1.0) / (len(plist) + 1.0)) + 1.0
+    out = {}
+    for d, f in plist.items():
+        dl = _dl(oracle, field, d)
+        tf = tb if f <= tm else math.sqrt(f + tb * tb - tm)
+        ln = 1.0 / math.sqrt(
+            steep * (abs(dl - l) + abs(dl - h) - (h - l)) + 1.0)
+        out[d] = boost * idf * tf * ln
+    return out
+
+
+def test_sweetspot_default_degenerates_to_classic(spark, corpus):
+    # l=h=1, s=0.5 → lengthNorm = 1/sqrt(2·0.5·(dl−1)+1) = 1/sqrt(dl):
+    # the default SweetSpot IS ClassicSimilarity (same idf, √freq tf)
+    _, oracle, idx = corpus
+    t = _top_terms(oracle)[0]
+    a = Searcher(spark, idx, similarity="sweetspot").top_k(
+        TermQuery(t), k=K, mode="f64")
+    b = Searcher(spark, idx, similarity="classic").top_k(
+        TermQuery(t), k=K, mode="f64")
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(np.asarray(a["score"], dtype=np.float64),
+                               np.asarray(b["score"], dtype=np.float64),
+                               rtol=1e-12)
+
+
+def test_sweetspot_plateau_single_term(spark, corpus):
+    _, oracle, idx = corpus
+    t = _top_terms(oracle)[0]
+    s = Searcher(spark, idx, similarity="sweetspot",
+                 ss_min=20, ss_max=120, ss_steep=0.5)
+    pdf = s.top_k(TermQuery(t), k=K, mode="f64")
+    _check(pdf, _expect_topk(_sweetspot_scores(oracle, t, l=20, h=120)))
+
+
+def test_sweetspot_or_composition(spark, corpus):
+    _, oracle, idx = corpus
+    t1, t2 = _top_terms(oracle)[:2]
+    s = Searcher(spark, idx, similarity="sweetspot",
+                 ss_min=20, ss_max=120, ss_steep=0.5)
+    q = BooleanQuery((Clause(Occur.SHOULD, TermQuery(t1)),
+                      Clause(Occur.SHOULD, TermQuery(t2))))
+    acc = {}
+    for part in (_sweetspot_scores(oracle, t1, l=20, h=120),
+                 _sweetspot_scores(oracle, t2, l=20, h=120)):
+        for d, v in part.items():
+            acc[d] = acc.get(d, 0.0) + v
+    _check(s.top_k(q, k=K, mode="f64"), _expect_topk(acc))
+
+
+def test_sweetspot_pruned_equals_exhaustive(spark, corpus):
+    # lengthNorm is NOT anti-monotone in dl — the skyline bound uses the
+    # plateau max (executor._max_impact special case); this differential
+    # is the guard that the bound never over-prunes
+    _, oracle, idx = corpus
+    t1, t2, t3 = _top_terms(oracle)[:3]
+    s = Searcher(spark, idx, similarity="sweetspot",
+                 ss_min=5, ss_max=40, ss_steep=0.7)
+    q = BooleanQuery(tuple(Clause(Occur.SHOULD, TermQuery(t))
+                           for t in (t1, t2, t3)))
+    a = s.top_k(q, k=K, mode="f64", prune=True)
+    b = s.top_k(q, k=K, mode="f64", prune=False)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(np.asarray(a["score"], dtype=np.float64),
+                               np.asarray(b["score"], dtype=np.float64),
+                               rtol=0)
+
+
+def test_sweetspot_baseline_tf_gate(spark, corpus):
+    # tf_min=1 with tf_base=0 zeroes single-occurrence matches
+    _, oracle, idx = corpus
+    t = _top_terms(oracle)[0]
+    s = Searcher(spark, idx, similarity="sweetspot",
+                 ss_tf_base=0.0, ss_tf_min=1.0)
+    pdf = s.top_k(TermQuery(t), k=K, mode="f64")
+    expect = _expect_topk(_sweetspot_scores(oracle, t, tm=1.0))
+    _check(pdf, [kv for kv in expect])
