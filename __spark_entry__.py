@@ -1177,6 +1177,21 @@ def q_span_near_topk(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), q)
 
 
+def q_span_fieldmask_topk(spark, sf_dir):
+    """FieldMaskingSpanQuery (spans/FieldMaskingSpanQuery.java:61):
+    title:part masked as 'text' chained before text:merge in one
+    ordered SpanNear — cross-field spans via the mask, positions read
+    from each clause's REAL field, scored with the mask field's norms.
+    (title = first 5 tokens of text, so the position spaces align.)"""
+    from lucene_solr_spark.search.ast import (FieldMaskingSpanQuery,
+                                              SpanNearQuery, SpanTermQuery)
+    q = SpanNearQuery(clauses=(
+        FieldMaskingSpanQuery(SpanTermQuery("part", field="title"),
+                              field="text"),
+        SpanTermQuery("merge", field="text")), slop=6, in_order=True)
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def q_span_wildcard_topk(spark, sf_dir):
     """SpanMultiTermQueryWrapper(wildcard s*) chained before 'key' in an
     ordered span-near, slop 3 (SpanMultiTermQueryWrapper.java:40: the
@@ -3688,6 +3703,43 @@ SELECT pf.doc_id, ROUND(
 FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
 ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
   DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)).replace("{b}", str(B))
+
+    # FieldMaskingSpanQuery: title positions are the first-5-token
+    # prefix of text's raw positions (TITLE_EXPR), so the masked chain
+    # is pos(p<5, 'part') -> first 'merge' after it; idf of the title
+    # key uses the TITLE field's df and docCount, norms are the mask
+    # field's (text dlq)
+    sql["q_span_fieldmask_topk"] = _PRELUDE + """
+, pos AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         unnest(range(len(regexp_extract_all(text, '[a-z0-9]+')))) AS p
+  FROM documents
+), tdf AS (
+  SELECT count(DISTINCT doc_id) AS df FROM pos
+  WHERE p < 5 AND term = 'part'
+), tn AS (
+  SELECT count(DISTINCT doc_id) AS n FROM pos
+  WHERE p < 5 AND term NOT IN ({stop})
+), chain AS (
+  SELECT a.doc_id, a.p AS ap, MIN(b.p) AS bp
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p
+  WHERE a.term = 'part' AND a.p < 5 AND b.term = 'merge'
+  GROUP BY a.doc_id, a.p
+), pf AS (
+  SELECT doc_id, SUM(1.0 / (1 + (bp - ap - 1))) AS pf
+  FROM chain WHERE bp - ap - 1 <= 6 GROUP BY doc_id
+), idfs AS (
+  SELECT (SELECT ln(1 + (tn.n - tdf.df + 0.5) / (tdf.df + 0.5))
+          FROM tn CROSS JOIN tdf)
+       + (SELECT ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+          FROM dfreq CROSS JOIN stats WHERE dfreq.term = 'merge') AS w)
+SELECT pf.doc_id, ROUND(
+  idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl)), 4)
+  AS score
+FROM pf JOIN dlq ON pf.doc_id = dlq.doc_id CROSS JOIN stats CROSS JOIN idfs
+ORDER BY idfs.w * pf.pf / (pf.pf + {k1} * (1 - {b} + {b} * dlq.dlq / stats.avgdl))
+  DESC, pf.doc_id LIMIT 10""".replace("{k1}", str(K1)) \
+        .replace("{b}", str(B)).replace("{stop}", _STOPLIST)
 
     # shared BM25 scoring tail over a per-doc span freq CTE `pf(doc_id, pf)`
     # and a term-set idf CTE `idfs(w)`
@@ -6464,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_relatedness": q_relatedness,
         "q_facet_range_other": q_facet_range_other,
         "q_sweetspot_topk": q_sweetspot_topk,
+        "q_span_fieldmask_topk": q_span_fieldmask_topk,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

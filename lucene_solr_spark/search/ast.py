@@ -193,9 +193,21 @@ class SpanPositionRangeQuery:
     field: str = DEFAULT_FIELD
 
 
+@dataclass(frozen=True)
+class FieldMaskingSpanQuery:
+    """`search/spans/FieldMaskingSpanQuery.java:61`: lie about the
+    wrapped span's field so compositors (SpanNear etc.) accept clauses
+    from DIFFERENT fields. Position streams come verbatim from the
+    wrapped query's real field (getSpans delegates untouched); the
+    composite validates and SCORES as the mask ``field`` (the javadoc's
+    caveat — norms/stats of the masking field apply)."""
+    match: object
+    field: str = DEFAULT_FIELD
+
+
 SPAN_NODES = (SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanNotQuery,
               SpanFirstQuery, SpanContainingQuery, SpanWithinQuery,
-              SpanPositionRangeQuery)
+              SpanPositionRangeQuery, FieldMaskingSpanQuery)
 
 
 # ---- interval sources (queries/intervals — minimal-interval semantics) ----
@@ -620,6 +632,39 @@ def span_leaf_keys(n) -> list[tuple[str, str]]:
         return span_leaf_keys(n.big) + span_leaf_keys(n.little)
     if isinstance(n, SpanPositionRangeQuery):
         return span_leaf_keys(n.match)
+    if isinstance(n, FieldMaskingSpanQuery):
+        # positions are read from the REAL field; only validation and
+        # scoring see the mask
+        return span_leaf_keys(n.match)
+    raise ValueError(f"not a span node: {n!r}")
+
+
+def span_effective_fields(n) -> set:
+    """The field set a span node PRESENTS to same-field validation —
+    FieldMaskingSpanQuery substitutes its mask (SpanNearQuery.java:73
+    checks getField(), which the mask overrides)."""
+    if isinstance(n, FieldMaskingSpanQuery):
+        return {n.field}
+    if isinstance(n, SpanTermQuery):
+        return {n.field}
+    if isinstance(n, SpanNearQuery):
+        out = {n.field} if n.terms else set()
+        for ch in n.clauses:
+            out |= span_effective_fields(ch)
+        return out
+    if isinstance(n, SpanOrQuery):
+        out = set()
+        for ch in n.clauses:
+            out |= span_effective_fields(ch)
+        return out
+    if isinstance(n, SpanNotQuery):
+        return (span_effective_fields(n.include)
+                | span_effective_fields(n.exclude))
+    if isinstance(n, (SpanFirstQuery, SpanPositionRangeQuery)):
+        return span_effective_fields(n.match)
+    if isinstance(n, (SpanContainingQuery, SpanWithinQuery)):
+        return (span_effective_fields(n.big)
+                | span_effective_fields(n.little))
     raise ValueError(f"not a span node: {n!r}")
 
 

@@ -74,7 +74,8 @@ from ..functions.smallfloat import LENGTH_TABLE
 from ..index.builder import (InvertedIndex, decode_positions_flat,
                              decode_postings_block)
 from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
-                  BoostQuery, Clause, DisjunctionMaxQuery, FuzzyQuery,
+                  BoostQuery, Clause, DisjunctionMaxQuery,
+                  FieldMaskingSpanQuery, FuzzyQuery,
                   IntervalAfter, IntervalBefore, IntervalBlock,
                   IntervalContainedBy, IntervalContaining,
                   IntervalMaxGaps, IntervalMaxWidth, IntervalNonOverlapping,
@@ -775,6 +776,10 @@ def _span_op(q):
     if isinstance(q, SpanPositionRangeQuery):
         return {"op": "sposrange", "child": _span_op(q.match),
                 "start": int(q.start), "end": int(q.end)}
+    if isinstance(q, FieldMaskingSpanQuery):
+        # FieldMaskingSpanQuery.java:61 — getSpans delegates verbatim;
+        # the mask only affects getField() (validation + scoring field)
+        return _span_op(q.match)
     raise ValueError(f"not a span query: {q!r}")
 
 
@@ -793,12 +798,25 @@ def _span_leaf(q, boost: float):
         return {"kind": "span", "keys": [(q.field, t) for t in q.terms],
                 "slop": int(q.slop), "boost": boost}
     keys = span_leaf_keys(q)
-    fields = {f for f, _ in keys}
+    from .ast import span_effective_fields
+    fields = span_effective_fields(q)
     if len(fields) > 1:
         raise ValueError(
-            f"span query clauses must share one field, got {sorted(fields)}")
+            f"span query clauses must share one field, got {sorted(fields)}"
+            " (wrap cross-field clauses in FieldMaskingSpanQuery)")
+    # scoring field = the EFFECTIVE field (under masking this is the
+    # mask, so norms/stats of the masking field apply — the reference's
+    # documented caveat)
+    eff = next(iter(fields)) if fields else getattr(q, "field", None)
+    if keys and eff not in {f for f, _ in keys}:
+        raise ValueError(
+            "fully-masked span query: no clause actually reads the "
+            f"masking field {eff!r}, so its norms/stats are not on any "
+            "leaf posting — include at least one unmasked clause of the "
+            "masking field (FieldMaskingSpanQuery.java pairs a masked "
+            "clause WITH native ones)")
     return {"kind": "spantree", "root": _span_op(q), "boost": boost,
-            "field": keys[0][0] if keys else q.field}
+            "field": eff}
 
 
 def _interval_op(src, field: str):
@@ -2566,10 +2584,17 @@ def _eval_spantree(c, data: _BucketData, spec, dtype):
     pf_grid = np.bincount(fd, weights=wts, minlength=spec["grid"])
     idxs = np.flatnonzero(pf_grid > 0)
     pf = pf_grid[idxs]
-    # norms: every matched doc carries ≥1 leaf term of the same field —
-    # gather from every leaf's postings (same byte per (doc, field))
+    # norms: gather per doc from leaf postings. Under FieldMaskingSpan
+    # the scoring field is the MASK — leaves of the scoring field write
+    # LAST (deterministic precedence), so any matched doc carrying a
+    # native leaf scores with the mask field's norm byte exactly as
+    # Lucene does; a doc matched ONLY through masked branches (possible
+    # under sor unions) keeps the wrapped field's byte — the pinned
+    # divergence envelope (_span_leaf raises on fully-masked trees).
     norm_grid = np.zeros(spec["grid"], dtype=np.int64)
-    for key in _span_op_keys(c["root"], scoring_only=False):
+    keys_ordered = sorted(_span_op_keys(c["root"], scoring_only=False),
+                          key=lambda k: k[0] == c["field"])
+    for key in keys_ordered:
         d = data.decode(key)
         if d is not None:
             norm_grid[d[0] - data.off] = d[2]
