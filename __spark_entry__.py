@@ -2020,6 +2020,21 @@ def q_function_score_topk(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+def q_scale_boost_topk(spark, sf_dir):
+    """Solr scale() function query (ScaleFloatFunction.java:111-123):
+    BM25('merge') + scale(n_chars, 0, 1) as a Solr bf additive boost —
+    source min/max observed over the WHOLE corpus (the reference's
+    ScaleInfo pass), not the match set."""
+    from lucene_solr_spark.search.function import function_score, scale_expr
+    docs, _, s = _index(spark, sf_dir)
+    res = function_score(s, TermQuery("merge"), docs,
+                         scale_expr(docs, "n_chars", 0.0, 1.0),
+                         combine="add")
+    return (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
 def q_boost_by_query_topk(spark, sf_dir):
     """FunctionScoreQuery.boostByQuery analog
     (queries/function/FunctionScoreQuery.java:88): hits of 'merge',
@@ -3281,6 +3296,18 @@ SELECT * FROM (
   UNION ALL SELECT 'r3_400_2000',
     (SELECT count(*) FROM md WHERE n_chars >= 400 AND n_chars < 2000)
 ) ORDER BY label"""
+
+    sql["q_scale_boost_topk"] = _PRELUDE + """
+, mm AS (SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
+         FROM documents)
+SELECT sc.doc_id, ROUND(sc.s + (d.n_chars - mm.mn) *
+  (CASE WHEN mm.mx = mm.mn THEN 0 ELSE 1.0 / (mm.mx - mm.mn) END), 4)
+  AS score
+FROM sc JOIN documents d USING (doc_id) CROSS JOIN mm
+WHERE sc.term = 'merge'
+ORDER BY sc.s + (d.n_chars - mm.mn) *
+  (CASE WHEN mm.mx = mm.mn THEN 0 ELSE 1.0 / (mm.mx - mm.mn) END)
+  DESC, sc.doc_id LIMIT 10"""
 
     sql["q_facet_range_other"] = _PRELUDE + """
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
@@ -6517,6 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_range_other": q_facet_range_other,
         "q_sweetspot_topk": q_sweetspot_topk,
         "q_span_fieldmask_topk": q_span_fieldmask_topk,
+        "q_scale_boost_topk": q_scale_boost_topk,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

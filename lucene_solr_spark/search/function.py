@@ -49,6 +49,32 @@ def function_score(searcher, query, docs: DataFrame,
     return joined.select("doc_id", out.alias("score"))
 
 
+def scale_expr(docs: DataFrame, source: Column | str,
+               target_min: float = 0.0, target_max: float = 1.0) -> Column:
+    """Solr ``scale(x, min, max)``
+    (`lucene/queries/.../valuesource/ScaleFloatFunction.java:111-123`):
+    linearly map the source's OBSERVED corpus [min, max] onto
+    [target_min, target_max] — value = (x − minSrc)·scale + min with
+    scale = (max−min)/(maxSrc−minSrc), and scale = 0 when the source is
+    constant (the reference's explicit guard, so every doc gets
+    target_min).
+
+    The reference walks every leaf's values once to find min/max and
+    caches the ScaleInfo per reader; here that is ONE map-side-combined
+    (min, max) aggregation over the corpus — two doubles to the driver
+    regardless of scale — and the returned Column is a pure projection
+    usable anywhere a DoubleValuesSource goes (function_score, frange,
+    sort)."""
+    src = F.col(source) if isinstance(source, str) else source
+    mm = docs.agg(F.min(src.cast("double")).alias("mn"),
+                  F.max(src.cast("double")).alias("mx")).collect()[0]
+    mn, mx = float(mm.mn), float(mm.mx)
+    sc = 0.0 if mx == mn else (float(target_max) - float(target_min)) \
+        / (mx - mn)
+    return (src.cast("double") - F.lit(mn)) * F.lit(sc) \
+        + F.lit(float(target_min))
+
+
 def boost_by_query(searcher, query, boost_query,
                    boost: float) -> DataFrame:
     """FunctionScoreQuery.boostByQuery analog → (doc_id, score): hits of

@@ -191,3 +191,35 @@ def test_nonpositive_gap_raises(nums):
     from lucene_solr_spark.search.facets import solr_range_facets
     with pytest.raises(ValueError):
         solr_range_facets(nums, None, "v", 0, 10, 0)
+
+
+# --- scale() function query (ScaleFloatFunction.java) ------------------------
+
+def test_scale_expr_maps_observed_range(spark):
+    from lucene_solr_spark.search.function import scale_expr
+    d = spark.createDataFrame([(0, 10.0), (1, 20.0), (2, 30.0)],
+                              ["doc_id", "x"])
+    got = {r.doc_id: r.s for r in
+           d.select("doc_id", scale_expr(d, "x", 0.0, 1.0).alias("s"))
+           .collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 1.0}
+
+
+def test_scale_expr_target_window(spark):
+    from lucene_solr_spark.search.function import scale_expr
+    d = spark.createDataFrame([(0, 10.0), (1, 30.0)], ["doc_id", "x"])
+    got = {r.doc_id: r.s for r in
+           d.select("doc_id", scale_expr(d, "x", 5.0, 7.0).alias("s"))
+           .collect()}
+    assert got == {0: 5.0, 1: 7.0}
+
+
+def test_scale_expr_constant_source_guard(spark):
+    # maxSrc == minSrc → scale = 0 → every doc gets target_min (the
+    # reference's explicit division-by-zero guard)
+    from lucene_solr_spark.search.function import scale_expr
+    d = spark.createDataFrame([(0, 4.0), (1, 4.0)], ["doc_id", "x"])
+    got = {r.doc_id: r.s for r in
+           d.select("doc_id", scale_expr(d, "x", 2.0, 9.0).alias("s"))
+           .collect()}
+    assert got == {0: 2.0, 1: 2.0}
