@@ -1893,6 +1893,18 @@ def q_blockjoin_children(spark, sf_dir):
             .orderBy("l_orderkey", "l_linenumber"))
 
 
+def q_blockjoin_facet(spark, sf_dir):
+    """Block-join faceting (BlockJoinFacetComponent.java:38 /
+    json.facet uniqueBlock): l_returnflag buckets over high-quantity
+    lineitems, each counting DISTINCT parent orders — two matching
+    lines of one order contribute 1, not 2."""
+    from lucene_solr_spark.search.join import block_join_facet
+    li = _raw(spark, sf_dir, "lineitem")
+    return (block_join_facet(li, F.col("l_quantity") >= 45,
+                             "l_orderkey", "l_returnflag")
+            .select("value", F.col("count").cast("long").alias("count")))
+
+
 def q_facet_range(spark, sf_dir):
     """LongRangeFacetCounts analog (facet/range/LongRangeFacetCounts.java:40)
     over the 'merge' match set: n_chars ranges [lo, hi)."""
@@ -3296,6 +3308,12 @@ SELECT * FROM (
   UNION ALL SELECT 'r3_400_2000',
     (SELECT count(*) FROM md WHERE n_chars >= 400 AND n_chars < 2000)
 ) ORDER BY label"""
+
+    sql["q_blockjoin_facet"] = """
+SELECT l_returnflag AS value, count(DISTINCT l_orderkey)::BIGINT AS count
+FROM lineitem WHERE l_quantity >= 45 AND l_returnflag IS NOT NULL
+GROUP BY l_returnflag HAVING count(DISTINCT l_orderkey) >= 1
+ORDER BY count DESC, value"""
 
     sql["q_scale_boost_topk"] = _PRELUDE + """
 , mm AS (SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
@@ -6545,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sweetspot_topk": q_sweetspot_topk,
         "q_span_fieldmask_topk": q_span_fieldmask_topk,
         "q_scale_boost_topk": q_scale_boost_topk,
+        "q_blockjoin_facet": q_blockjoin_facet,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

@@ -111,3 +111,25 @@ def block_join_to_child(parents: DataFrame, children: DataFrame,
     return (children.join(F.broadcast(pk),
                           children[child_key] == pk["_pk"])
             .drop("_pk"))
+
+
+def block_join_facet(children: DataFrame, child_filter: Column,
+                     parent_key: str, facet_field: str,
+                     min_count: int = 1) -> DataFrame:
+    """Solr block-join faceting — json.facet ``uniqueBlock(_root_)`` /
+    BlockJoinFacetComponent (`solr/core/src/java/org/apache/solr/search/
+    join/BlockJoinFacetComponent.java:38`): facet counts over CHILD
+    matches where each facet value counts at most once PER PARENT BLOCK
+    (two matching children of the same parent contribute 1, not 2 — the
+    component's whole point vs a plain child facet).
+
+    Spark shape: filter children, ONE count(DISTINCT parent_key) agg per
+    facet value — Spark plans distinct-inside-agg as a two-level
+    partial/merge aggregation (value,parent dedup map-side), so nothing
+    wider than (value, parent) pairs ever shuffles."""
+    m = children.filter(child_filter)
+    return (m.filter(F.col(facet_field).isNotNull())
+            .groupBy(F.col(facet_field).cast("string").alias("value"))
+            .agg(F.countDistinct(parent_key).alias("count"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), F.asc("value")))

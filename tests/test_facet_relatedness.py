@@ -223,3 +223,28 @@ def test_scale_expr_constant_source_guard(spark):
            d.select("doc_id", scale_expr(d, "x", 2.0, 9.0).alias("s"))
            .collect()}
     assert got == {0: 2.0, 1: 2.0}
+
+
+# --- block-join faceting (uniqueBlock) ---------------------------------------
+
+def test_blockjoin_facet_counts_parents_once(spark):
+    from lucene_solr_spark.search.join import block_join_facet
+    kids = spark.createDataFrame(
+        [  # (parent, tag, qty): parent 1 has TWO matching 'red' kids
+            (1, "red", 9), (1, "red", 8), (1, "blue", 9),
+            (2, "red", 9), (2, "blue", 1),       # blue kid filtered out
+            (3, "blue", 7),
+        ], ["pid", "tag", "qty"])
+    got = [(r.value, r["count"]) for r in
+           block_join_facet(kids, F.col("qty") >= 5, "pid", "tag")
+           .collect()]
+    # red: parents {1,2} → 2 (not 3 raw matches); blue: {1,3} → 2
+    assert got == [("blue", 2), ("red", 2)]
+
+
+def test_blockjoin_facet_vs_plain_child_facet(spark):
+    from lucene_solr_spark.search.join import block_join_facet
+    kids = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "x"), (2, "x")], ["pid", "tag"])
+    got = block_join_facet(kids, F.lit(True), "pid", "tag").collect()
+    assert got[0]["count"] == 2   # a plain child facet would say 4
