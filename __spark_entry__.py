@@ -155,6 +155,30 @@ def _stem_searcher(spark, sf_dir, which: str) -> Searcher:
     return _CACHE[key]
 
 
+def q_stem_override_topk(spark, sf_dir):
+    """StemmerOverrideFilter + SetKeywordMarkerFilter
+    (miscellaneous/StemmerOverrideFilter.java:37,
+    SetKeywordMarkerFilter.java:31) on the porter chain: 'merging' is
+    dictionary-mapped to the artificial stem 'mrg' (never porter's
+    'merg'), and 'tables' is keyword-protected (porter would give
+    'tabl'). OR of the two — each class's only surface form pins both
+    filters against the derived corpus."""
+    from dataclasses import replace as _dc_replace
+    key = (sf_dir.rstrip("/"), "stem", "override")
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{key[0]}/documents.parquet")
+        derived = docs.select("doc_id",
+                              F.expr(_STEM_DERIVE_SQL).alias("text"))
+        ana = _dc_replace(ENGLISH_STEM_ANALYZER,
+                          stem_overrides=(("merging", "mrg"),),
+                          keyword_terms=frozenset({"tables"}))
+        idx = (IndexBuilder(ana, grid=2048, head_df=512, salt_target=512,
+                            with_positions=True).build(spark, derived)
+               .cache())
+        _CACHE[key] = Searcher(spark, idx, k1=K1, b=B)
+    return _topk(_CACHE[key], _should("mrg", "tables"))
+
+
 def q_stem_porter_topk(spark, sf_dir):
     """PorterStemFilter chain (en/EnglishAnalyzer.java:107-113,
     en/PorterStemmer.java): query text "merges" analyzes to the stem
@@ -3191,6 +3215,42 @@ ORDER BY score0 DESC, doc_id LIMIT 10"""
     # to merg; step1b 'ing' removal stems merging to merg), full BM25
     # over all post-stop tokens for n/avgdl/norms (token count is
     # stem-invariant).
+    # override/keyword classes: 'mrg' ← only 'merging' (dictionary
+    # mapping), 'tables' ← only literal 'tables' (keyword-protected);
+    # porter never produces either string from any other surface form
+    sql["q_stem_override_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all({_STEM_DERIVE_SQL}, '[a-z0-9]+')) AS term
+  FROM documents
+), tokf AS (
+  SELECT doc_id, term FROM tok WHERE term NOT IN ({_STOPLIST})
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tokf GROUP BY doc_id
+), dlq AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 40 THEN dl
+         ELSE 24 + ((((dl-24) >> (length(bin(dl-24))-4)) & 7 | 8)
+                    << (length(bin(dl-24))-4)) END AS dlq
+  FROM dl
+), stats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+), cls AS (
+  SELECT doc_id, 'mrg' AS k, count(*)::BIGINT AS freq FROM tokf
+  WHERE term = 'merging' GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'tables' AS k, count(*)::BIGINT AS freq FROM tokf
+  WHERE term = 'tables' GROUP BY doc_id
+), dfs AS (
+  SELECT k, count(*)::BIGINT AS df FROM cls GROUP BY k
+), s2 AS (
+  SELECT cls.doc_id,
+    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5)) * cls.freq
+      / (cls.freq + {K1} * (1 - {B} + {B} * dlq.dlq / stats.avgdl)) AS s
+  FROM cls JOIN dfs USING (k) JOIN dlq USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s2
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
     sql["q_stem_porter_topk"] = f"""
 WITH tok AS (
   SELECT doc_id,
@@ -6564,6 +6624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_fieldmask_topk": q_span_fieldmask_topk,
         "q_scale_boost_topk": q_scale_boost_topk,
         "q_blockjoin_facet": q_blockjoin_facet,
+        "q_stem_override_topk": q_stem_override_topk,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,

@@ -15,6 +15,7 @@ The Spark entrypoint is a vectorized pandas function (used from
 
 from __future__ import annotations
 
+from functools import lru_cache
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -28,6 +29,11 @@ ENGLISH_STOP_WORDS = frozenset(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()
 )
+
+
+@lru_cache(maxsize=64)
+def _override_map(pairs: tuple) -> dict:
+    return dict(pairs)
 
 
 @dataclass(frozen=True)
@@ -52,6 +58,13 @@ class StandardAnalyzer:
     # fold Latin accents/ligatures to ASCII, applied after lowercase
     # and before the stop filter (so "thé" stops as "the")
     ascii_folding: bool = False
+    # SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java:31):
+    # terms in this set are protected from the stemmer (KeywordAttribute)
+    keyword_terms: frozenset = field(default_factory=frozenset)
+    # StemmerOverrideFilter (miscellaneous/StemmerOverrideFilter.java:37):
+    # term → stem dictionary consulted BEFORE the stemmer; an override
+    # hit also sets the keyword attribute, so the stemmer never runs on it
+    stem_overrides: tuple = ()
 
     def _finish(self, low: str):
         """Post-lowercase filter chain: fold → possessive → stop → stem.
@@ -64,6 +77,12 @@ class StandardAnalyzer:
             low = possessive_strip(low)
         if low in self.stop_words:
             return None
+        if self.stem_overrides:
+            ov = _override_map(self.stem_overrides)
+            if low in ov:
+                return ov[low]
+        if low in self.keyword_terms:
+            return low
         st = get_stemmer(self.stemmer)
         return st(low) if st else low
 

@@ -186,6 +186,8 @@ def _vocab_map(uniq, analyzer: StandardAnalyzer):
     mapped = np.empty(n, dtype=object)
     stem = get_stemmer(analyzer.stemmer)
     sw = analyzer.stop_words
+    ov = dict(analyzer.stem_overrides) if analyzer.stem_overrides else None
+    kw = analyzer.keyword_terms
     for i, t in enumerate(uniq):
         if analyzer.ascii_folding:
             t = ascii_fold(t)
@@ -193,6 +195,12 @@ def _vocab_map(uniq, analyzer: StandardAnalyzer):
             t = possessive_strip(t)
         if t in sw:
             keep[i] = False
+            mapped[i] = t
+            continue
+        if ov is not None and t in ov:      # StemmerOverrideFilter
+            mapped[i] = ov[t]
+            continue
+        if t in kw:                         # SetKeywordMarkerFilter
             mapped[i] = t
             continue
         mapped[i] = stem(t) if stem else t
