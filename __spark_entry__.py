@@ -722,6 +722,20 @@ def q_mlt_topk(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+def q_mlt_interesting_terms(spark, sf_dir):
+    """MoreLikeThis.retrieveInterestingTerms (MoreLikeThis.java:651-702
+    createQueue + Solr mlt.interestingTerms=details): the selected
+    (term, tf·idf) list itself for seed doc 7, same gates as
+    q_mlt_classic_topk (minTermFreq=1, minDocFreq=2, maxQueryTerms=10)."""
+    from lucene_solr_spark.search.mlt import interesting_terms
+    docs, _, s = _index(spark, sf_dir)
+    text = docs.filter(F.col("doc_id") == 7).select("text").collect()[0][0]
+    rows = interesting_terms(s, text, min_term_freq=1, min_doc_freq=2,
+                             max_query_terms=10)
+    return spark.createDataFrame(
+        [(t, round(float(v), 4)) for t, v in rows], "term string, ms double")
+
+
 def q_mlt_classic_topk(spark, sf_dir):
     """Reference-exact MoreLikeThis (`queries/mlt/MoreLikeThis.java:651`
     createQueue: tf≥minTermFreq, minDocFreq≤df, ClassicSimilarity idf
@@ -4879,6 +4893,17 @@ GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
     # reference-exact MLT (MoreLikeThis.java:651-702): tf/df filters,
     # ClassicSimilarity idf ln((N+1)/(df+1))+1, top-10 by tf*idf
     # (ties term asc), scored as OR via BM25, seed excluded
+    sql["q_mlt_interesting_terms"] = _PRELUDE + """
+, src AS (SELECT term, freq FROM tf WHERE doc_id = 7),
+cand AS (
+  SELECT src.term,
+         src.freq * (ln((stats.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS ms
+  FROM src JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE src.freq >= 1 AND dfreq.df >= 2
+)
+SELECT term, ROUND(ms, 4) AS ms FROM cand
+ORDER BY ms DESC, term LIMIT 10"""
+
     sql["q_mlt_classic_topk"] = _PRELUDE + """
 , src AS (SELECT term, freq FROM tf WHERE doc_id = 7),
 cand AS (
@@ -6625,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scale_boost_topk": q_scale_boost_topk,
         "q_blockjoin_facet": q_blockjoin_facet,
         "q_stem_override_topk": q_stem_override_topk,
+        "q_mlt_interesting_terms": q_mlt_interesting_terms,
         "q_span_near_topk": q_span_near_topk,
         "q_span_or_topk": q_span_or_topk,
         "q_span_unordered_topk": q_span_unordered_topk,
