@@ -1400,6 +1400,128 @@ def q_url_dedup(spark, sf_dir):
             .orderBy("canonical_url"))
 
 
+# deterministic synthetic HTML per doc — plain ANSI so the SAME string
+# feeds Spark's F.expr and the DuckDB oracle
+_HTML_SYNTH_SQL = (
+    "concat('<div class=\"d', CAST(doc_id % 5 AS STRING), '\"><p>', "
+    "lang, ' &amp; ', source, '</p>"
+    "<script>var q=', CAST(doc_id % 3 AS STRING), ';</script>"
+    "<!-- note -->"
+    "<b>tail', CAST(doc_id % 7 AS STRING), '</b></div>')")
+
+
+def q_html_strip_terms(spark, sf_dir):
+    """HTMLStripCharFilter (`analysis/charfilter/HTMLStripCharFilter.
+    java:58`): strip synthesized per-doc HTML (tags, a script ELEMENT
+    including content, a comment, an &amp; entity) with the pure-codegen
+    Catalyst chain, then term-count the surviving text — the visible
+    words (lang, source, tailN) must count exactly once per doc and no
+    markup/script token may leak through."""
+    from lucene_solr_spark.analysis.charfilters import html_strip_expr
+    docs = _raw(spark, sf_dir, "documents")
+    stripped = html_strip_expr(F.expr(_HTML_SYNTH_SQL))
+    toks = F.expr("regexp_extract_all(stripped, '[a-z0-9&]+', 0)")
+    return (docs.select(F.lower(stripped).alias("stripped"))
+            .select(F.explode(toks).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(20))
+
+
+# deterministic synthetic filesystem-ish path per doc
+_PATH_SYNTH_SQL = ("concat('/', lang, '/', source, '/d', "
+                   "CAST(doc_id % 7 AS STRING))")
+
+
+def q_path_facet(spark, sf_dir):
+    """PathHierarchyTokenizer faceting (`analysis/path/
+    PathHierarchyTokenizer.java:43`; Solr descendent_path field type):
+    explode each synthesized path into its cumulative prefixes (one
+    codegen split+sequence+transform projection) and count docs per
+    prefix — the standard URL-path facet over a web corpus."""
+    from lucene_solr_spark.analysis.path import path_hierarchy_expr
+    docs = _raw(spark, sf_dir, "documents")
+    prefixes = path_hierarchy_expr(F.expr(_PATH_SYNTH_SQL))
+    return (docs.select(F.explode(prefixes).alias("prefix"))
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("prefix")).limit(25))
+
+
+# deterministic web-ish sentence: one URL (with shed-able trailing
+# comma), one e-mail, four plain words
+_WEB_SYNTH_SQL = (
+    "concat('read https://', source, '.example.com/', lang, '/p', "
+    "CAST(doc_id % 5 AS STRING), '?q=1, or mail ', lang, '.user@', "
+    "source, '.org soon')")
+
+
+def q_urlemail_tokens(spark, sf_dir):
+    """UAX29URLEmailTokenizer (`analysis/email/UAX29URLEmailTokenizer.
+    java:41`): tokenize synthesized web text so URLs and e-mails
+    survive as single typed tokens (<URL>/<EMAIL>, trailing sentence
+    punctuation shed from URLs), then roll up token count + distinct
+    tokens per type — one codegen regexp_extract_all projection."""
+    from lucene_solr_spark.analysis.urlemail import url_email_tokens_expr
+    docs = _raw(spark, sf_dir, "documents")
+    toks = url_email_tokens_expr(F.expr(_WEB_SYNTH_SQL))
+    return (docs.select(F.explode(toks).alias("t"))
+            .select(F.col("t.token").alias("token"),
+                    F.col("t.type").alias("type"))
+            .groupBy("type")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.countDistinct("token").cast("long").alias("n_distinct"))
+            .orderBy("type"))
+
+
+def q_edge_ngram_terms(spark, sf_dir):
+    """EdgeNGramTokenFilter (`analysis/ngram/EdgeNGramTokenFilter.
+    java:39`): prefixes 2..4 of each document's first token — the
+    search-as-you-type index shape — exploded to term counts. One
+    codegen sequence+substring projection."""
+    from lucene_solr_spark.analysis.grams import edge_ngram_expr
+    docs = _raw(spark, sf_dir, "documents")
+    tok = F.element_at(
+        F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"), 1)
+    return (docs.select(F.explode(edge_ngram_expr(tok, 2, 4)).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram")).limit(20))
+
+
+_COMMON_WORDS = ["a", "and", "in", "of", "the", "to"]
+
+
+def q_common_grams(spark, sf_dir):
+    """CommonGramsFilter (`analysis/commongrams/CommonGramsFilter.
+    java:35`): unigrams + overlaid "w1_w2" bigrams where either member
+    is a common word, over each document's first 6 tokens — the
+    phrase-acceleration index stream. Pure codegen transform+flatten."""
+    from lucene_solr_spark.analysis.grams import common_grams_expr
+    docs = _raw(spark, sf_dir, "documents")
+    toks = F.slice(
+        F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"), 1, 6)
+    return (docs.select(
+                F.explode(common_grams_expr(toks, _COMMON_WORDS))
+                 .alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(20))
+
+
+def q_fingerprint_filter(spark, sf_dir):
+    """FingerprintFilter (`analysis/miscellaneous/FingerprintFilter.
+    java:38`): sorted-deduped join of each doc's first 8 tokens (the
+    Solr clustering/linking fingerprint), rolled up per lang as
+    (distinct fingerprints, docs with one)."""
+    from lucene_solr_spark.analysis.grams import fingerprint_expr
+    docs = _raw(spark, sf_dir, "documents")
+    toks = F.slice(
+        F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"), 1, 8)
+    return (docs.select("lang", fingerprint_expr(toks).alias("fp"))
+            .groupBy("lang")
+            .agg(F.countDistinct("fp").cast("long").alias("n_fp"),
+                 F.count("fp").cast("long").alias("n_docs"))
+            .orderBy("lang"))
+
+
 # deterministic synthetic IPv4 per doc — plain ANSI (%, *, CAST) so the
 # SAME string feeds Spark's F.expr and the DuckDB oracle
 _IP_SYNTH_SQL = ("concat('10.', CAST(doc_id % 4 AS STRING), '.', "
@@ -5384,6 +5506,110 @@ WITH t AS (
 SELECT doc_id, ROUND(sim, 4) AS sim FROM s
 ORDER BY ROUND(sim, 4) DESC, doc_id LIMIT 10"""
 
+    # independent DuckDB restatement of the HTML strip: script element
+    # (incl. content) first, then comments, then any tag, then the one
+    # entity the synth emits — same construct order as the reference
+    sql["q_html_strip_terms"] = f"""
+WITH h AS (
+  SELECT {_HTML_SYNTH_SQL} AS html FROM documents
+), s AS (
+  SELECT lower(replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, '<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+        '<!--.*?-->', ' ', 'g'),
+      '<[^>]*>', ' ', 'g'),
+    '&amp;', '&')) AS t
+  FROM h
+), e AS (
+  SELECT unnest(regexp_extract_all(t, '[a-z0-9&]+')) AS term FROM s
+)
+SELECT term, count(*)::BIGINT AS cnt FROM e
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20"""
+
+    sql["q_path_facet"] = f"""
+WITH p AS (
+  SELECT '/' || lang AS l1,
+         '/' || lang || '/' || source AS l2,
+         {_PATH_SYNTH_SQL} AS l3
+  FROM documents
+), e AS (
+  SELECT unnest([l1, l2, l3]) AS prefix FROM p
+)
+SELECT prefix, count(*)::BIGINT AS cnt FROM e
+GROUP BY prefix ORDER BY cnt DESC, prefix LIMIT 25"""
+
+    # same alternation as analysis/urlemail.py (URL | EMAIL | word),
+    # run through DuckDB's RE2 instead of Spark's Java regex — the gate
+    # compares two regex ENGINES plus the type CASE and the shed rule
+    _web_rx = (r"""(?:https?|ftp)://[^\s<>"''`{}|\\^\[\]]+"""
+               r"""|www\.[^\s<>"''`{}|\\^\[\]]+"""
+               r"""|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+               r"""|[A-Za-z0-9_]+(?:[''.][A-Za-z0-9_]+)*""")
+    sql["q_urlemail_tokens"] = f"""
+WITH w AS (
+  SELECT {_WEB_SYNTH_SQL} AS t FROM documents
+), e AS (
+  SELECT unnest(regexp_extract_all(t, '{_web_rx}')) AS tok FROM w
+), c AS (
+  SELECT CASE WHEN regexp_matches(tok, '^(?:(?:https?|ftp)://|www\\.)')
+              THEN regexp_replace(tok, '[.,;:!?]+$', '')
+              ELSE tok END AS token,
+         CASE WHEN regexp_matches(tok, '^(?:(?:https?|ftp)://|www\\.)')
+              THEN '<URL>'
+              WHEN regexp_matches(tok,
+                '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')
+              THEN '<EMAIL>'
+              ELSE '<ALPHANUM>' END AS type
+  FROM e
+)
+SELECT type, count(*)::BIGINT AS cnt,
+       count(DISTINCT token)::BIGINT AS n_distinct
+FROM c GROUP BY type ORDER BY type"""
+
+    sql["q_edge_ngram_terms"] = """
+WITH t AS (
+  SELECT regexp_extract_all(text, '[a-z0-9]+')[1] AS tok FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(2, least(4, length(tok)) + 1),
+                               g -> substring(tok, 1, g))) AS gram
+  FROM t WHERE length(tok) >= 2
+)
+SELECT gram, count(*)::BIGINT AS cnt FROM g
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20"""
+
+    _cw = "['a','and','in','of','the','to']"
+    sql["q_common_grams"] = f"""
+WITH t AS (
+  SELECT list_slice(regexp_extract_all(text, '[a-z0-9]+'), 1, 6) AS toks
+  FROM documents
+), u AS (
+  SELECT unnest(flatten(list_transform(range(1, len(toks) + 1), i ->
+    CASE WHEN i < len(toks)
+          AND (list_contains({_cw}, toks[i])
+               OR list_contains({_cw}, toks[i + 1]))
+         THEN [toks[i], toks[i] || '_' || toks[i + 1]]
+         ELSE [toks[i]] END))) AS term
+  FROM t
+)
+SELECT term, count(*)::BIGINT AS cnt FROM u
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20"""
+
+    sql["q_fingerprint_filter"] = """
+WITH t AS (
+  SELECT lang,
+         list_slice(regexp_extract_all(text, '[a-z0-9]+'), 1, 8) AS toks
+  FROM documents
+), f AS (
+  SELECT lang,
+         CASE WHEN len(toks) >= 1
+              THEN array_to_string(list_sort(list_distinct(toks)), ' ')
+         END AS fp
+  FROM t
+)
+SELECT lang, count(DISTINCT fp)::BIGINT AS n_fp, count(fp)::BIGINT AS n_docs
+FROM f GROUP BY lang ORDER BY lang"""
+
     sql.update(_pipeline_oracle_sql())
     return sql
 
@@ -6633,6 +6859,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_strdist_topk": q_strdist_topk,
         "q_ip_cidr_stats": q_ip_cidr_stats,
         "q_shuffle_shards": q_shuffle_shards,
+        "q_html_strip_terms": q_html_strip_terms,
+        "q_path_facet": q_path_facet,
+        "q_urlemail_tokens": q_urlemail_tokens,
+        "q_edge_ngram_terms": q_edge_ngram_terms,
+        "q_common_grams": q_common_grams,
+        "q_fingerprint_filter": q_fingerprint_filter,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
