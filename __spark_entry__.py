@@ -1473,6 +1473,30 @@ def q_urlemail_tokens(spark, sf_dir):
             .orderBy("type"))
 
 
+def q_custom_analyzer_topk(spark, sf_dir):
+    """CustomAnalyzer (`analysis/custom/CustomAnalyzer.java:100`): an
+    index built through the user-composed chain tokenizer → lowercase
+    → stop (the StandardAnalyzer restated as custom components, forced
+    onto the per-doc reference path via batch_vectorizable=False) must
+    score BM25 'merge fast' exactly like the standard pipeline — the
+    oracle is the same SQL restatement the standard OR query carries,
+    so the driver independently verifies the custom code path end to
+    end."""
+    from lucene_solr_spark.analysis.custom import (CustomAnalyzer,
+                                                   lowercase_filter,
+                                                   stop_filter)
+    key = ("__custom__", sf_dir.rstrip("/"))
+    if key not in _CACHE:
+        an = CustomAnalyzer(token_filters=(
+            lowercase_filter(), stop_filter(ENGLISH_STOP_WORDS)))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = IndexBuilder(an, grid=2048, head_df=512, salt_target=512,
+                           with_positions=True).build(spark, docs).cache()
+        _CACHE[key] = Searcher(spark, idx, k1=K1, b=B)
+    s = _CACHE[key]
+    return _topk(s, parse_query("merge fast", ENGLISH_ANALYZER))
+
+
 def q_edge_ngram_terms(spark, sf_dir):
     """EdgeNGramTokenFilter (`analysis/ngram/EdgeNGramTokenFilter.
     java:39`): prefixes 2..4 of each document's first token — the
@@ -5567,6 +5591,11 @@ SELECT type, count(*)::BIGINT AS cnt,
        count(DISTINCT token)::BIGINT AS n_distinct
 FROM c GROUP BY type ORDER BY type"""
 
+    # the custom chain restates the standard pipeline, so the oracle
+    # is the standard OR restatement — the driver row verifies the
+    # per-doc CustomAnalyzer path reproduces it bit-for-bit
+    sql["q_custom_analyzer_topk"] = _sql_topk_sum(["merge", "fast"])
+
     sql["q_edge_ngram_terms"] = """
 WITH t AS (
   SELECT regexp_extract_all(text, '[a-z0-9]+')[1] AS tok FROM documents
@@ -6865,6 +6894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edge_ngram_terms": q_edge_ngram_terms,
         "q_common_grams": q_common_grams,
         "q_fingerprint_filter": q_fingerprint_filter,
+        "q_custom_analyzer_topk": q_custom_analyzer_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

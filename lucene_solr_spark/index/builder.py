@@ -149,6 +149,12 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
     through the per-doc reference path (`analyzer.term_positions`).
     """
     arr = texts.fillna("").to_numpy()
+    if not getattr(analyzer, "batch_vectorizable", True):
+        # CustomAnalyzer chains are arbitrary Python — the numpy batch
+        # path restates only the StandardAnalyzer family, so every row
+        # takes the per-doc reference path (analysis/custom.py)
+        return _invert_exact(doc_ids, arr, analyzer, with_pos,
+                             with_off, payload)
     rx = _fallback_re()
     fb = np.fromiter((rx.search(t) is not None for t in arr),
                      dtype=bool, count=len(arr))
