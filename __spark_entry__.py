@@ -1473,6 +1473,25 @@ def q_urlemail_tokens(spark, sf_dir):
             .orderBy("type"))
 
 
+def q_shortest_path(spark, sf_dir):
+    """ShortestPathStream (`solrj/io/graph/ShortestPathStream.java`):
+    ALL shortest paths 1 ⇝ 777 over the deterministic functional graph
+    doc_id → (2i+1)%1000 and (3i+7)%1000 — frontier-BFS with a
+    min-level parents table, reconstructed backward; the oracle
+    enumerates walks with a recursive CTE and keeps the min-length
+    ones. Two equal 8-hop paths exist."""
+    from lucene_solr_spark.search.graph import shortest_path
+    docs = _raw(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    n = F.lit(1000)
+    e = (docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 2 + 1) % n).alias("dst"))
+         .unionByName(
+             docs.select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 3 + 7) % n).alias("dst"))))
+    return (shortest_path(e, "src", "dst", 1, 777, max_depth=8)
+            .orderBy("path"))
+
+
 def q_custom_analyzer_topk(spark, sf_dir):
     """CustomAnalyzer (`analysis/custom/CustomAnalyzer.java:100`): an
     index built through the user-composed chain tokenizer → lowercase
@@ -5596,6 +5615,27 @@ FROM c GROUP BY type ORDER BY type"""
     # per-doc CustomAnalyzer path reproduces it bit-for-bit
     sql["q_custom_analyzer_topk"] = _sql_topk_sum(["merge", "fast"])
 
+    # all WALKS of length <= 8 from node 1 (a shortest walk is simple,
+    # so min-length walks == all shortest paths); ~2^8 rows total
+    sql["q_shortest_path"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % 1000 AS dst
+  FROM documents WHERE doc_id < 1000
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % 1000
+  FROM documents WHERE doc_id < 1000
+), walk(node, path, depth) AS (
+  SELECT 1::BIGINT, '1', 0
+  UNION ALL
+  SELECT e.dst, walk.path || '->' || e.dst::VARCHAR, walk.depth + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.depth < 8
+)
+SELECT DISTINCT path FROM walk
+WHERE node = 777
+  AND depth = (SELECT min(depth) FROM walk WHERE node = 777)
+ORDER BY path"""
+
     sql["q_edge_ngram_terms"] = """
 WITH t AS (
   SELECT regexp_extract_all(text, '[a-z0-9]+')[1] AS tok FROM documents
@@ -6895,6 +6935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_common_grams": q_common_grams,
         "q_fingerprint_filter": q_fingerprint_filter,
         "q_custom_analyzer_topk": q_custom_analyzer_topk,
+        "q_shortest_path": q_shortest_path,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

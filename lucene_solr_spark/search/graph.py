@@ -67,3 +67,64 @@ def gather_nodes(frontier: DataFrame, walks: list,
     for df in keep[1:]:
         out = out.unionByName(df)
     return out
+
+
+def shortest_path(edges: DataFrame, from_col: str, to_col: str,
+                  src, dst, max_depth: int = 6) -> DataFrame:
+    """ShortestPathStream (`solrj/io/graph/ShortestPathStream.java`):
+    ALL shortest paths from ``src`` to ``dst`` over the edge relation,
+    each returned as one row ``path`` = "src->...->dst" (string ids,
+    '->'-joined like the reference's path tuples), empty when ``dst``
+    is unreachable within ``max_depth`` hops.
+
+    Same two-phase shape as the reference: a forward BFS that keeps a
+    PARENTS table (child, parent) holding every min-level predecessor
+    (the reference's per-level HashMap), then a backward reconstruction
+    of length L.  Spark posture: each hop is one equi-join of the edge
+    table against the (small, broadcastable) frontier + an anti-join
+    against the visited set — the same frontier-join plan as
+    :func:`gather_nodes`, with ``localCheckpoint`` cutting the lineage
+    per level exactly like the connected-components loop in
+    `pipeline/dedup.py`.  The only driver-side values are the per-level
+    found/size counters; nodes, parents, and paths stay DataFrames.
+    The reconstruction does L bounded joins over the parents table
+    (≤ |shortest paths| · L rows in flight — the reference likewise
+    materializes the full path set to emit its tuples).
+    """
+    src_s, dst_s = str(src), str(dst)
+    e = edges.select(F.col(from_col).cast("string").alias("_p"),
+                     F.col(to_col).cast("string").alias("_c")).distinct()
+    frontier = e.sparkSession.createDataFrame([(src_s,)], "node string")
+    visited = frontier
+    parents = None
+    depth = 0
+    for depth in range(1, max_depth + 1):
+        hop = (e.join(frontier.select(F.col("node").alias("_p")), "_p")
+               .select(F.col("_c").alias("child"),
+                       F.col("_p").alias("parent"))
+               .join(visited.select(F.col("node").alias("child")),
+                     "child", "left_anti")
+               .distinct().localCheckpoint())
+        newf = hop.select(F.col("child").alias("node")).distinct()
+        if newf.isEmpty():
+            return frontier.sparkSession.createDataFrame(
+                [], "path string")
+        parents = hop if parents is None else parents.unionByName(hop)
+        visited = visited.unionByName(newf).localCheckpoint()
+        frontier = newf
+        if not newf.filter(F.col("node") == dst_s).isEmpty():
+            break
+    else:
+        return frontier.sparkSession.createDataFrame([], "path string")
+    # backward reconstruction: L joins, paths carried as arrays
+    paths = (frontier.sparkSession.createDataFrame([(dst_s,)], "head string")
+             .select("head", F.array(F.col("head")).alias("trail")))
+    for _ in range(depth):
+        paths = (paths.join(parents,
+                            paths["head"] == parents["child"])
+                 .select(F.col("parent").alias("head"),
+                         F.concat(F.array(F.col("parent")),
+                                  F.col("trail")).alias("trail")))
+    return (paths.filter(F.col("head") == src_s)
+            .select(F.array_join("trail", "->").alias("path"))
+            .distinct())
