@@ -549,7 +549,49 @@ class StreamFactory:
             return self._fetch(node)
         if fn == "timeseries":
             return self._timeseries(node)
+        if fn == "shortestPath":
+            return self._shortest_path(node)
+        if fn == "knn":
+            return self._knn(node)
         raise ValueError(f"unknown stream function {fn!r}")
+
+    def _shortest_path(self, node: Expr) -> Stream:
+        """ShortestPathStream (`solrj/io/graph/ShortestPathStream.
+        java`): shortestPath(coll, from="1", to="777",
+        edge="src=dst", maxDepth=8) — the collection IS the edge
+        relation; emits one row per shortest path, field ``path`` =
+        '->'-joined node ids (the reference emits the same ids as a
+        List tuple — documented envelope). threads/partitionSize are
+        accepted and ignored: Spark owns physical parallelism."""
+        from .graph import shortest_path
+        coll = node.args[0]
+        docs, _ = self.collections[coll]
+        frm, to = node.params["from"], node.params["to"]
+        fcol, tcol = (s.strip() for s in node.params["edge"].split("="))
+        depth = int(node.params.get("maxDepth", 6))
+        out = shortest_path(docs, fcol, tcol, frm, to, max_depth=depth)
+        return Stream(out.orderBy("path"), [("path", True)])
+
+    def _knn(self, node: Expr) -> Stream:
+        """KnnStream (`solrj/io/stream/KnnStream.java`): the
+        MoreLikeThis-based k-nearest stream — knn(coll, id="42",
+        qf="text", k="10", mintf=.., mindf=..) emits the k most
+        similar documents to the seed doc (seed excluded), scored by
+        the reference-exact MLT path."""
+        from .mlt import more_like_this
+        coll = node.args[0]
+        docs, searcher = self.collections[coll]
+        if searcher is None:
+            raise ValueError(f"collection {coll!r} has no index")
+        sel = {}
+        if "mintf" in node.params:
+            sel["min_term_freq"] = int(node.params["mintf"])
+        if "mindf" in node.params:
+            sel["min_doc_freq"] = int(node.params["mindf"])
+        out = more_like_this(searcher, docs, int(node.params["id"]),
+                             field=node.params.get("qf", "text"),
+                             k=int(node.params.get("k", 10)), **sel)
+        return Stream(out, [("score", False), ("doc_id", True)])
 
     def dataframe(self, expr: str) -> DataFrame:
         """Compile and return the final DataFrame (stream order is the

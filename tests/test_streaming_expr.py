@@ -165,3 +165,27 @@ def test_fetch(factory):
         factory.dataframe('fetch(docs, search(docs, q="merge", '
                           'fl="doc_id", sort="doc_id asc", '
                           'qt="/export"), on="doc_id=doc_id")')
+
+
+def test_shortest_path_stream(spark, factory):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    sf = StreamFactory({"edges": (edges, None)})
+    got = sf.dataframe('shortestPath(edges, from="a", to="d", '
+                       'edge="src=dst", maxDepth=4)').collect()
+    assert sorted(r["path"] for r in got) == ["a->b->d", "a->c->d"]
+
+
+def test_knn_stream(factory):
+    # seed doc 0 "merge fast table": nearest by MLT must share terms
+    got = factory.dataframe(
+        'knn(docs, id="0", qf="text", k="3", mintf="1", mindf="1")'
+    ).collect()
+    assert len(got) == 3
+    ids = [r["doc_id"] for r in got]
+    assert 0 not in ids
+    # every hit shares a seed term (merge/fast/table)
+    assert set(ids) <= {1, 2, 4, 5}
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
