@@ -1473,6 +1473,29 @@ def q_urlemail_tokens(spark, sf_dir):
             .orderBy("type"))
 
 
+def q_perfield_topk(spark, sf_dir):
+    """PerFieldAnalyzerWrapper (`analysis/miscellaneous/
+    PerFieldAnalyzerWrapper.java:33`): the title field indexed under a
+    NO-stopwords chain beside the stopworded text chain in one build —
+    `title:the AND text:merge` scores the stopword term against real
+    title postings (impossible under a single shared chain), analysis
+    resolved per field at BOTH index and query time."""
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_solr_spark.analysis.perfield import PerFieldAnalyzer
+    wrapped = PerFieldAnalyzer(default=ENGLISH_ANALYZER,
+                               overrides=(("title", StandardAnalyzer()),))
+    key = ("__perfield__", sf_dir.rstrip("/"))
+    if key not in _CACHE:
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .withColumn("title", F.expr(TITLE_EXPR)))
+        idx = IndexBuilder(wrapped, grid=2048, head_df=512, salt_target=512,
+                           with_positions=True,
+                           fields=("text", "title")).build(spark, docs).cache()
+        _CACHE[key] = Searcher(spark, idx, k1=K1, b=B)
+    s = _CACHE[key]
+    return _topk(s, parse_query("title:the AND text:merge", wrapped))
+
+
 def q_shortest_path(spark, sf_dir):
     """ShortestPathStream (`solrj/io/graph/ShortestPathStream.java`):
     ALL shortest paths 1 ⇝ 777 over the deterministic functional graph
@@ -5615,6 +5638,16 @@ FROM c GROUP BY type ORDER BY type"""
     # per-doc CustomAnalyzer path reproduces it bit-for-bit
     sql["q_custom_analyzer_topk"] = _sql_topk_sum(["merge", "fast"])
 
+    # per-field analysis: the title CTE block minus its stop filter
+    # (the no-stopwords title chain), conjoined with the standard text
+    # score — the q_multifield shape over the re-analyzed field
+    sql["q_perfield_topk"] = _PRELUDE + _TITLE_CTES.replace(
+        f"WHERE term NOT IN ({_STOPLIST})", "") + """
+SELECT a.doc_id, ROUND(a.s + b.s, 4) AS score
+FROM tsc a JOIN sc b USING (doc_id)
+WHERE a.term = 'the' AND b.term = 'merge'
+ORDER BY a.s + b.s DESC, a.doc_id LIMIT 10"""
+
     # all WALKS of length <= 8 from node 1 (a shortest walk is simple,
     # so min-length walks == all shortest paths); ~2^8 rows total
     sql["q_shortest_path"] = """
@@ -6936,6 +6969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint_filter": q_fingerprint_filter,
         "q_custom_analyzer_topk": q_custom_analyzer_topk,
         "q_shortest_path": q_shortest_path,
+        "q_perfield_topk": q_perfield_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

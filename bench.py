@@ -214,6 +214,18 @@ def main() -> None:
     pair_counts(word_freqs(docs)).orderBy(F.desc("count")).limit(20).count()
     per_query["op_bpe_pair_counts"] = round(time.perf_counter() - t0, 4)
 
+    # round-5 session-4: the web-ingest front stage — HTML strip +
+    # tokenize + term count as ONE codegen pass (the strip chain fuses
+    # with the scan; this is the throughput every 100-TB ingest pays
+    # before inversion)
+    from lucene_solr_spark.analysis.charfilters import html_strip_expr
+    t0 = time.perf_counter()
+    (docs.select(html_strip_expr(F.expr(_e._HTML_SYNTH_SQL)).alias("s"))
+     .select(F.explode(F.expr(
+         "regexp_extract_all(s, '[a-z0-9&]+', 0)")).alias("t"))
+     .groupBy("t").count().orderBy(F.desc("count")).limit(20).count())
+    per_query["op_html_strip"] = round(time.perf_counter() - t0, 4)
+
     # corpus hygiene (round 4): exact-substring dup + decontamination —
     # corpus-scale scans (every 13-token window / every 8-gram), an
     # order of magnitude more work than one top-k query; reported as

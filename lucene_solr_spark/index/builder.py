@@ -513,7 +513,12 @@ class IndexBuilder:
                 dids = pdf[doc_id_col].to_numpy()
                 frames = []
                 for fld in flds:
-                    arrs = invert_field_arrays(dids, pdf[fld], analyzer,
+                    # PerFieldAnalyzerWrapper: resolve the chain per
+                    # field; each resolved analyzer picks its own
+                    # batch-vs-per-doc invert path independently
+                    an = (analyzer.for_field(fld)
+                          if hasattr(analyzer, "for_field") else analyzer)
+                    arrs = invert_field_arrays(dids, pdf[fld], an,
                                                with_pos, with_off, payload)
                     if arrs is None:
                         continue

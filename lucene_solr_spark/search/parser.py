@@ -31,6 +31,7 @@ import re
 
 from ..analysis.analyzer import StandardAnalyzer
 from ..analysis.lowercase import simple_lowercase
+from ..analysis.perfield import resolve_for_field as _an
 from .ast import (DEFAULT_FIELD, BooleanQuery, BoostQuery, Clause,
                   FuzzyQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
                   RegexpQuery, TermQuery, TermRangeQuery, WildcardQuery,
@@ -167,7 +168,7 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
             m = _PHRASE_RE.match(body)
             if not m:
                 return None
-            toks = analyzer.tokens(m.group(1))
+            toks = _an(analyzer, fld).tokens(m.group(1))
             if not toks:
                 return None
             slop = int(m.group(2)) if m.group(2) else 0
@@ -198,7 +199,7 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
             if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
                 return PrefixQuery(low[:-1], fld)
             return WildcardQuery(low, fld)
-        toks = analyzer.tokens(t)
+        toks = _an(analyzer, fld).tokens(t)
         if not toks:
             return None
         if len(toks) == 1:
