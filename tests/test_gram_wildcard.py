@@ -66,6 +66,9 @@ def test_short_terms_not_lost(spark):
 
 
 def test_query_path_uses_gram_index(searcher):
-    hits = searcher.top_k(parse_query("spa*", ENGLISH_ANALYZER), k=5)
+    # a NON-prefix wildcard (prefix queries stay on the sargable
+    # startswith path and never need grams — this test must not depend
+    # on an earlier test having touched .gram_index)
+    hits = searcher.top_k(parse_query("sp?rk", ENGLISH_ANALYZER), k=5)
     assert len(hits) > 0
     assert searcher._gram_index is not None   # lazily built and kept
