@@ -1473,6 +1473,25 @@ def q_urlemail_tokens(spark, sf_dir):
             .orderBy("type"))
 
 
+def q_curation_manifest(spark, sf_dir):
+    """End-to-end curation manifest (Gopher §A1 quality → exact dedup
+    → GPT-3 appx-C decontamination, the published pipeline order):
+    one keep/reason row per doc from one corpus pass + one
+    fingerprint-width shuffle + one broadcast gram join. Duplicates
+    injected (doc_id+100000 clones of docs <20), benchmark = docs with
+    doc_id % 97 == 0."""
+    from lucene_solr_spark.pipeline.curate import curate_manifest
+    docs = _raw_docs(spark, sf_dir)
+    clones = (docs.filter(F.col("doc_id") < 20)
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    all_docs = docs.unionByName(clones)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (curate_manifest(all_docs, bench, hashed=False)
+            .select(F.col("doc_id").cast("long"), "quality", "duplicate",
+                    "contaminated", "keep", "reason")
+            .orderBy("doc_id"))
+
+
 def q_perfield_topk(spark, sf_dir):
     """PerFieldAnalyzerWrapper (`analysis/miscellaneous/
     PerFieldAnalyzerWrapper.java:33`): the title field indexed under a
@@ -5638,6 +5657,79 @@ FROM c GROUP BY type ORDER BY type"""
     # per-doc CustomAnalyzer path reproduces it bit-for-bit
     sql["q_custom_analyzer_topk"] = _sql_topk_sum(["merge", "fast"])
 
+    # curation manifest: the gopher keep rule + md5 keep-first dedup
+    # among quality survivors + 8-gram decontamination, composed from
+    # the same fragments that gate the component queries
+    sql["q_curation_manifest"] = r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+), w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words,
+         string_split(text, chr(10)) AS lines, text
+  FROM all_docs
+), base AS (
+  SELECT doc_id, len(words) AS n_words,
+    list_sum(list_transform(words, x -> length(x)))::DOUBLE
+      / greatest(len(words), 1) AS mean_wlen,
+    (length(text) - length(regexp_replace(text, '#|…', '', 'g'))
+     + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+      / greatest(len(words), 1) AS symbol_ratio,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-\*]')))
+      ::DOUBLE / greatest(len(lines), 1) AS bullet_frac,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l),
+                                               '(…|\.\.\.)$')))::DOUBLE
+      / greatest(len(lines), 1) AS ellipsis_frac,
+    len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      / greatest(len(words), 1) AS alpha_frac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(list_transform(words, x -> lower(x)), s)))
+      AS stop_hits
+  FROM w
+), q AS (
+  SELECT doc_id,
+    (n_words >= 20 AND n_words <= 100000 AND mean_wlen >= 3.0
+     AND mean_wlen <= 10.0 AND symbol_ratio <= 0.1
+     AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+     AND alpha_frac >= 0.8 AND stop_hits >= 2) AS quality
+  FROM base
+), fp AS (
+  SELECT doc_id, md5(text) AS f FROM all_docs
+), canon AS (
+  SELECT f, min(fp.doc_id) AS c
+  FROM fp JOIN q USING (doc_id) WHERE q.quality GROUP BY f
+), dup AS (
+  SELECT q.doc_id, q.quality,
+         (q.quality AND fp.doc_id <> canon.c) AS duplicate
+  FROM q JOIN fp USING (doc_id) LEFT JOIN canon ON fp.f = canon.f
+), ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM all_docs
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM ws, UNNEST(generate_series(1, greatest(len(ws)-7, 0))) AS t(i)
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0 AND doc_id < 100000
+), h AS (
+  SELECT g.doc_id, count(*) AS n_hits FROM g JOIN b USING (gram)
+  GROUP BY g.doc_id
+), cont AS (
+  SELECT ws.doc_id, (coalesce(h.n_hits, 0) > 0) AS contaminated
+  FROM ws LEFT JOIN h USING (doc_id)
+)
+SELECT dup.doc_id,
+       dup.quality::INT AS quality,
+       coalesce(dup.duplicate, FALSE)::INT AS duplicate,
+       cont.contaminated::INT AS contaminated,
+       (dup.quality AND NOT coalesce(dup.duplicate, FALSE)
+        AND NOT cont.contaminated)::INT AS keep,
+       CASE WHEN NOT dup.quality THEN 'quality'
+            WHEN coalesce(dup.duplicate, FALSE) THEN 'duplicate'
+            WHEN cont.contaminated THEN 'contaminated'
+            ELSE '' END AS reason
+FROM dup JOIN cont USING (doc_id) ORDER BY dup.doc_id"""
+
     # per-field analysis: the title CTE block minus its stop filter
     # (the no-stopwords title chain), conjoined with the standard text
     # score — the q_multifield shape over the re-analyzed field
@@ -6970,6 +7062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custom_analyzer_topk": q_custom_analyzer_topk,
         "q_shortest_path": q_shortest_path,
         "q_perfield_topk": q_perfield_topk,
+        "q_curation_manifest": q_curation_manifest,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
