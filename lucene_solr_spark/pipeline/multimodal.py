@@ -298,3 +298,86 @@ def audio_features(binary_df: DataFrame) -> DataFrame:
                                               "zero_cross_rate"])
 
     return binary_df.mapInPandas(batches, schema=AUDIO_FEAT_SCHEMA)
+
+
+# --------------------------------------------------------------- raw video
+
+RVID_MAGIC = b"RVID"
+
+VIDEO_FRAME_SCHEMA = ("doc_id long, frame_idx int, n_frames int, "
+                      "width int, height int, fps double, "
+                      "features array<float>")
+
+
+def encode_rvid(frames, fps: float = 24.0) -> bytes:
+    """Minimal uncompressed video container for the library-free path
+    (the video analog of the Netpbm/BMP/WAV trio): magic 'RVID' +
+    <u32 n_frames, u32 width, u32 height, f64 fps> + n_frames packed
+    RGB24 frames. Deterministic, no codec dependency — real payloads
+    (mp4/webm) remain library-gated exactly like compressed images."""
+    import struct
+
+    import numpy as np
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = [RVID_MAGIC, struct.pack("<IIId", len(frames), w, h, float(fps))]
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.shape[:2] != (h, w) or a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("all frames must be (h, w, 3) uint8")
+        out.append(a.tobytes())
+    return b"".join(out)
+
+
+def decode_rvid(payload: bytes):
+    """→ (frames ndarray (n, h, w, 3) uint8, fps). Raises ValueError on
+    bad magic / truncation."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != RVID_MAGIC:
+        raise ValueError("not an RVID payload")
+    n, w, h, fps = struct.unpack_from("<IIId", payload, 4)
+    need = 4 + 20 + n * w * h * 3
+    if len(payload) < need:
+        raise ValueError("truncated RVID payload")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n * w * h * 3,
+                        offset=24).reshape(n, h, w, 3)
+    return arr, fps
+
+
+def frame_sample(binary_df: DataFrame, every_k: int = 10,
+                 max_frames: int = 0) -> DataFrame:
+    """Frame sampling over (doc_id, payload) RVID videos: decode, keep
+    frames 0, k, 2k, … (plus ``max_frames`` cap when > 0), emit one row
+    per SAMPLED frame with the deterministic ``image_features`` vector
+    — the standard video→training-example expansion.
+
+    Scale: narrow Arrow-batched mapInPandas, no shuffle; the row-count
+    expansion is the operator's OUTPUT (n_frames/k rows per video), and
+    the payload column prunes out of plans that don't call this.
+    Malformed/non-RVID payloads drop, never fail the task."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames, fps = decode_rvid(bytes(payload))
+                except ValueError:
+                    continue
+                idxs = range(0, len(frames), every_k)
+                if max_frames > 0:
+                    idxs = list(idxs)[:max_frames]
+                n, h, w = (len(frames), frames.shape[1], frames.shape[2])
+                for i in idxs:
+                    rows.append((int(did), int(i), n, w, h, float(fps),
+                                 image_features(frames[i]).tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "n_frames", "width", "height",
+                                              "fps", "features"])
+
+    return binary_df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

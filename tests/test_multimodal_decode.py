@@ -153,3 +153,60 @@ def test_malformed_payloads_drop_not_crash(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = audio_features(df).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+# ------------------------------------------------------------- raw video
+
+def _video(seed, n_frames, w=8, h=6):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n_frames)]
+
+
+def test_rvid_round_trip():
+    import numpy as np
+
+    from lucene_solr_spark.pipeline.multimodal import (decode_rvid,
+                                                       encode_rvid)
+    frames = _video(1, 5)
+    arr, fps = decode_rvid(encode_rvid(frames, fps=30.0))
+    assert fps == 30.0 and arr.shape == (5, 6, 8, 3)
+    assert all(np.array_equal(arr[i], frames[i]) for i in range(5))
+    with pytest.raises(ValueError):
+        decode_rvid(b"JUNK" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        decode_rvid(encode_rvid(frames)[:-10])   # truncated
+
+
+def test_frame_sample_spark_vs_numpy(spark):
+    import numpy as np
+
+    from lucene_solr_spark.pipeline.multimodal import (encode_rvid,
+                                                       frame_sample,
+                                                       image_features)
+    vids = {0: _video(0, 25), 1: _video(1, 3), 2: _video(2, 10)}
+    rows = [(k, bytearray(encode_rvid(v, fps=12.0)))
+            for k, v in vids.items()]
+    rows.append((9, bytearray(b"not a video at all")))   # dropped
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = frame_sample(df, every_k=10).collect()
+    # doc 0: frames 0,10,20 · doc 1: frame 0 · doc 2: frame 0 — doc 9 gone
+    want_idx = {(0, 0), (0, 10), (0, 20), (1, 0), (2, 0)}
+    assert {(r["doc_id"], r["frame_idx"]) for r in got} == want_idx
+    for r in got:
+        ref = image_features(vids[r["doc_id"]][r["frame_idx"]])
+        assert np.allclose(np.array(r["features"], dtype=np.float32), ref)
+        assert r["fps"] == 12.0
+
+
+def test_frame_sample_cap(spark):
+    from lucene_solr_spark.pipeline.multimodal import (encode_rvid,
+                                                       frame_sample)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_rvid(_video(3, 40), fps=24.0)))],
+        "doc_id long, payload binary")
+    got = frame_sample(df, every_k=5, max_frames=3).collect()
+    assert sorted(r["frame_idx"] for r in got) == [0, 5, 10]
+    with pytest.raises(ValueError):
+        frame_sample(df, every_k=0)
