@@ -1943,6 +1943,32 @@ def q_soft_delete_search(spark, sf_dir):
     return _topk(Searcher(spark, merged, k1=K1, b=B), TermQuery("spark"))
 
 
+_FE_CACHE: dict = {}
+
+
+def q_field_exists(spark, sf_dir):
+    """FieldExistsQuery (`index/NormsFieldExistsQuery.java:34`) through
+    the classic parser's Solr rewrite (`solr/core/.../FieldType.java:
+    863-878`: `field:*` → exists, never a dictionary enumeration):
+    index a sparse `tag` field present only on doc_id % 3 == 0, parse
+    `merge AND tag:*` — the exists clause semi-joins the per-field
+    norms doc-set (no term expansion, no extra scan) and contributes
+    constant 1 to the BM25 sum like Lucene's BooleanWeight does."""
+    key = sf_dir.rstrip("/")
+    if key not in _FE_CACHE:
+        docs = (_docs(spark, sf_dir)
+                .withColumn("tag", F.when(F.col("doc_id") % 3 == 0,
+                                          F.lit("alpha"))
+                            .otherwise(F.lit(None).cast("string"))))
+        builder = IndexBuilder(ENGLISH_ANALYZER, grid=2048, head_df=512,
+                               salt_target=512, with_positions=True,
+                               fields=("text", "tag"))
+        _FE_CACHE[key] = Searcher(spark, builder.build(spark, docs).cache(),
+                                  k1=K1, b=B)
+    q = parse_query("merge AND tag:*", ENGLISH_ANALYZER)
+    return _topk(_FE_CACHE[key], q)
+
+
 def q_interval_ordered_topk(spark, sf_dir):
     """IntervalQuery maxgaps(3, ordered(key, agg))
     (queries/intervals/IntervalQuery.java:73): canonical minimal
@@ -4526,6 +4552,14 @@ SELECT doc_id, ROUND(s, 4) AS score FROM sc
 WHERE term = 'spark' AND doc_id % 7 <> 3
 ORDER BY s DESC, doc_id LIMIT 10""")
 
+    # FieldExistsQuery: the exists clause is a pure doc_id-set
+    # predicate (tag exists ⇔ doc_id % 3 = 0 by construction) plus
+    # the MUST constant 1 in the score sum
+    sql["q_field_exists"] = _PRELUDE + """
+SELECT doc_id, ROUND(1.0 + s, 4) AS score FROM sc
+WHERE term = 'merge' AND doc_id % 3 = 0
+ORDER BY 1.0 + s DESC, doc_id LIMIT 10"""
+
     # interval queries: canonical minimal-interval sets stated directly
     # in SQL — all admissible pairs, keep min end per start, strip
     # intervals containing a later-start/≤-end one; saturation scoring
@@ -7063,6 +7097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shortest_path": q_shortest_path,
         "q_perfield_topk": q_perfield_topk,
         "q_curation_manifest": q_curation_manifest,
+        "q_field_exists": q_field_exists,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

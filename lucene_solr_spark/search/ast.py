@@ -503,6 +503,21 @@ class MatchNoQuery:
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery:
+    """Matches every live doc that has ≥1 indexed token in ``field``
+    (constant score 1 × boost) — `index/NormsFieldExistsQuery.java:34`
+    restated over the norms table (one row per (field, doc) exactly
+    when the field produced tokens). Solr rewrites `field:*` and
+    `field:[* TO *]` to this shape (`solr/core/.../FieldType.java:863-878`)
+    instead of enumerating the dictionary; the parser does the same.
+
+    Envelope: a doc whose field analyzed to ZERO tokens has no norms
+    row here (Lucene would record a length-0 norm), so FieldExists ≡
+    TermRange[* TO *] on this index — documented, test-pinned."""
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Clause:
     occur: Occur
     query: object

@@ -83,6 +83,7 @@ from .ast import (DEFAULT_FIELD, MULTI_TERM_NODES, SPAN_NODES, BooleanQuery,
                   IntervalNotWithin, IntervalOr, IntervalOrdered,
                   IntervalOverlapping, IntervalQuery, IntervalTerm,
                   IntervalUnordered, IntervalWithin,
+                  FieldExistsQuery,
                   MatchAllQuery, MatchNoQuery, MultiPhraseQuery, Occur,
                   PhraseQuery, PrefixQuery,
                   RegexpQuery, SpanContainingQuery, SpanFirstQuery,
@@ -295,6 +296,9 @@ class Searcher:
     # ------------------------------------------------------------------
     def _plan(self, query):
         query = rewrite(self.expand_multiterm(rewrite(query)))
+        ex = _split_exists(query)
+        if ex is not None:
+            return {"exists": ex}
         plan = flatten_plan(query)
         if isinstance(plan, dict) and "tree" in plan \
                 and not tree_grounded(plan["tree"]):
@@ -502,7 +506,8 @@ class Searcher:
                 results[qi] = empty
                 continue
             if plan == "ALL" or (isinstance(plan, dict)
-                                 and "unbounded" in plan):
+                                 and ("unbounded" in plan
+                                      or "exists" in plan)):
                 results[qi] = self.top_k(query, k=k, mode=mode, prune=prune)
                 continue
             spec, live, dead = self._spec_for_plan(plan, mode, k, prune)
@@ -553,8 +558,11 @@ class Searcher:
             pdf["score"] = np.float32(1.0)
             pdf["rank"] = np.arange(1, len(pdf) + 1)
             return pdf[["rank", "doc_id", "score"]]
-        if isinstance(plan, dict) and "unbounded" in plan:
-            df = self._score_unbounded(plan["unbounded"])
+        if isinstance(plan, dict) and ("unbounded" in plan
+                                       or "exists" in plan):
+            df = (self._score_unbounded(plan["unbounded"])
+                  if "unbounded" in plan
+                  else self._score_exists(plan["exists"]))
             pdf = (df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                    .toPandas())
             pdf["rank"] = np.arange(1, len(pdf) + 1)
@@ -589,6 +597,8 @@ class Searcher:
                     .select("doc_id", F.lit(1.0).alias("score")))
         if isinstance(plan, dict) and "unbounded" in plan:
             return self._score_unbounded(plan["unbounded"])
+        if isinstance(plan, dict) and "exists" in plan:
+            return self._score_exists(plan["exists"])
         return self._run_kernel(plan, mode=mode, collect_all=True)
 
     def _all_live_docs(self) -> DataFrame:
@@ -605,6 +615,103 @@ class Searcher:
                 F.broadcast(dels) if small else dels,
                 "doc_id", "left_anti")
         return alldocs
+
+    def _field_exists_docs(self, fld: str) -> DataFrame:
+        """doc_ids with ≥1 indexed token in ``fld`` — one row per
+        (field, doc) in the norms table, so no distinct needed."""
+        return self.index.norms.filter(F.col("field") == fld) \
+                               .select("doc_id")
+
+    def _score_exists(self, ex) -> DataFrame:
+        """FieldExistsQuery composition: semi-/anti-/left-join the
+        (per-field) norms doc-set onto the scored rest — no collect,
+        one join per exists clause; the joins broadcast or shuffle on
+        doc_id exactly like the tombstone path."""
+        rest = list(ex["rest"])
+        pos_must = [c for c in rest if c.occur in (Occur.MUST, Occur.FILTER)]
+        pos_should = [c for c in rest if c.occur is Occur.SHOULD]
+        negs = [c.query for c in rest if c.occur is Occur.MUST_NOT]
+        anchored = bool(ex["must"]) or bool(pos_must)
+        if ex["should"] and (ex["msm"] > 1
+                             or (anchored and ex["msm"] > 0)):
+            raise ValueError(
+                "SHOULD FieldExistsQuery under min_should_match needs "
+                "per-doc SHOULD tallies the kernel does not track — "
+                "rewrite with MUST/FILTER clauses instead")
+        const = sum(b for _, b in ex["must"])
+        if anchored:
+            if pos_must or (pos_should and ex["msm"] > 0):
+                # the kernel's own must/should/msm semantics apply to
+                # the residue; exists clauses then intersect/exclude
+                rest_q = rewrite(BoostQuery(
+                    BooleanQuery(tuple(rest), ex["msm"]), ex["boost"]))
+                df = self.score_all(rest_q, mode="f64")
+            else:
+                # must-exists is the only anchor: SHOULD residue is
+                # optional (BooleanWeight with a MUST present), scored
+                # via left join; MUST_NOT residue excludes the base
+                df = self._all_live_docs().select(
+                    "doc_id", F.lit(0.0).alias("score"))
+                if pos_should:
+                    rq = rewrite(BoostQuery(
+                        BooleanQuery(tuple(pos_should), 0), ex["boost"]))
+                    sdf = (self.score_all(rq, mode="f64")
+                           .withColumnRenamed("score", "_s"))
+                    df = (df.join(sdf, "doc_id", "left")
+                          .select("doc_id",
+                                  (F.col("score")
+                                   + F.coalesce(F.col("_s"), F.lit(0.0)))
+                                  .alias("score")))
+                for nq in negs:
+                    df = df.join(self.match_docs(nq), "doc_id", "left_anti")
+            for fld, _ in ex["must"]:
+                df = df.join(self._field_exists_docs(fld),
+                             "doc_id", "left_semi")
+        else:
+            # pure-SHOULD union (msm ≤ 1): ALL live docs carry the
+            # grounded-should scores and per-field exists flags; a doc
+            # matches when any part does (same frame as
+            # _score_unbounded, one join per part)
+            df = self._all_live_docs()
+            matched = F.lit(False)
+            score = F.lit(0.0)
+            if pos_should:
+                rq = rewrite(BoostQuery(
+                    BooleanQuery(tuple(pos_should), 0), ex["boost"]))
+                sdf = (self.score_all(rq, mode="f64")
+                       .withColumnRenamed("score", "_s"))
+                df = df.join(sdf, "doc_id", "left")
+                score = score + F.coalesce(F.col("_s"), F.lit(0.0))
+                matched = matched | F.col("_s").isNotNull()
+            for i, (fld, b) in enumerate(ex["should"]):
+                edf = (self._field_exists_docs(fld)
+                       .withColumn(f"_e{i}", F.lit(True)))
+                df = df.join(edf, "doc_id", "left")
+                hit = F.coalesce(F.col(f"_e{i}"), F.lit(False))
+                score = score + F.when(hit, F.lit(float(b))) \
+                                 .otherwise(F.lit(0.0))
+                matched = matched | hit
+            df = (df.filter(matched)
+                  .select("doc_id", score.alias("score")))
+            for nq in negs:
+                df = df.join(self.match_docs(nq), "doc_id", "left_anti")
+        # SHOULD exists alongside MUST anchors: optional constant add
+        if anchored:
+            for i, (fld, b) in enumerate(ex["should"]):
+                edf = (self._field_exists_docs(fld)
+                       .withColumn(f"_e{i}", F.lit(True)))
+                df = df.join(edf, "doc_id", "left")
+                df = df.select(
+                    "doc_id",
+                    (F.col("score") + F.when(F.col(f"_e{i}"), F.lit(float(b)))
+                     .otherwise(F.lit(0.0))).alias("score"))
+        for fld in ex["not"]:
+            df = df.join(self._field_exists_docs(fld), "doc_id", "left_anti")
+        if const:
+            df = df.select(
+                "doc_id", (F.col("score") + F.lit(float(const)))
+                .alias("score"))
+        return df
 
     def _score_unbounded(self, parts) -> DataFrame:
         """Pure-negation composition (the shape the kernel cannot scan):
@@ -671,6 +778,53 @@ def flatten_plan(query):
         return _flat_plan(query)
     except ValueError:
         return {"tree": build_tree(query)}
+
+
+def _split_exists(query):
+    """FieldExistsQuery composition → parts dict, or None when the
+    query has no exists clause.
+
+    Supported envelope (Solr's shapes — fq=field:*, `+field:* +scored`,
+    `field:* OR scored`, `field:* -scored`): standalone/boosted exists,
+    and exists as MUST / FILTER / SHOULD / MUST_NOT clauses of a
+    top-level BooleanQuery. A MUST or matching SHOULD exists clause
+    contributes its constant score (1 × boost) to the sum like
+    Lucene's BooleanWeight; FILTER contributes 0. Outside the
+    envelope (raises): SHOULD exists under min_should_match > 1 or
+    alongside MUST anchors with msm > 0 — per-doc SHOULD tallies
+    would need kernel support."""
+    boost = 1.0
+    q = query
+    while isinstance(q, BoostQuery):
+        boost *= q.boost
+        q = q.query
+    if isinstance(q, FieldExistsQuery):
+        return {"must": [(q.field, boost)], "not": [], "should": [],
+                "rest": (), "msm": 0, "boost": boost}
+    if not isinstance(q, BooleanQuery):
+        return None
+    must, not_, should, rest = [], [], [], []
+    for cl in q.clauses:
+        inner, bb = cl.query, 1.0
+        while isinstance(inner, BoostQuery):
+            bb *= inner.boost
+            inner = inner.query
+        if not isinstance(inner, FieldExistsQuery):
+            rest.append(cl)
+            continue
+        if cl.occur is Occur.MUST:
+            must.append((inner.field, boost * bb))
+        elif cl.occur is Occur.FILTER:
+            must.append((inner.field, 0.0))
+        elif cl.occur is Occur.MUST_NOT:
+            not_.append(inner.field)
+        else:
+            should.append((inner.field, boost * bb))
+    if not must and not not_ and not should:
+        return None
+    return {"must": must, "not": not_, "should": should,
+            "rest": tuple(rest), "msm": q.min_should_match,
+            "boost": boost}
 
 
 def _wrapper_parts(q):

@@ -33,9 +33,9 @@ from ..analysis.analyzer import StandardAnalyzer
 from ..analysis.lowercase import simple_lowercase
 from ..analysis.perfield import resolve_for_field as _an
 from .ast import (DEFAULT_FIELD, BooleanQuery, BoostQuery, Clause,
-                  FuzzyQuery, MatchNoQuery, Occur, PhraseQuery, PrefixQuery,
-                  RegexpQuery, TermQuery, TermRangeQuery, WildcardQuery,
-                  rewrite)
+                  FieldExistsQuery, FuzzyQuery, MatchAllQuery, MatchNoQuery,
+                  Occur, PhraseQuery, PrefixQuery, RegexpQuery, TermQuery,
+                  TermRangeQuery, WildcardQuery, rewrite)
 
 _LEX = re.compile(
     r'(?:[A-Za-z0-9_.]+:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'   # [f:]"…"[~n][^b]
@@ -163,6 +163,14 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
         return q
 
     def parse_bare(t: str, fld: str):
+        # *:* → MatchAllDocsQuery (QueryParserBase.getWildcardQuery:
+        # `if "*".equals(field) && "*".equals(termStr)` special case);
+        # field:* → FieldExistsQuery (Solr SolrQueryParserBase
+        # getWildcardQuery rewrite, FieldType.java:863-878)
+        if t == "*:*":
+            return MatchAllQuery()
+        if t == "*":
+            return FieldExistsQuery(fld)
         if t.startswith('"'):
             body, boost = _strip_phrase_boost(t)
             m = _PHRASE_RE.match(body)
@@ -186,6 +194,10 @@ def parse_query(text: str, analyzer: StandardAnalyzer,
         if mr:
             lo = None if mr.group(2) == "*" else simple_lowercase(mr.group(2))
             hi = None if mr.group(3) == "*" else simple_lowercase(mr.group(3))
+            if lo is None and hi is None:
+                # [* TO *] — open both ends ≡ field exists; Solr's
+                # FieldType.getRangeQuery emits the exists query here
+                return FieldExistsQuery(fld)
             return TermRangeQuery(lo, hi,
                                   include_lower=mr.group(1) == "[",
                                   include_upper=mr.group(4) == "]",
