@@ -260,6 +260,41 @@ def numeric_range_filter(searcher, query, docs: DataFrame, col: str,
     return scored.join(rng, "doc_id")
 
 
+def multi_range_filter(searcher, query, docs: DataFrame, col: str,
+                       ranges) -> DataFrame:
+    """Text query ∧ OR-of-numeric-ranges — the sandbox MultiRangeQuery
+    surface (`sandbox/.../MultiRangeQuery.java:47`: one BKD pass
+    testing every RangeClause; a doc matches when ANY clause does).
+    ``ranges`` is [(lo, hi)] inclusive both ends (the reference's
+    byte-encoded clauses are always closed intervals); None = open.
+    Overlapping clauses are first coalesced into disjoint intervals —
+    the rewrite the reference marks TODO — purely to shrink the
+    predicate; match semantics are identical. The whole disjunction is
+    ONE Catalyst predicate pushed at the Parquet scan. → (doc_id,
+    score)."""
+    closed = sorted(
+        ((float("-inf") if lo is None else lo,
+          float("inf") if hi is None else hi) for lo, hi in ranges),
+        key=lambda r: r[0])
+    merged: list[list] = []
+    for lo, hi in closed:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    cond = F.lit(False)
+    for lo, hi in merged:
+        c = F.lit(True)
+        if lo != float("-inf"):
+            c = c & (F.col(col) >= lo)
+        if hi != float("inf"):
+            c = c & (F.col(col) <= hi)
+        cond = cond | c
+    scored = searcher.score_all(query, mode="f64")
+    rng = docs.filter(cond).select("doc_id")
+    return scored.join(rng, "doc_id")
+
+
 def numeric_set_filter(searcher, query, docs: DataFrame, col: str,
                        values) -> DataFrame:
     """Text query ∧ doc-value IN set — the PointInSetQuery surface

@@ -57,3 +57,22 @@ def test_point_in_set(env):
     # empty set → no hits
     assert not numeric_set_filter(searcher, TermQuery("spark"), docs,
                                   "n_chars", []).collect()
+
+
+def test_multi_range(env):
+    """MultiRangeQuery (`sandbox/.../MultiRangeQuery.java:47`): OR of
+    closed ranges, overlaps coalesced, one pushed predicate."""
+    from lucene_solr_spark.search.extras import multi_range_filter
+    searcher, docs = env
+    # [5,10] ∪ [25,35] → docs 0 (10), 5 (5), 1 and 2 (30); doc 3 (20) out
+    got = multi_range_filter(searcher, TermQuery("spark"), docs,
+                             "n_chars", [(5, 10), (25, 35)]).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1, 2, 5]
+    # overlapping clauses merge to one interval — same result either way
+    got2 = multi_range_filter(searcher, TermQuery("spark"), docs,
+                              "n_chars", [(5, 22), (18, 35)]).collect()
+    assert sorted(r["doc_id"] for r in got2) == [0, 1, 2, 3, 5]
+    # open-ended clause
+    got3 = multi_range_filter(searcher, TermQuery("spark"), docs,
+                              "n_chars", [(None, 6), (99, None)]).collect()
+    assert sorted(r["doc_id"] for r in got3) == [5]
