@@ -201,6 +201,59 @@ def from_phrase(terms: list[str], field: str = "text") -> TermAutomaton:
     return a
 
 
+def token_stream_to_automaton(stream, field: str = "text") -> TermAutomaton:
+    """`TokenStreamToTermAutomatonQuery.toQuery` restated: ``stream``
+    is [(term, pos_inc, pos_len)]; node p = automaton state p, each
+    token is a transition pos → pos + pos_len; the literal term '*'
+    becomes an ANY transition; holes (pos_inc > 1) are rejected with
+    the reference's message; the last created state accepts."""
+    a = TermAutomaton(field)
+    pos = -1
+    state = 0                      # state 0 pre-exists (initial node)
+    if not stream:
+        raise ValueError("empty token stream")
+    for term, pos_inc, pos_len in stream:
+        if pos == -1 and pos_inc <= 0:
+            raise ValueError("first token must advance the position")
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term")
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + int(pos_len)
+        while state < end_pos:
+            state = a.create_state()
+        if term == "*":
+            a.add_any_transition(pos, end_pos)
+        else:
+            a.add_transition(pos, end_pos, term)
+    a.set_accept(state, True)
+    return a.finish()
+
+
+def graph_automaton(graph, tokens, field: str = "text") -> TermAutomaton:
+    """SynonymGraph → TermAutomaton (the TermAutomatonQuery javadoc
+    pairing: posLength-aware graph matching that flattened SpanNear
+    alternatives cannot express — a single-token synonym spans ONE
+    position while its multi-token original spans several). Each
+    segment's alternatives become parallel paths between the segment's
+    boundary states; multi-token alternatives chain fresh states."""
+    a = TermAutomaton(field)
+    node = 0
+    for alts in graph.segments(tokens):
+        end = a.create_state()
+        for alt in alts:
+            prev = node
+            for t in alt[:-1]:
+                mid = a.create_state()
+                a.add_transition(prev, mid, t)
+                prev = mid
+            a.add_transition(prev, end, alt[-1])
+        node = end
+    a.set_accept(node, True)
+    return a.finish()
+
+
 def term_automaton_scores(searcher, q: TermAutomaton) -> DataFrame:
     """Exhaustive (doc_id, score) — ScoreMode.COMPLETE analog."""
     if q._det is None:

@@ -190,3 +190,52 @@ def test_duplicate_paths_count_twice():
                       a._term_to_id["z"]])
     pos2 = np.array([0, 0, 1])
     assert a.count_matches(tids2, pos2) == 2
+
+
+def test_token_stream_to_automaton():
+    """TokenStreamToTermAutomatonQuery.toQuery pins: '*' becomes ANY,
+    holes are rejected, the built automaton matches like a hand-built
+    one."""
+    from lucene_solr_spark.search.automaton import token_stream_to_automaton
+    a = token_stream_to_automaton(
+        [("merge", 1, 1), ("*", 1, 1), ("table", 1, 1)])
+    # merge X table (exactly one position between) matches
+    tm, ta = a._term_to_id["merge"], a._term_to_id["table"]
+    assert a.count_matches(np.array([tm, ta]), np.array([0, 2])) == 1
+    assert a.count_matches(np.array([tm, ta]), np.array([0, 1])) == 0
+    assert a.count_matches(np.array([tm, ta]), np.array([0, 3])) == 0
+    with pytest.raises(ValueError, match="cannot handle holes"):
+        token_stream_to_automaton([("a", 1, 1), ("b", 2, 1)])
+    # stacked synonym (posInc 0) + posLength 2: wifi spans wi+fi
+    b = token_stream_to_automaton(
+        [("wi", 1, 1), ("wifi", 0, 2), ("fi", 1, 1), ("network", 1, 1)])
+    ids = b._term_to_id
+    assert b.count_matches(
+        np.array([ids["wi"], ids["fi"], ids["network"]]),
+        np.array([0, 1, 2])) == 1
+    assert b.count_matches(
+        np.array([ids["wifi"], ids["network"]]), np.array([0, 1])) == 1
+
+
+def test_graph_automaton_end_to_end(spark):
+    """posLength-aware synonym matching: query 'wifi network' finds
+    docs tokenized either 'wifi network' or 'wi fi network'."""
+    from lucene_solr_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_solr_spark.index import IndexBuilder
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.search.automaton import (graph_automaton,
+                                                    term_automaton_topk)
+    from lucene_solr_spark.search.syngraph import SynonymGraph, SynonymRule
+    an = StandardAnalyzer()
+    docs = spark.createDataFrame(
+        [(0, "the wifi network is up"),
+         (1, "a wi fi network outage"),
+         (2, "wired network only"),
+         (3, "wifi sticker on the router")],
+        "doc_id long, text string")
+    idx = IndexBuilder(an, grid=8, with_positions=True).build(spark, docs)
+    s = Searcher(spark, idx)
+    g = SynonymGraph([SynonymRule(("wifi",), ("wi", "fi"))])
+    auto = graph_automaton(g, ["wifi", "network"])
+    got = term_automaton_topk(s, auto, k=10).toPandas()
+    assert sorted(got["doc_id"].astype(int)) == [0, 1]
