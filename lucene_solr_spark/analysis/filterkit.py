@@ -63,3 +63,41 @@ def limit_token_count_expr(col: Column | str, max_tokens: int) -> Column:
     c = _c(col)
     return F.when(F.size(c) <= max_tokens, c) \
             .otherwise(F.slice(c, 1, max_tokens))
+
+
+def keyword_repeat_stem_filter(stem):
+    """The KeywordRepeatFilter chain composite — KeywordRepeatFilter
+    (`miscellaneous/KeywordRepeatFilter.java:30`: every token emitted
+    twice, first keyword-protected, second posInc 0) → stemmer (skips
+    the keyword copy) → RemoveDuplicatesTokenFilter (drops the stemmed
+    copy when it equals the original). The surviving stream — original
+    plus distinct stem stacked at the SAME position — is produced
+    directly; exact-form and stemmed queries both match, phrases keep
+    positions. CustomAnalyzer token_filters element."""
+    def run(stream):
+        out = []
+        for t, p in stream:
+            out.append((t, p))
+            s = stem(t)
+            if s != t:
+                out.append((s, p))
+        return out
+    return run
+
+
+def remove_duplicates_filter():
+    """RemoveDuplicatesTokenFilter
+    (`miscellaneous/RemoveDuplicatesTokenFilter.java:33`): drop a token
+    that repeats an earlier token AT THE SAME POSITION; distinct
+    positions keep their repeats."""
+    def run(stream):
+        out, seen, cur = [], set(), None
+        for t, p in stream:
+            if p != cur:
+                cur, seen = p, set()
+            if t in seen:
+                continue
+            seen.add(t)
+            out.append((t, p))
+        return out
+    return run
