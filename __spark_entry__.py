@@ -1124,6 +1124,19 @@ def q_synonym_topk(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+def q_blended_topk(spark, sf_dir):
+    """BlendedTermQuery (`search/BlendedTermQuery.java:63`): per-term
+    BM25 with docFreq blended to the max across the term set, combined
+    DisjunctionMax(tie=0.1) — distinct from q_synonym_topk's one
+    pseudo-term over summed freqs."""
+    from lucene_solr_spark.search import extras
+    s = _searcher(spark, sf_dir)
+    raw = extras.blended_term_score_all(s, ["spark", "merge"], tie=0.1)
+    return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
 def q_search_after(spark, sf_dir):
     from lucene_solr_spark.search import extras
     s = _searcher(spark, sf_dir)
@@ -5283,6 +5296,22 @@ ORDER BY ln(1 + (stats.n - sstats.dfx + 0.5) / (sstats.dfx + 0.5))
   * f / (f + {K1} * (1 - {B} + {B} * dlq / stats.avgdl)) DESC, doc_id
 LIMIT 10"""
 
+    # BlendedTermQuery: per-term BM25 with df lifted to max across the
+    # set, DisjunctionMax(tie=0.1) over the per-term scores
+    sql["q_blended_topk"] = _PRELUDE + f"""
+, bstats AS (
+  SELECT max(df) AS dfx FROM dfreq WHERE term IN ('spark', 'merge')
+), bsc AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - bstats.dfx + 0.5) / (bstats.dfx + 0.5)) * tf.freq
+           / (tf.freq + {K1} * (1 - {B} + {B} * dlq.dlq / stats.avgdl)) AS s
+  FROM tf JOIN dlq USING (doc_id) CROSS JOIN stats CROSS JOIN bstats
+  WHERE tf.term IN ('spark', 'merge')
+)
+SELECT doc_id, ROUND(max(s) + 0.1 * (sum(s) - max(s)), 4) AS score
+FROM bsc GROUP BY doc_id
+ORDER BY max(s) + 0.1 * (sum(s) - max(s)) DESC, doc_id LIMIT 10"""
+
     sql["q_search_after"] = _PRELUDE + """
 SELECT doc_id, ROUND(SUM(s), 4) AS score
 FROM sc WHERE term IN ('spark', 'merge', 'fast')
@@ -7098,6 +7127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perfield_topk": q_perfield_topk,
         "q_curation_manifest": q_curation_manifest,
         "q_field_exists": q_field_exists,
+        "q_blended_topk": q_blended_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

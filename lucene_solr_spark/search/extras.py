@@ -107,6 +107,48 @@ def synonym_score_all(searcher, terms: list[str],
         .alias("score"))
 
 
+def blended_term_score_all(searcher, terms: list[str],
+                           boosts: dict[str, float] | None = None,
+                           tie: float = 0.1, disjunction_max: bool = True,
+                           field: str = DEFAULT_FIELD) -> DataFrame:
+    """BlendedTermQuery (`search/BlendedTermQuery.java:63`): every term
+    is scored as its OWN TermQuery, but over BLENDED statistics — each
+    term's docFreq is lifted to the max across the set
+    (`BlendedTermQuery.java:327-351` adjustFrequencies), so a rare
+    variant ("analytics") is not over-rewarded against a common one
+    ("storage") the way a plain disjunction's per-term idf would.
+    Unlike SynonymQuery (one pseudo-term over SUMMED freqs), each term
+    keeps its own tf saturation and the per-term scores are combined by
+    the rewrite method: DisjunctionMax with ``tie`` (the reference's
+    DisjunctionMaxRewrite default shape) or Boolean SHOULD sum
+    (BooleanQueryRewrite). → (doc_id, score), float64.
+
+    Plan: one term-pushed block scan → decode → per-row BM25 column
+    with the blended df folded in as a literal → one groupBy(doc_id)
+    (map-side combined). No Python past the bounded decode."""
+    st = searcher.term_stats([(field, t) for t in terms])
+    live = [t for t in terms if (field, t) in st]
+    if not live:
+        return searcher.spark.createDataFrame([], "doc_id long, score double")
+    df_blend = max(st[(field, t)][0] for t in live)
+    rows = postings_rows(searcher, live, field=field)
+    boost = F.lit(1.0)
+    for t, b in (boosts or {}).items():
+        boost = F.when(F.col("term") == t, F.lit(float(b))).otherwise(boost)
+    per = rows.select(
+        "doc_id",
+        (_bm25_f64_col(F.col("freq"), F.col("norm"), df_blend, searcher,
+                       field) * boost).alias("s"))
+    if not disjunction_max:
+        return per.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    agg = per.groupBy("doc_id").agg(F.max("s").alias("mx"),
+                                    F.sum("s").alias("sm"))
+    return agg.select(
+        "doc_id",
+        (F.col("mx") + F.lit(float(tie)) * (F.col("sm") - F.col("mx")))
+        .alias("score"))
+
+
 def search_after(searcher, query, after_score: float, after_doc: int,
                  k: int = 10, mode: str = "f64") -> DataFrame:
     """Next page: hits strictly after (after_score, after_doc) in

@@ -54,6 +54,66 @@ def test_synonym_matches_union_of_docs(searcher):
     assert syn.count() == union.count()
 
 
+def test_blended_reduces_to_term_for_singleton(searcher):
+    bl = extras.blended_term_score_all(searcher, ["spark"]).orderBy("doc_id")
+    term = searcher.score_all(TermQuery("spark"), mode="f64").orderBy("doc_id")
+    a = [(r["doc_id"], round(r["score"], 9)) for r in bl.collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in term.collect()]
+    assert a == b
+
+
+def test_blended_uses_blended_df_not_per_term(searcher):
+    # per-term idf would give 'spark'-only docs their native idf; the
+    # blended query lifts BOTH terms to max(df) — so on a doc matching
+    # only the RARER term, blended score < plain TermQuery score
+    st = searcher.term_stats([("text", "spark"), ("text", "merge")])
+    rare = min(("spark", "merge"), key=lambda t: st[("text", t)][0])
+    if st[("text", "spark")][0] == st[("text", "merge")][0]:
+        pytest.skip("corpus gives equal dfs")
+    bl = extras.blended_term_score_all(searcher, ["spark", "merge"], tie=0.0)
+    only_rare = (searcher.match_docs(TermQuery(rare))
+                 .exceptAll(searcher.match_docs(
+                     TermQuery("spark" if rare == "merge" else "merge"))))
+    native = searcher.score_all(TermQuery(rare), mode="f64")
+    j = (bl.join(only_rare, "doc_id")
+         .join(native.withColumnRenamed("score", "nat"), "doc_id"))
+    rows = j.collect()
+    assert rows and all(r["score"] < r["nat"] - 1e-12 for r in rows)
+
+
+def test_blended_dismax_vs_bool_rewrite(searcher):
+    # tie=1.0 dismax == boolean-rewrite sum; tie=0 == pure max <= sum
+    dm1 = extras.blended_term_score_all(searcher, ["spark", "merge"],
+                                        tie=1.0).orderBy("doc_id")
+    bs = extras.blended_term_score_all(searcher, ["spark", "merge"],
+                                       disjunction_max=False).orderBy("doc_id")
+    a = [(r["doc_id"], round(r["score"], 9)) for r in dm1.collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in bs.collect()]
+    assert a == b
+    dm0 = extras.blended_term_score_all(searcher, ["spark", "merge"], tie=0.0)
+    j = dm0.withColumnRenamed("score", "mx").join(bs, "doc_id").collect()
+    assert j and all(r["mx"] <= r["score"] + 1e-12 for r in j)
+
+
+def test_blended_boost_scales_one_term(searcher):
+    plain = extras.blended_term_score_all(
+        searcher, ["spark", "merge"], disjunction_max=False)
+    boosted = extras.blended_term_score_all(
+        searcher, ["spark", "merge"], boosts={"merge": 2.0},
+        disjunction_max=False)
+    # docs with ONLY spark keep their score; docs with only merge double
+    only_spark = (searcher.match_docs(TermQuery("spark"))
+                  .exceptAll(searcher.match_docs(TermQuery("merge"))))
+    only_merge = (searcher.match_docs(TermQuery("merge"))
+                  .exceptAll(searcher.match_docs(TermQuery("spark"))))
+    js = (plain.withColumnRenamed("score", "p")
+          .join(boosted, "doc_id").join(only_spark, "doc_id").collect())
+    jm = (plain.withColumnRenamed("score", "p")
+          .join(boosted, "doc_id").join(only_merge, "doc_id").collect())
+    assert all(abs(r["score"] - r["p"]) < 1e-12 for r in js)
+    assert all(abs(r["score"] - 2.0 * r["p"]) < 1e-9 for r in jm)
+
+
 def test_search_after_is_next_page(searcher):
     q = parse_query("spark OR merge OR fast", ENGLISH_ANALYZER)
     full = (searcher.score_all(q, mode="f64")
