@@ -117,6 +117,11 @@ def _payload_values(terms, positions, payload):
     Filter / model-score pipeline would attach). Built-in vectorized
     sources: "position" (1-based token position) and "term_len";
     a callable (term, position) -> int is the general path."""
+    if payload == "delimited":
+        raise ValueError(
+            "payload='delimited' values come from the analyzer's "
+            "term_positions_payloads (DelimitedPayloadAnalyzer), not "
+            "a post-analysis source — the batch path must not be hit")
     if payload == "position":
         return positions + 1
     if payload == "term_len":
@@ -149,6 +154,20 @@ def invert_field_arrays(doc_ids: np.ndarray, texts: pd.Series,
     through the per-doc reference path (`analyzer.term_positions`).
     """
     arr = texts.fillna("").to_numpy()
+    if payload == "delimited":
+        # DelimitedPayloadTokenFilter ingestion: per-occurrence values
+        # live in the analyzed token text itself, so every row takes
+        # the per-doc path with the analyzer's payload stream
+        if not hasattr(analyzer, "term_positions_payloads"):
+            raise ValueError(
+                "payload='delimited' requires an analyzer exposing "
+                "term_positions_payloads (analysis/delimited.py)")
+        if with_off:
+            raise ValueError(
+                "delimited payloads rewrite token text — character "
+                "offsets into the original are not derivable")
+        return _invert_exact(doc_ids, arr, analyzer, with_pos,
+                             with_off, payload)
     if not getattr(analyzer, "batch_vectorizable", True):
         # CustomAnalyzer chains are arbitrary Python — the numpy batch
         # path restates only the StandardAnalyzer family, so every row
@@ -330,10 +349,14 @@ def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
     (mixed CJK scripts / exceptional lowercase)."""
     rows_doc, rows_term, rows_freq, rows_norm = [], [], [], []
     rows_pos, rows_off, rows_pay = [], [], []
+    delimited = payload == "delimited"
     for did, text in zip(np.asarray(doc_ids), arr):
+        doc_pay = None
         if with_off:
             occ = analyzer.term_occurrences(text or "")
             tp = {t: [p for p, _, _ in v] for t, v in occ.items()}
+        elif delimited:
+            tp, doc_pay = analyzer.term_positions_payloads(text or "")
         else:
             tp = analyzer.term_positions(text or "")
         if not tp:
@@ -357,10 +380,14 @@ def _invert_exact(doc_ids, arr, analyzer: StandardAnalyzer, with_pos: bool,
                     prev = st
                 rows_off.append(_vbyte_values(inter))
             if payload is not None:
-                vals = _payload_values(
-                    np.asarray([term] * len(ps), dtype=object),
-                    np.asarray(ps, dtype=np.int64), payload)
-                rows_pay.append(_vbyte_values([int(v) for v in vals]))
+                if delimited:
+                    rows_pay.append(_vbyte_values(
+                        [int(v) for v in doc_pay[term]]))
+                else:
+                    vals = _payload_values(
+                        np.asarray([term] * len(ps), dtype=object),
+                        np.asarray(ps, dtype=np.int64), payload)
+                    rows_pay.append(_vbyte_values([int(v) for v in vals]))
     if not rows_doc:
         return None
     out = {

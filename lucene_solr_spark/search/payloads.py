@@ -29,12 +29,17 @@ FUNCS = ("sum", "max", "min", "avg")
 
 
 def payload_scores(searcher, term: str, field: str = DEFAULT_FIELD,
-                   func: str = "sum") -> DataFrame:
+                   func: str = "sum", decoder: str = "identity") -> DataFrame:
     """(doc_id, payload_score) for every doc containing ``term`` —
     payload_score = func over the term's per-occurrence payloads
-    (PayloadFunction.docScore)."""
+    (PayloadFunction.docScore). ``decoder``: "identity" (channel ints
+    used as-is) or "float_bits" (PayloadHelper.decodeFloat — the value
+    is the IEEE-754 bit pattern a DelimitedPayloadAnalyzer float
+    encoder stored)."""
     if func not in FUNCS:
         raise ValueError(f"unknown payload function {func!r}")
+    if decoder not in ("identity", "float_bits"):
+        raise ValueError(f"unknown payload decoder {decoder!r}")
     if not getattr(searcher.index, "with_payloads", False):
         raise ValueError(
             "payload_scores requires IndexBuilder(payload=...)")
@@ -50,8 +55,13 @@ def payload_scores(searcher, term: str, field: str = DEFAULT_FIELD,
             for i in range(len(pdf)):
                 row = {c: pdf[c].iloc[i] for c in pdf.columns}
                 docs, freqs, _ = decode_postings_block(row)
-                pays = decode_payloads_flat(row["pay_blob"], freqs).astype(
-                    np.float64)
+                raw = decode_payloads_flat(row["pay_blob"], freqs)
+                if decoder == "float_bits":
+                    pays = (np.asarray(raw, dtype=np.uint64)
+                            .astype(np.uint32).view(np.float32)
+                            .astype(np.float64))
+                else:
+                    pays = np.asarray(raw).astype(np.float64)
                 starts = np.zeros(len(freqs), dtype=np.int64)
                 np.cumsum(np.asarray(freqs, dtype=np.int64)[:-1],
                           out=starts[1:])
@@ -77,11 +87,13 @@ def payload_scores(searcher, term: str, field: str = DEFAULT_FIELD,
 
 def payload_score_topk(searcher, term: str, k: int = 10,
                        field: str = DEFAULT_FIELD, func: str = "sum",
-                       include_span_score: bool = False) -> DataFrame:
+                       include_span_score: bool = False,
+                       decoder: str = "identity") -> DataFrame:
     """Top-k by payload score (PayloadScoreQuery.java:46: final score =
     payload score, × span score when includeSpanScore). Ties: doc_id
     asc. → (doc_id, score) as a DataFrame (TakeOrderedAndProject)."""
-    ps = payload_scores(searcher, term, field=field, func=func)
+    ps = payload_scores(searcher, term, field=field, func=func,
+                        decoder=decoder)
     if include_span_score:
         bm = searcher.score_all(TermQuery(term, field), mode="f64")
         ps = (ps.join(bm, "doc_id")

@@ -165,3 +165,77 @@ def test_span_payload_check_vs_python_oracle(spark, docs, psearcher):
         if n:
             exp[int(r["doc_id"])] = n
     assert got == exp and exp
+
+
+# ---------------------------------------------------------------------------
+# DelimitedPayloadTokenFilter ingestion (analysis/delimited.py)
+# ---------------------------------------------------------------------------
+
+def test_delimited_payload_int_roundtrip(spark):
+    from lucene_solr_spark.analysis.delimited import DelimitedPayloadAnalyzer
+    rows = [(0, "apple|5 banana|2 apple|3 plain"),
+            (1, "banana|7 Apple|1"),
+            (2, "cherry|0 apple")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    an = DelimitedPayloadAnalyzer()
+    idx = (IndexBuilder(an, grid=16, payload="delimited")
+           .build(spark, df).cache())
+    s = Searcher(spark, idx)
+    got = {r["doc_id"]: r["payload_score"] for r in
+           payload_scores(s, "apple", func="sum").collect()}
+    # doc 0: 5+3; doc 1: lowercased Apple|1; doc 2: undelimited -> 0
+    assert got == {0: 8.0, 1: 1.0, 2: 0.0}
+    got = {r["doc_id"]: r["payload_score"] for r in
+           payload_scores(s, "apple", func="max").collect()}
+    assert got == {0: 5.0, 1: 1.0, 2: 0.0}
+    got = {r["doc_id"]: r["payload_score"] for r in
+           payload_scores(s, "banana", func="avg").collect()}
+    assert got == {0: 2.0, 1: 7.0}
+    idx.release()
+
+
+def test_delimited_payload_float_bits(spark):
+    from lucene_solr_spark.analysis.delimited import (
+        DelimitedPayloadAnalyzer, decode_float_bits, encode_float_bits)
+    # scalar round trip first (PayloadHelper.encodeFloat contract)
+    for v in (0.0, 1.5, 3.75, 1e-3, 12345.5):
+        assert decode_float_bits(encode_float_bits(str(v))) == np.float32(v)
+    rows = [(0, "model|0.5 model|1.25 other|2.0"), (1, "model|3.5")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    an = DelimitedPayloadAnalyzer(encoder="float_bits")
+    idx = (IndexBuilder(an, grid=16, payload="delimited")
+           .build(spark, df).cache())
+    s = Searcher(spark, idx)
+    got = {r["doc_id"]: r["payload_score"] for r in
+           payload_scores(s, "model", func="sum",
+                          decoder="float_bits").collect()}
+    assert got == {0: 1.75, 1: 3.5}
+    top = payload_score_topk(s, "model", k=2, func="max",
+                             decoder="float_bits").collect()
+    assert [(r["doc_id"], r["score"]) for r in top] == [(1, 3.5), (0, 1.25)]
+    idx.release()
+
+
+def test_delimited_payload_guards(spark):
+    from lucene_solr_spark.analysis.delimited import DelimitedPayloadAnalyzer
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        DelimitedPayloadAnalyzer(delimiter="||")
+    with _pt.raises(ValueError):
+        DelimitedPayloadAnalyzer(encoder="hex")
+    an = DelimitedPayloadAnalyzer()
+    with _pt.raises(ValueError):
+        an.term_positions_payloads("bad|-3")
+    # delimited payloads demand the analyzer payload stream
+    df = spark.createDataFrame([(0, "a|1")], "doc_id long, text string")
+    with _pt.raises(Exception):
+        (IndexBuilder(ENGLISH_ANALYZER, grid=16, payload="delimited")
+         .build(spark, df).postings.count())
+
+
+def test_delimited_stop_words_leave_position_gaps(spark):
+    from lucene_solr_spark.analysis.delimited import DelimitedPayloadAnalyzer
+    an = DelimitedPayloadAnalyzer(stop_words=frozenset({"the"}))
+    tp, pay = an.term_positions_payloads("the|9 apple|5 the banana|2")
+    assert tp == {"apple": [1], "banana": [3]}
+    assert pay == {"apple": [5], "banana": [2]}
