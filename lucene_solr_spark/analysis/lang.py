@@ -1,0 +1,162 @@
+"""French / German web-text analysis: elision + light stemming.
+
+Reference semantics (restated from the published algorithms, not the
+Java source):
+
+* ElisionFilter (`analysis/util/ElisionFilter.java:38`): strip a
+  leading article before the FIRST apostrophe (``'`` or U+2019) when
+  the prefix is in the article set — "l'avion" → "avion". The French
+  default article set is `fr/FrenchAnalyzer.java:61` (l, m, t, qu, n,
+  s, j, d, c, jusqu, quoiqu, lorsqu, puisqu; matched lowercase).
+* FrenchMinimalStemmer (`fr/FrenchMinimalStemmer.java:24`) — the
+  minimal French stemmer of Savoy, "A stemming procedure and stopword
+  list for general French corpora" (JASIS 1999): plural/feminine
+  endings -x/-s/-r/-e/-é plus double-consonant collapse, words ≥ 6
+  chars only.
+* GermanLightStemmer (`de/GermanLightStemmer.java:35`) — the UniNE
+  light German stemmer of Savoy/Jacques, CLEF 2003-2005: fold umlauts
+  and accents to base vowels, then two suffix-strip steps
+  (-ern/-em/-en/-er/-es/-e/-s after a valid st-ending, then
+  -est/-er/-en/-st).
+
+Spark shape: all three are 1:1 token rewrites — CustomAnalyzer
+``map_filter`` components for indexing, plus codegen expr twins
+(`elision_expr`) where the rewrite is regular. The stemmers are tiny
+pure functions (same class as `analysis/en.py` Porter) usable from
+any chain; `french_light_analyzer()` / `german_light_analyzer()`
+assemble the FrenchAnalyzer/GermanAnalyzer-shaped chains
+(`fr/FrenchAnalyzer.java:136-152`, `de/GermanAnalyzer.java:126-137`)
+with caller-supplied stop/exclusion sets (the reference's
+french_stop.txt / german_stop.txt snowball lists ship with a
+deployment, not the engine).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, functions as F
+
+FRENCH_ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+
+_APOSTROPHES = ("'", "’")
+
+
+def elide(token: str,
+          articles: frozenset[str] = FRENCH_ELISION_ARTICLES) -> str:
+    """Strip ``<article>'`` off the token front (first apostrophe only,
+    article matched lowercase — CharArraySet ignoreCase discipline)."""
+    idx = -1
+    for i, ch in enumerate(token):
+        if ch in _APOSTROPHES:
+            idx = i
+            break
+    if idx >= 0 and token[:idx].lower() in articles:
+        return token[idx + 1:]
+    return token
+
+
+def elision_expr(col: Column | str,
+                 articles: Iterable[str] = FRENCH_ELISION_ARTICLES) -> Column:
+    """Codegen twin over a token-array column: one regexp_replace per
+    token, fused into the carrying projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    alts = "|".join(sorted(articles, key=len, reverse=True))
+    pat = f"(?i)^({alts})['’]"
+    return F.transform(c, lambda t: F.regexp_replace(t, pat, ""))
+
+
+def french_minimal_stem(token: str) -> str:
+    """FrenchMinimalStemmer (Savoy 1999): ≥6-char words only."""
+    s = token
+    n = len(s)
+    if n < 6:
+        return s
+    if s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u":
+            return s[:n - 2] + "l"
+        return s[:n - 1]
+    if s[n - 1] == "s":
+        n -= 1
+    if s[n - 1] == "r":
+        n -= 1
+    if s[n - 1] == "e":
+        n -= 1
+    if s[n - 1] == "é":            # é
+        n -= 1
+    if n >= 2 and s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+        n -= 1
+    return s[:n]
+
+
+_DE_FOLD = str.maketrans({
+    "ä": "a", "à": "a", "á": "a", "â": "a",
+    "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+    "ï": "i", "ì": "i", "í": "i", "î": "i",
+    "ü": "u", "ù": "u", "ú": "u", "û": "u",
+})
+
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def german_light_stem(token: str) -> str:
+    """UniNE light German stemmer (Savoy, CLEF 2003): vowel fold, then
+    two suffix passes."""
+    s = token.translate(_DE_FOLD)
+    n = len(s)
+    # step 1
+    if n > 5 and s.endswith("ern"):
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST_ENDING:
+        n -= 1
+    s = s[:n]
+    # step 2
+    if n > 5 and s.endswith("est"):
+        n -= 3
+    elif n > 4 and (s.endswith("er") or s.endswith("en")):
+        n -= 2
+    elif n > 4 and s.endswith("st") and s[n - 3] in _DE_ST_ENDING:
+        n -= 2
+    return s[:n]
+
+
+def french_light_analyzer(stop_words: Iterable[str] = (),
+                          stem_exclusions: Iterable[str] = ()):
+    """FrenchAnalyzer-shaped chain (`fr/FrenchAnalyzer.java:136`):
+    Elision → LowerCase → Stop → (exclusions) → minimal stem. The
+    reference default uses FrenchLightStemFilter; the minimal stemmer
+    is its conservative sibling from the same paper — declared
+    envelope."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    stops = frozenset(w.lower() for w in stop_words)
+    excl = frozenset(w.lower() for w in stem_exclusions)
+
+    def stem(t):
+        return t if t in excl else french_minimal_stem(t)
+    return CustomAnalyzer(token_filters=(
+        map_filter(elide),
+        map_filter(str.lower),
+        stop_filter(stops),
+        map_filter(stem)))
+
+
+def german_light_analyzer(stop_words: Iterable[str] = (),
+                          stem_exclusions: Iterable[str] = ()):
+    """GermanAnalyzer-shaped chain (`de/GermanAnalyzer.java:126`):
+    LowerCase → Stop → (exclusions) → light stem."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    stops = frozenset(w.lower() for w in stop_words)
+    excl = frozenset(w.lower() for w in stem_exclusions)
+
+    def stem(t):
+        return t if t in excl else german_light_stem(t)
+    return CustomAnalyzer(token_filters=(
+        map_filter(str.lower),
+        stop_filter(stops),
+        map_filter(stem)))

@@ -1,0 +1,112 @@
+"""Elision + French minimal / German light stemmers
+(`util/ElisionFilter.java:38`, `fr/FrenchMinimalStemmer.java:24`,
+`de/GermanLightStemmer.java:35` — Savoy's published algorithms)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.analysis.lang import (FRENCH_ELISION_ARTICLES, elide,
+                                             elision_expr,
+                                             french_light_analyzer,
+                                             french_minimal_stem,
+                                             german_light_analyzer,
+                                             german_light_stem)
+
+ELISION_PINS = [
+    ("l'avion", "avion"),
+    ("d'accord", "accord"),
+    ("jusqu'ici", "ici"),
+    ("qu'il", "il"),
+    ("L'avion", "avion"),          # article matched ignore-case
+    ("l’avion", "avion"),     # U+2019 right single quote
+    ("aujourd'hui", "aujourd'hui"),  # 'aujourd' is not an article
+    ("avion", "avion"),            # no apostrophe
+    ("rock'n'roll", "rock'n'roll"),  # 'rock' not an article; first ' only
+]
+
+
+def test_elision_pins():
+    for raw, want in ELISION_PINS:
+        assert elide(raw) == want, raw
+
+
+FR_STEM_PINS = [
+    ("chevaux", "cheval"),
+    ("hiboux", "hibou"),
+    ("chantés", "chant"),
+    ("chanter", "chant"),
+    ("chante", "chant"),
+    ("baronnes", "baron"),
+    ("barons", "baron"),
+    ("baron", "baron"),
+    ("chat", "chat"),              # < 6 chars untouched
+    ("peaux", "peaux"),            # 5 chars — under the ≥6 gate
+    ("travaux", "traval"),         # aux → al substitution path
+]
+
+
+def test_french_minimal_stem_pins():
+    for raw, want in FR_STEM_PINS:
+        assert french_minimal_stem(raw) == want, raw
+
+
+DE_STEM_PINS = [
+    ("häuser", "haus"),
+    ("hunde", "hund"),
+    ("hunden", "hund"),
+    ("kälber", "kalb"),
+    ("bücher", "buch"),
+    ("aufeinander", "aufeinand"),
+    ("abhängen", "abhang"),
+    ("tisch", "tisch"),
+]
+
+
+def test_german_light_stem_pins():
+    for raw, want in DE_STEM_PINS:
+        assert german_light_stem(raw) == want, raw
+
+
+def test_elision_expr_matches_python(spark):
+    toks = [r for r, _ in ELISION_PINS] + ["m'a", "s'est", "n'y",
+                                           "c'était", "t'aime", "o'brien"]
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(elision_expr("toks").alias("o")).collect()[0]["o"]
+    assert got == [elide(t) for t in toks]
+
+
+def test_french_analyzer_chain(spark):
+    an = french_light_analyzer(stop_words=["et", "le", "la"])
+    tp = an.term_positions("L'avion et les chevaux")
+    # avion(0) [et dropped with gap] les→le? 'les' not in stops; stems
+    assert "avion" in tp and tp["avion"] == [0]
+    assert "cheval" in tp and tp["cheval"] == [3]
+    assert "et" not in tp
+
+
+def test_german_analyzer_end_to_end(spark):
+    from lucene_solr_spark.index.builder import IndexBuilder
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.search.ast import TermQuery
+    rows = [(0, "die Häuser der Stadt"), (1, "ein Haus am See"),
+            (2, "Hunde und Katzen")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    an = german_light_analyzer(stop_words=["die", "der", "ein", "am",
+                                           "und"])
+    idx = IndexBuilder(an, grid=16).build(spark, df).cache()
+    s = Searcher(spark, idx)
+    # 'Häuser' and 'Haus' meet at stem 'haus'
+    hits = sorted(r["doc_id"] for r in
+                  s.match_docs(TermQuery("haus")).collect())
+    assert hits == [0, 1]
+    assert [r["doc_id"] for r in
+            s.match_docs(TermQuery("hund")).collect()] == [2]
+    idx.release()
+
+
+def test_stem_exclusions_respected():
+    an = german_light_analyzer(stem_exclusions=["hunde"])
+    tp = an.term_positions("Hunde Katzen")
+    assert "hunde" in tp and "katz" in tp
