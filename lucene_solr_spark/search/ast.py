@@ -55,7 +55,25 @@ class PhraseQuery:
     # "mindisp" = the vectorized first-term-anchored min-displacement
     # spec (oracle-gated default); "lucene" = the per-doc faithful
     # SloppyPhraseMatcher port (search/sloppy_lucene.py)
-    matcher: str = "mindisp" 
+    matcher: str = "mindisp"
+    # explicit term positions (PhraseQuery.Builder.add(term, position)):
+    # None = dense 0,1,2,…; a strictly-increasing tuple allows gaps —
+    # the NGramPhraseQuery rewrite shape. Exact matching only.
+    positions: tuple | None = None
+
+    def __post_init__(self):
+        if self.positions is not None:
+            p = tuple(self.positions)
+            if len(p) != len(self.terms):
+                raise ValueError("positions must align with terms")
+            if any(b <= a for a, b in zip(p, p[1:])):
+                raise ValueError("positions must be strictly increasing")
+            if self.slop != 0:
+                raise ValueError(
+                    "explicit positions support exact (slop=0) matching")
+            if self.matcher != "mindisp":
+                raise ValueError(
+                    "explicit positions run on the vectorized matcher")
 
     def __str__(self):
         s = f'{self.field}:"' + " ".join(self.terms) + '"'

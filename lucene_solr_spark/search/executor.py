@@ -1106,7 +1106,9 @@ def _flat_plan(query):
             return {"kind": "phrase",
                     "keys": [(q.field, t) for t in q.terms],
                     "slop": int(q.slop), "boost": boost,
-                    "matcher": q.matcher}
+                    "matcher": q.matcher,
+                    "positions": (list(q.positions)
+                                  if q.positions is not None else None)}
         if isinstance(q, MultiPhraseQuery):
             return {"kind": "multiphrase",
                     "slots": [[(q.field, t) for t in slot]
@@ -1215,7 +1217,9 @@ def build_tree(query, boost: float = 1.0):
         return {"kind": "phrase",
                 "keys": [(query.field, t) for t in query.terms],
                 "slop": int(query.slop), "boost": boost,
-                "matcher": query.matcher}
+                "matcher": query.matcher,
+                "positions": (list(query.positions)
+                              if query.positions is not None else None)}
     if isinstance(query, MultiPhraseQuery):
         return {"kind": "multiphrase",
                 "slots": [[(query.field, t) for t in slot]
@@ -2459,6 +2463,9 @@ def _phrase_chain_score(slot0, rest, c, data, spec, dtype, field):
     (doc, pos) streams; slot0 = (docs, norms, flat_docs, flat_pos),
     rest = [(flat_docs, flat_pos), …] for slots 1..n−1."""
     slop = c.get("slop", 0)
+    # explicit positions (NGramPhraseQuery rewrite / gapped builder):
+    # slot i sits at displacement positions[i] - positions[0], not i
+    disps = c.get("positions")
     d0, n0, fd0, fp0 = slot0
     if len(fd0) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
@@ -2469,7 +2476,7 @@ def _phrase_chain_score(slot0, rest, c, data, spec, dtype, field):
         if len(fdi) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
         arr = (fdi << _POS_SHIFT) + fpi + _POS_PAD
-        target = base + i
+        target = base + ((disps[i] - disps[0]) if disps else i)
         j = np.searchsorted(arr, target)
         jr = np.minimum(j, len(arr) - 1)
         right_ok = (j < len(arr)) & ((arr[jr] >> _POS_SHIFT)

@@ -107,6 +107,28 @@ def synonym_score_all(searcher, terms: list[str],
         .alias("score"))
 
 
+def ngram_phrase_rewrite(q, n: int):
+    """NGramPhraseQuery.rewrite (`search/NGramPhraseQuery.java:48`):
+    over an n-gram-analyzed field, a dense exact phrase of grams is
+    over-determined — gram i and gram i+n overlapping the same text
+    imply every gram between them — so keep only every n-th gram plus
+    the last, at their ORIGINAL positions (PhraseQuery.Builder.add with
+    gaps). Matches are identical; the postings scanned drop to
+    ~len/n + 1 streams. Not optimizable (returned unchanged, like the
+    reference) when slop != 0, n < 2, fewer than 3 terms, or the
+    phrase already carries explicit positions."""
+    from .ast import PhraseQuery
+    if not isinstance(q, PhraseQuery):
+        raise TypeError("ngram_phrase_rewrite takes a PhraseQuery")
+    if (q.slop != 0 or n < 2 or len(q.terms) < 3
+            or q.positions is not None or q.matcher != "mindisp"):
+        return q
+    keep = [i for i in range(len(q.terms))
+            if i % n == 0 or i == len(q.terms) - 1]
+    return PhraseQuery(tuple(q.terms[i] for i in keep), field=q.field,
+                       positions=tuple(keep))
+
+
 def blended_term_score_all(searcher, terms: list[str],
                            boosts: dict[str, float] | None = None,
                            tie: float = 0.1, disjunction_max: bool = True,
