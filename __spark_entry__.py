@@ -1137,6 +1137,20 @@ def q_blended_topk(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+def q_localparams_topk(spark, sf_dir):
+    """Solr local-params syntax end-to-end (`solr/.../QueryParsing.java`
+    parseLocalParams + QParser dispatch): {!dismax qf='text'} over the
+    analyzed body — single-field qf degenerates to the SHOULD-sum of
+    the per-token scores."""
+    from lucene_solr_spark.search.localparams import solr_query
+    s = _searcher(spark, sf_dir)
+    raw = solr_query(s, "{!dismax qf='text'}spark merge",
+                     analyzer=ENGLISH_ANALYZER)
+    return (raw.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select(F.col("doc_id").cast("long"),
+                    F.round("score", 4).alias("score")))
+
+
 def q_search_after(spark, sf_dir):
     from lucene_solr_spark.search import extras
     s = _searcher(spark, sf_dir)
@@ -5312,6 +5326,11 @@ SELECT doc_id, ROUND(max(s) + 0.1 * (sum(s) - max(s)), 4) AS score
 FROM bsc GROUP BY doc_id
 ORDER BY max(s) + 0.1 * (sum(s) - max(s)) DESC, doc_id LIMIT 10"""
 
+    sql["q_localparams_topk"] = _PRELUDE + """
+SELECT doc_id, ROUND(SUM(s), 4) AS score
+FROM sc WHERE term IN ('spark', 'merge')
+GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
+
     sql["q_search_after"] = _PRELUDE + """
 SELECT doc_id, ROUND(SUM(s), 4) AS score
 FROM sc WHERE term IN ('spark', 'merge', 'fast')
@@ -7128,6 +7147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_manifest": q_curation_manifest,
         "q_field_exists": q_field_exists,
         "q_blended_topk": q_blended_topk,
+        "q_localparams_topk": q_localparams_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
