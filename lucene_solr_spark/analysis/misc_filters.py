@@ -208,3 +208,24 @@ def pattern_capture_group_filter(patterns: Sequence[str],
     regs = [re.compile(p) for p in patterns]
     return expand_filter(
         lambda t: pattern_capture_tokens(t, regs, preserve_original))
+
+
+# ---------------------------------------------------------------------------
+# ICUNormalizer2Filter (nfkc_cf approximation)
+# ---------------------------------------------------------------------------
+
+def nfkc_casefold(token: str) -> str:
+    """ICUNormalizer2Filter (`analysis/icu/.../ICUNormalizer2Filter.
+    java:55`, default Normalizer2 "nfkc_cf" COMPOSE): NFKC
+    normalization + Unicode case folding. Python's unicodedata NFKC +
+    str.casefold approximates ICU's fused nfkc_cf transform — the two
+    differ on a handful of edge codepoints where ICU interleaves the
+    passes (declared envelope; this repo ships no ICU dependency).
+    Idempotent on its own output for the web-text alphabet, pinned in
+    tests."""
+    return unicodedata.normalize("NFKC", token).casefold()
+
+
+def icu_normalizer_filter():
+    from .custom import map_filter
+    return map_filter(nfkc_casefold)

@@ -128,3 +128,24 @@ def test_pattern_capture_in_custom_analyzer(spark):
     assert toks == ["contact", "devteam@apache.org", "devteam",
                     "apache.org", "today"]
     assert pos == [0, 1, 1, 1, 2]
+
+
+def test_nfkc_casefold_pins():
+    from lucene_solr_spark.analysis.misc_filters import nfkc_casefold
+    assert nfkc_casefold("ＡＢＣ") == "abc"          # fullwidth + fold
+    assert nfkc_casefold("ﬁle") == "file"           # ﬁ ligature
+    assert nfkc_casefold("Ⅻ") == "xii"             # Roman numeral compat
+    assert nfkc_casefold("STRASSE") == "strasse"    # casefold, not lower
+    assert nfkc_casefold("ß") == "ss"
+    assert nfkc_casefold("²") == "2"
+    # idempotent on its own output over a web-text sample
+    s = "Ｈello ﬁle Ⅻ ß ΣΊΣΥΦΟΣ ½"
+    once = nfkc_casefold(s)
+    assert nfkc_casefold(once) == once
+
+
+def test_icu_normalizer_in_chain():
+    from lucene_solr_spark.analysis.custom import CustomAnalyzer
+    from lucene_solr_spark.analysis.misc_filters import icu_normalizer_filter
+    an = CustomAnalyzer(token_filters=(icu_normalizer_filter(),))
+    assert an.tokens("Ｓｐａｒｋ ﬁle") == ["spark", "file"]
