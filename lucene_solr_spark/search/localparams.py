@@ -184,4 +184,31 @@ def solr_query(searcher, q: str, analyzer=None, docs: DataFrame | None = None,
             raise LocalParamsError("{!func} needs the docvalues table")
         return fn.function_score(searcher, MatchAllQuery(), docs, body,
                                  combine="replace")
+    if qtype == "collapse":
+        # CollapsingQParserPlugin.java:121 default (min/max=score): the
+        # single best hit per distinct field value, applied to the
+        # match-all result set (Solr applies collapse as an fq over the
+        # main query; compose via collapse() directly for other mains)
+        from .grouping import collapse as _collapse
+        if docs is None:
+            raise LocalParamsError("{!collapse} needs the docvalues table")
+        if "field" not in local:
+            raise LocalParamsError("{!collapse} needs field=<field>")
+        inner = (parse_query(body, analyzer, default_field=field)
+                 if body.strip() else MatchAllQuery())
+        hits = searcher.score_all(inner, mode="f64")
+        return _collapse(hits, docs, local["field"]) \
+            .select("doc_id", "score")
+    if qtype == "join":
+        # JoinQParserPlugin.java:60 — {!join from=f to=t}query over one
+        # collection: docs carries both sides' join columns
+        from .join import join_query
+        if docs is None:
+            raise LocalParamsError("{!join} needs the docvalues table")
+        if "from" not in local or "to" not in local:
+            raise LocalParamsError("{!join} needs from= and to=")
+        inner = parse_query(body, analyzer, default_field=field)
+        return join_query(searcher, inner, docs, local["from"], docs,
+                          local["to"],
+                          score_mode=local.get("score", "none"))
     raise LocalParamsError(f"unknown query parser type {qtype!r}")

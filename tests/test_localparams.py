@@ -117,3 +117,25 @@ def test_dispatch_surround_and_unknown(lp_env):
         solr_query(s, "{!mystery}x")
     with pytest.raises(LocalParamsError):
         solr_query(s, "{!frange l=0}n_chars")   # docs table required
+
+
+def test_dispatch_collapse_and_join(lp_env):
+    s, docs = lp_env
+    docs2 = docs.withColumn("bucket3", F.col("doc_id") % 3)
+    got = solr_query(s, "{!collapse field=bucket3}spark", docs=docs2)
+    from lucene_solr_spark.search.grouping import collapse
+    want = collapse(s.score_all(
+        parse_query("spark", ENGLISH_ANALYZER), mode="f64"),
+        docs2, "bucket3")
+    assert _ids(got) == _ids(want) and got.count() <= 3
+    # self-join: docs sharing bucket3 with a 'spark' hit
+    got = solr_query(s, "{!join from=bucket3 to=bucket3}spark", docs=docs2)
+    from lucene_solr_spark.search.join import join_query
+    want = join_query(s, parse_query("spark", ENGLISH_ANALYZER),
+                      docs2, "bucket3", docs2, "bucket3",
+                      score_mode="none")
+    assert _ids(got) == _ids(want)
+    with pytest.raises(LocalParamsError):
+        solr_query(s, "{!collapse}x", docs=docs2)
+    with pytest.raises(LocalParamsError):
+        solr_query(s, "{!join from=a}x", docs=docs2)
