@@ -211,4 +211,20 @@ def solr_query(searcher, q: str, analyzer=None, docs: DataFrame | None = None,
         return join_query(searcher, inner, docs, local["from"], docs,
                           local["to"],
                           score_mode=local.get("score", "none"))
+    if qtype == "mlt":
+        # MLTQParser (solr/.../MoreLikeThisQParserPlugin): body is the
+        # seed document id; qf names the field
+        from .mlt import more_like_this
+        if docs is None:
+            raise LocalParamsError("{!mlt} needs the document store")
+        fld = local.get("qf", field)
+        sel = {}
+        if "mintf" in local:
+            sel["min_term_freq"] = int(local["mintf"])
+        if "mindf" in local:
+            sel["min_doc_freq"] = int(local["mindf"])
+        if "maxqt" in local:
+            sel["max_query_terms"] = int(local["maxqt"])
+        return more_like_this(searcher, docs, int(body), fld,
+                              k=int(local.get("rows", 10)), **sel)
     raise LocalParamsError(f"unknown query parser type {qtype!r}")

@@ -139,3 +139,14 @@ def test_dispatch_collapse_and_join(lp_env):
         solr_query(s, "{!collapse}x", docs=docs2)
     with pytest.raises(LocalParamsError):
         solr_query(s, "{!join from=a}x", docs=docs2)
+
+
+def test_dispatch_mlt(lp_env):
+    s, docs = lp_env
+    seed = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    got = solr_query(s, f"{{!mlt qf=text mintf=1 mindf=1}}{seed}",
+                     docs=docs)
+    from lucene_solr_spark.search.mlt import more_like_this
+    want = more_like_this(s, docs, int(seed), "text", k=10,
+                          min_term_freq=1, min_doc_freq=1)
+    assert _ids(got) == _ids(want) and seed not in _ids(got)
