@@ -55,3 +55,41 @@ def split_index(spark: SparkSession, idx: InvertedIndex,
     first.unpersist()
     second.unpersist()
     return idx1, idx2
+
+
+def split_shard(spark: SparkSession, idx: InvertedIndex, docs: DataFrame,
+                hash_range: tuple[int, int] | None = None,
+                id_col: str = "doc_id", composite: bool = False
+                ) -> tuple[InvertedIndex, InvertedIndex]:
+    """SolrCloud SPLITSHARD (`solr/.../SplitShardCmd.java` over
+    `DocRouter.partitionRange`): split this shard's murmur3 hash range
+    [lo, hi] at its midpoint and split the index accordingly — the
+    first index serves [lo, mid], the second [mid+1, hi]. ``docs`` is
+    the row store carrying the route keys; hashing runs in the same
+    vectorized mapInPandas projection `route_docs` uses (one pass, no
+    shuffle — the doc-set split then reuses :func:`split_index`).
+    ``hash_range`` defaults to the full signed-32 space (a 1-shard
+    collection splitting into 2)."""
+    from .routing import composite_hash, murmur3_batch
+    import numpy as np
+    lo, hi = hash_range if hash_range else (-(1 << 31), (1 << 31) - 1)
+    if lo >= hi:
+        raise ValueError("hash_range must satisfy lo < hi")
+    mid = (lo + hi) >> 1                      # DocRouter midpoint
+
+    def in_first(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].astype(str)
+            if composite:
+                hs = np.fromiter((composite_hash(s) for s in ids),
+                                 dtype=np.int32, count=len(ids))
+            else:
+                hs = murmur3_batch(list(ids))
+            keep = (hs >= lo) & (hs <= mid)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"][keep]})
+
+    first = docs.select("doc_id", id_col).mapInPandas(
+        in_first, "doc_id long") if id_col != "doc_id" else \
+        docs.select("doc_id").mapInPandas(in_first, "doc_id long")
+    return split_index(spark, idx, first)

@@ -76,3 +76,22 @@ def test_split_term_stats_rebuilt(spark, idx):
                               & (F.col("term") == "spark"))
           .select("df").collect())
     assert not t2
+
+
+def test_split_shard_by_hash_midpoint(spark, idx, docs):
+    from lucene_solr_spark.index.routing import murmur3_32
+    from lucene_solr_spark.index.split import split_shard
+    first, second = split_shard(spark, idx, docs)
+    mid = ((-(1 << 31)) + ((1 << 31) - 1)) >> 1
+    want_first = sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+        if murmur3_32(str(r["doc_id"]).encode()) <= mid)
+    a = _live_ids(spark, first)
+    assert a == want_first
+    assert sorted(a + _live_ids(spark, second)) == _live_ids(spark, idx)
+    # splitting the FIRST half again respects the narrowed range
+    f2, s2 = split_shard(spark, first, docs, hash_range=(-(1 << 31), mid))
+    q = (-(1 << 31) + mid) >> 1
+    want_q = sorted(d for d in want_first
+                    if murmur3_32(str(d).encode()) <= q)
+    assert _live_ids(spark, f2) == want_q
