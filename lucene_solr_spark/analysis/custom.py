@@ -146,3 +146,51 @@ class CustomAnalyzer:
             "filters rewrite the text and no offset-correction map is "
             "kept (reference: BaseCharFilter.correct). Build "
             "offsets-enabled indexes with the standard chain.")
+
+
+def analyze_debug(analyzer, text: str) -> list[dict]:
+    """FieldAnalysisRequestHandler analog (`solr/core/src/java/org/
+    apache/solr/handler/FieldAnalysisRequestHandler.java:56` — the
+    admin-UI "Analysis" screen): run ``text`` through the chain one
+    stage at a time and report each stage's output, so a user can see
+    WHICH filter dropped, rewrote, or stacked a token.
+
+    → [{"stage": name, "output": …}] — char-filter stages report the
+    rewritten text, the tokenizer and every token-filter stage report
+    [(token, position)]. Works on CustomAnalyzer chains; a
+    StandardAnalyzer-family analyzer reports its fixed stages through
+    the same shape (tokenizer output, then the finished stream).
+    """
+    stages: list[dict] = []
+    if isinstance(analyzer, CustomAnalyzer):
+        cur = text or ""
+        for cf in analyzer.char_filters:
+            cur = cf(cur)
+            name = getattr(cf, "__name__", None) or type(cf).__name__
+            stages.append({"stage": f"charfilter:{name}", "output": cur})
+        stream = []
+        for p, t in enumerate(analyzer.tokenizer(cur)):
+            if len(t) <= analyzer.max_token_length:
+                stream.append((t, p))
+        tname = getattr(analyzer.tokenizer, "__name__", None) \
+            or type(analyzer.tokenizer).__name__
+        stages.append({"stage": f"tokenizer:{tname}",
+                       "output": list(stream)})
+        for f in analyzer.token_filters:
+            stream = f(stream)
+            qn = getattr(f, "__qualname__", "") or ""
+            # factory-built closures carry the factory name in their
+            # qualname ("map_filter.<locals>.run") — report the factory
+            name = (qn.split(".")[0] if ".<locals>." in qn else
+                    getattr(f, "__name__", None) or type(f).__name__)
+            stages.append({"stage": f"filter:{name}",
+                           "output": list(stream)})
+        return stages
+    # StandardAnalyzer family: fixed chain, two observable stages
+    raw = [(t, p) for p, t in enumerate(tokenize_raw(text or ""))]
+    stages.append({"stage": "tokenizer:standard", "output": raw})
+    tp = analyzer.term_positions(text or "")
+    finished = sorted(((t, p) for t, ps in tp.items() for p in ps),
+                      key=lambda x: (x[1], x[0]))
+    stages.append({"stage": "analyzed", "output": finished})
+    return stages

@@ -112,3 +112,33 @@ def test_custom_chain_searchable(spark, corpus):
     hit = int(res.iloc[0]["doc_id"])
     text = corpus.filter(F.col("doc_id") == hit).collect()[0]["text"]
     assert "merge" in text.lower()
+
+
+def test_analyze_debug_stages():
+    from lucene_solr_spark.analysis.custom import analyze_debug
+    from lucene_solr_spark.analysis.charfilters import html_strip
+    an = CustomAnalyzer(
+        char_filters=(html_strip,),
+        token_filters=(lowercase_filter(),
+                       stop_filter({"the"}),
+                       expand_filter(lambda t: [t, t + "x"])))
+    st = analyze_debug(an, "<b>The</b> Fox")
+    names = [d["stage"] for d in st]
+    assert names[0].startswith("charfilter:") and "tokenizer:" in names[1]
+    assert st[0]["output"].split() == ["The", "Fox"]
+    # tokenizer stage: raw tokens with positions
+    assert st[1]["output"] == [("The", 0), ("Fox", 1)]
+    # after lowercase
+    assert st[2]["output"] == [("the", 0), ("fox", 1)]
+    # after stop: 'the' dropped WITH ITS GAP
+    assert st[3]["output"] == [("fox", 1)]
+    # after expansion: stacked on the source position
+    assert st[4]["output"] == [("fox", 1), ("foxx", 1)]
+
+
+def test_analyze_debug_standard():
+    from lucene_solr_spark.analysis.custom import analyze_debug
+    st = analyze_debug(ENGLISH_ANALYZER, "The Quick fox")
+    assert st[0]["output"][0] == ("The", 0)
+    assert ("quick", 1) in st[1]["output"] and ("fox", 2) in st[1]["output"]
+    assert all(t != "the" for t, _ in st[1]["output"])
