@@ -2496,6 +2496,18 @@ def _stream_factory(spark, sf_dir):
                                         s)})
 
 
+def q_sql_group_topk(spark, sf_dir):
+    """Parallel SQL (`solr/.../SQLHandler.java:54`): SQL compiled to a
+    streaming expression (search → rollup → top) and executed by the
+    same StreamFactory the q_stream_* family uses."""
+    from lucene_solr_spark.search.sql_interface import solr_sql
+    f = _stream_factory(spark, sf_dir)
+    out = solr_sql(f, "SELECT lang, count(*) AS cnt FROM documents "
+                      "WHERE text = 'spark' GROUP BY lang "
+                      "ORDER BY cnt DESC, lang ASC LIMIT 5")
+    return out["df"].select("lang", F.col("cnt").cast("long").alias("cnt"))
+
+
 def q_stream_rollup(spark, sf_dir):
     """Solr streaming expression (solrj/io/stream RollupStream.java:48 +
     HavingStream.java:40): rollup of the 'merge' match set over lang
@@ -5331,6 +5343,12 @@ SELECT doc_id, ROUND(SUM(s), 4) AS score
 FROM sc WHERE term IN ('spark', 'merge')
 GROUP BY doc_id ORDER BY SUM(s) DESC, doc_id LIMIT 10"""
 
+    sql["q_sql_group_topk"] = _PRELUDE + """
+SELECT d.lang, COUNT(*)::BIGINT AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 5"""
+
     sql["q_search_after"] = _PRELUDE + """
 SELECT doc_id, ROUND(SUM(s), 4) AS score
 FROM sc WHERE term IN ('spark', 'merge', 'fast')
@@ -7148,6 +7166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_field_exists": q_field_exists,
         "q_blended_topk": q_blended_topk,
         "q_localparams_topk": q_localparams_topk,
+        "q_sql_group_topk": q_sql_group_topk,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row
