@@ -233,7 +233,12 @@ def sql_to_stream_expr(q: _Query, indexed_fields: set[str]
         metrics = ",".join(m.name for m in aggs) or "count(*)"
         expr = f'rollup({expr}, over="{",".join(q.group_by)}", {metrics})'
         for m, op, num in q.having:
-            expr = f"having({expr}, {_HOPS.get(op, 'eq')}({m},{num}))"
+            if op == "!=":
+                expr = f"having({expr}, not(eq({m},{num})))"
+            elif op in _HOPS:
+                expr = f"having({expr}, {_HOPS[op]}({m},{num}))"
+            else:
+                raise SQLError(f"unsupported HAVING operator {op!r}")
     if q.distinct:
         if aggs or len(cols) != len(q.select):
             raise SQLError("DISTINCT applies to plain column selects")

@@ -121,3 +121,15 @@ def test_errors(factory):
         solr_sql(fac, "SELECT doc_id FROM nope")
     with pytest.raises(SQLError):
         solr_sql(fac, "SELECT doc_id FROM documents WHERE text LIKE '%x%'")
+
+
+def test_having_not_equal(factory):
+    fac, docs = factory
+    out = solr_sql(fac, "SELECT lang, count(*) AS cnt FROM documents "
+                   "GROUP BY lang HAVING count(*) != 1 "
+                   "ORDER BY lang ASC LIMIT 50")
+    assert "not(eq(count(*),1))" in out["expr"]
+    want = (docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") != 1).orderBy("lang").limit(50))
+    assert [(r["lang"], r["cnt"]) for r in out["df"].collect()] == \
+        [(r["lang"], r["cnt"]) for r in want.collect()]
