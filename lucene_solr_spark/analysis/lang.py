@@ -160,3 +160,163 @@ def german_light_analyzer(stop_words: Iterable[str] = (),
         map_filter(str.lower),
         stop_filter(stops),
         map_filter(stem)))
+
+
+# ---------------------------------------------------------------------------
+# Spanish / Italian / Portuguese light stemmers (Savoy, UniNE CLEF)
+# ---------------------------------------------------------------------------
+
+_ES_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+})
+
+
+def spanish_light_stem(token: str) -> str:
+    """SpanishLightStemmer (`es/SpanishLightStemmer.java:48`, Savoy
+    CLEF): accent fold, then plural/vowel endings; < 5 chars pass."""
+    if len(token) < 5:
+        return token
+    s = token.translate(_ES_FOLD)
+    n = len(s)
+    c = s[n - 1]
+    if c in "oae":
+        return s[:n - 1]
+    if c == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return s[:n - 2]
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            return s[:n - 3] + "z"
+        if s[n - 2] in "oae":
+            return s[:n - 2]
+    return s
+
+
+def italian_light_stem(token: str) -> str:
+    """ItalianLightStemmer (`it/ItalianLightStemmer.java:48`): accent
+    fold, then final-vowel endings with i/h doubling; < 6 chars pass."""
+    if len(token) < 6:
+        return token
+    s = token.translate(_ES_FOLD)
+    n = len(s)
+    c, p = s[n - 1], s[n - 2]
+    if c == "e":
+        return s[:n - 2] if p in "ih" else s[:n - 1]
+    if c == "i":
+        return s[:n - 2] if p in "hi" else s[:n - 1]
+    if c in "ao":
+        return s[:n - 2] if p == "i" else s[:n - 1]
+    return s
+
+
+_PT_FOLD = dict(zip("àáâäãòóôöõèéêëùúûüìíîïç",
+                    "aaaaaooooo" "eeee" "uuuu" "iiii" "c"))
+
+
+def _ends(s: list, n: int, suf: str) -> bool:
+    return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+
+def _pt_remove_suffix(s: list, n: int) -> int:
+    if n > 4 and _ends(s, n, "es") and s[n - 3] in "rslz":
+        return n - 2
+    if n > 3 and _ends(s, n, "ns"):
+        s[n - 2] = "m"
+        return n - 1
+    if n > 4 and (_ends(s, n, "eis") or _ends(s, n, "éis")):
+        s[n - 3] = "e"
+        s[n - 2] = "l"
+        return n - 1
+    if n > 4 and _ends(s, n, "ais"):
+        s[n - 2] = "l"
+        return n - 1
+    if n > 4 and _ends(s, n, "óis"):
+        s[n - 3] = "o"
+        s[n - 2] = "l"
+        return n - 1
+    if n > 4 and _ends(s, n, "is"):
+        s[n - 1] = "l"
+        return n
+    if n > 3 and (_ends(s, n, "ões") or _ends(s, n, "ães")):
+        n -= 1
+        s[n - 2] = "ã"
+        s[n - 1] = "o"
+        return n
+    if n > 6 and _ends(s, n, "mente"):
+        return n - 5
+    if n > 3 and s[n - 1] == "s":
+        return n - 1
+    return n
+
+
+def _pt_norm_feminine(s: list, n: int) -> int:
+    if n > 7 and (_ends(s, n, "inha") or _ends(s, n, "iaca")
+                  or _ends(s, n, "eira")):
+        s[n - 1] = "o"
+        return n
+    if n > 6:
+        if (_ends(s, n, "osa") or _ends(s, n, "ica") or _ends(s, n, "ida")
+                or _ends(s, n, "ada") or _ends(s, n, "iva")
+                or _ends(s, n, "ama")):
+            s[n - 1] = "o"
+            return n
+        if _ends(s, n, "ona"):
+            s[n - 3] = "ã"
+            s[n - 2] = "o"
+            return n - 1
+        if _ends(s, n, "ora"):
+            return n - 1
+        if _ends(s, n, "esa"):
+            s[n - 3] = "ê"
+            return n - 1
+        if _ends(s, n, "na"):
+            s[n - 1] = "o"
+            return n
+    return n
+
+
+def portuguese_light_stem(token: str) -> str:
+    """PortugueseLightStemmer (`pt/PortugueseLightStemmer.java:47`,
+    Savoy CLEF): plural suffix removal → feminine normalization →
+    final-vowel strip → accent/ç fold (fold LAST — the rules compare
+    accented characters); < 4 chars pass."""
+    if len(token) < 4:
+        return token
+    s = list(token)
+    n = _pt_remove_suffix(s, len(s))
+    if n > 3 and s[n - 1] == "a":
+        n = _pt_norm_feminine(s, n)
+    if n > 4 and s[n - 1] in "eao":
+        n -= 1
+    return "".join(_PT_FOLD.get(ch, ch) for ch in s[:n])
+
+
+def _light_analyzer(stem, stop_words=(), stem_exclusions=()):
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    stops = frozenset(w.lower() for w in stop_words)
+    excl = frozenset(w.lower() for w in stem_exclusions)
+
+    def run(t):
+        return t if t in excl else stem(t)
+    return CustomAnalyzer(token_filters=(
+        map_filter(str.lower), stop_filter(stops), map_filter(run)))
+
+
+def spanish_light_analyzer(stop_words=(), stem_exclusions=()):
+    """SpanishAnalyzer-shaped chain (`es/SpanishAnalyzer.java:119`)."""
+    return _light_analyzer(spanish_light_stem, stop_words, stem_exclusions)
+
+
+def italian_light_analyzer(stop_words=(), stem_exclusions=()):
+    """ItalianAnalyzer-shaped chain (elision set omitted — compose
+    map_filter(elide) with an Italian article set for full parity)."""
+    return _light_analyzer(italian_light_stem, stop_words, stem_exclusions)
+
+
+def portuguese_light_analyzer(stop_words=(), stem_exclusions=()):
+    """PortugueseAnalyzer-shaped chain (`pt/PortugueseAnalyzer.java`)."""
+    return _light_analyzer(portuguese_light_stem, stop_words,
+                           stem_exclusions)

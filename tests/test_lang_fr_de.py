@@ -110,3 +110,53 @@ def test_stem_exclusions_respected():
     an = german_light_analyzer(stem_exclusions=["hunde"])
     tp = an.term_positions("Hunde Katzen")
     assert "hunde" in tp and "katz" in tp
+
+
+ES_PINS = [("casas", "cas"), ("veces", "vez"), ("sociedades", "sociedad"),
+           ("hombre", "hombr"), ("chicas", "chic"), ("luz", "luz"),
+           ("ingleses", "ingles"), ("canción", "cancion")]
+
+
+def test_spanish_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import spanish_light_stem
+    for raw, want in ES_PINS:
+        assert spanish_light_stem(raw) == want, raw
+
+
+IT_PINS = [("ragazzo", "ragazz"), ("ragazzi", "ragazz"),
+           ("figlio", "figl"), ("figlie", "figl"),
+           ("amici", "amici"), ("notte", "notte"),
+           ("perché", "perc")]
+
+
+def test_italian_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import italian_light_stem
+    for raw, want in IT_PINS:
+        assert italian_light_stem(raw) == want, raw
+
+
+PT_PINS = [("meninas", "menin"), ("menina", "menin"), ("menino", "menin"),
+           ("botões", "bota"), ("barris", "barril"),
+           ("capitais", "capital"), ("corações", "coraca"),
+           ("rapidamente", "rapid"), ("homens", "homem"),
+           ("papéis", "papel"), ("bons", "bom")]
+
+
+def test_portuguese_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import portuguese_light_stem
+    for raw, want in PT_PINS:
+        assert portuguese_light_stem(raw) == want, raw
+
+
+def test_light_analyzer_chains_meet_at_stem():
+    from lucene_solr_spark.analysis.lang import (italian_light_analyzer,
+                                                 portuguese_light_analyzer,
+                                                 spanish_light_analyzer)
+    an = spanish_light_analyzer(stop_words=["las", "y"])
+    tp = an.term_positions("Las casas y chicas")
+    assert tp == {"cas": [1], "chic": [3]}
+    an = portuguese_light_analyzer()
+    assert set(an.term_positions("meninas menino").keys()) == {"menin"}
+    an = italian_light_analyzer(stem_exclusions=["ragazzi"])
+    tp = an.term_positions("ragazzo ragazzi")
+    assert set(tp.keys()) == {"ragazz", "ragazzi"}
