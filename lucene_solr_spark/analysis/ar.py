@@ -1,0 +1,82 @@
+"""Arabic analysis — normalization + light stemming (Larkey 2002).
+
+Reference semantics (`lucene/analysis/common/src/java/org/apache/
+lucene/analysis/ar/ArabicNormalizer.java:43` and
+`ArabicStemmer.java:55`, implementing Larkey/Ballesteros/Connell,
+"Improving Stemming for Arabic Information Retrieval", SIGIR 2002):
+
+* normalize: alef-madda/alef-hamza-above/alef-hamza-below → bare alef;
+  dotless yeh → yeh; teh marbuta → heh; tatweel and the eight harakat
+  (fathatan/dammatan/kasratan/fatha/damma/kasra/shadda/sukun) DELETED.
+* stem: remove the FIRST matching prefix of [ال، وال، بال، كال، فال،
+  لل، و] (single و requires ≥4 chars, the rest ≥ len(prefix)+2), then
+  remove EACH matching suffix of [ها، ان، ات، ون، ين، يه، ية، ه، ة،
+  ي] scanning the list once in order against the shrinking word
+  (every suffix requires ≥2 chars to remain).
+
+`arabic_light_analyzer()` assembles the ArabicAnalyzer-shaped chain
+(`ar/ArabicAnalyzer.java:127`: LowerCase → Stop → Normalizer →
+(exclusions) → Stemmer) as CustomAnalyzer filters — per-token pure
+functions, usable in any chain.
+"""
+
+from __future__ import annotations
+
+ALEF = "ا"
+_NORM_MAP = str.maketrans({
+    "آ": ALEF, "أ": ALEF, "إ": ALEF,   # alef variants
+    "ى": "ي",                                # dotless yeh → yeh
+    "ة": "ه",                                # teh marbuta → heh
+})
+_DELETE = "".join(["ـ",                           # tatweel
+                   "ً", "ٌ", "ٍ",       # -tan marks
+                   "َ", "ُ", "ِ",       # fatha/damma/kasra
+                   "ّ", "ْ"])                # shadda/sukun
+_DEL_MAP = {ord(c): None for c in _DELETE}
+
+_PREFIXES = ["ال",             # al-
+             "وال",       # wal-
+             "بال",       # bal-
+             "كال",       # kal-
+             "فال",       # fal-
+             "لل",             # lil-
+             "و"]                   # wa-
+_SUFFIXES = ["ها", "ان", "ات",
+             "ون", "ين", "يه",
+             "ية", "ه", "ة", "ي"]
+
+
+def arabic_normalize(token: str) -> str:
+    return token.translate(_NORM_MAP).translate(_DEL_MAP)
+
+
+def arabic_stem(token: str) -> str:
+    s = token
+    for p in _PREFIXES:
+        if len(p) == 1:
+            if len(s) < 4:                 # wa- needs ≥3 after strip
+                continue
+        elif len(s) < len(p) + 2:
+            continue
+        if s.startswith(p):
+            s = s[len(p):]
+            break                          # first match only
+    for suf in _SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[:-len(suf)]
+    return s
+
+
+def arabic_light_analyzer(stop_words=(), stem_exclusions=()):
+    """ArabicAnalyzer-shaped chain (`ar/ArabicAnalyzer.java:127`)."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    stops = frozenset(w.lower() for w in stop_words)
+    excl = frozenset(stem_exclusions)
+
+    def stem(t):
+        return t if t in excl else arabic_stem(t)
+    return CustomAnalyzer(token_filters=(
+        map_filter(str.lower),
+        stop_filter(stops),
+        map_filter(arabic_normalize),
+        map_filter(stem)))

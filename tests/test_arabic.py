@@ -1,0 +1,58 @@
+"""Arabic normalization + light stemming
+(`ar/ArabicNormalizer.java:43`, `ar/ArabicStemmer.java:55` — Larkey
+2002). Pins mirror the reference's TestArabicNormalizationFilter /
+TestArabicStemFilter behaviors."""
+
+from __future__ import annotations
+
+from lucene_solr_spark.analysis.ar import (arabic_light_analyzer,
+                                           arabic_normalize, arabic_stem)
+
+
+def test_normalize_alef_variants():
+    assert arabic_normalize("أحمد") == "احمد"
+    assert arabic_normalize("إسلام") == "اسلام"
+    assert arabic_normalize("آخر") == "اخر"
+
+
+def test_normalize_yeh_marbuta_tatweel_harakat():
+    assert arabic_normalize("مصطفى") == "مصطفي"    # dotless yeh
+    assert arabic_normalize("مدرسة") == "مدرسه"    # teh marbuta
+    assert arabic_normalize("كتـــاب") == "كتاب"   # tatweel deleted
+    assert arabic_normalize("كَتَبَ") == "كتب"     # harakat deleted
+
+
+def test_stem_prefixes():
+    assert arabic_stem("الكتاب") == "كتاب"         # al-
+    assert arabic_stem("والكتاب") == "كتاب"        # wal-
+    assert arabic_stem("بالكتاب") == "كتاب"        # bal-
+    assert arabic_stem("وكتاب") == "كتاب"          # wa- (len ≥ 4)
+    assert arabic_stem("وهب") == "وهب"              # wa- blocked < 4
+    # first match only: after ال strips, وال cannot also strip
+    assert arabic_stem("ال") == "ال"                # too short for any
+
+
+def test_stem_suffixes_scan_order():
+    assert arabic_stem("كتابها") == "كتاب"          # -ha
+    assert arabic_stem("معلمون") == "معلم"          # -un
+    assert arabic_stem("معلمات") == "معلم"          # -at
+    assert arabic_stem("مدرسة") == "مدرس"           # -a (teh marbuta)
+    # suffixes strip iteratively in list order on the shrinking word
+    assert arabic_stem("معلماتها") == "معلم"        # -ha then -at
+    # ≥2 chars must remain
+    assert arabic_stem("به") == "به"
+
+
+def test_full_chain_meets_at_stem():
+    an = arabic_light_analyzer()
+    # prefixed+suffixed surface forms meet the bare stem
+    tp1 = an.term_positions("الكتاب كتاب وكتابها")
+    assert set(tp1.keys()) == {"كتاب"}
+    assert tp1["كتاب"] == [0, 1, 2]
+
+
+def test_chain_normalizes_before_stemming():
+    an = arabic_light_analyzer()
+    # alef-hamza surface: normalizer folds hamza, then stemmer strips ال
+    got = an.tokens("الأحمد")
+    assert got == ["احمد"]
