@@ -80,3 +80,47 @@ def arabic_light_analyzer(stop_words=(), stem_exclusions=()):
         stop_filter(stops),
         map_filter(arabic_normalize),
         map_filter(stem)))
+
+
+# ---------------------------------------------------------------------------
+# Persian (Farsi) — PersianNormalizer / PersianCharFilter
+# ---------------------------------------------------------------------------
+
+_FA_MAP = str.maketrans({
+    "ی": "ي",     # farsi yeh → yeh
+    "ے": "ي",     # yeh barree → yeh
+    "ک": "ك",     # keheh → kaf
+    "ۀ": "ه",     # heh+yeh → heh
+    "ہ": "ه",     # heh goal → heh
+    "ٔ": None,          # hamza above deleted
+})
+
+
+def persian_normalize(token: str) -> str:
+    """PersianNormalizer (`fa/PersianNormalizer.java:36`): farsi
+    yeh/yeh-barree → yeh, keheh → kaf, heh variants → heh, hamza-above
+    deleted."""
+    return token.translate(_FA_MAP)
+
+
+def persian_char_normalize(text: str) -> str:
+    """PersianCharFilter (`fa/PersianCharFilter.java:31`): zero-width
+    non-joiner (U+200C) → space, so affixed forms tokenize apart."""
+    return (text or "").replace("‌", " ")
+
+
+def persian_analyzer(stop_words=()):
+    """PersianAnalyzer-shaped chain (`fa/PersianAnalyzer.java:121`):
+    ZWNJ char filter → LowerCase → decimal-digit fold → Arabic
+    normalize → Persian normalize → Stop (no stemming — the reference
+    relies on normalization + the stop set)."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    from .misc_filters import fold_decimal_digits
+    stops = frozenset(stop_words)
+    return CustomAnalyzer(
+        char_filters=(persian_char_normalize,),
+        token_filters=(map_filter(str.lower),
+                       map_filter(fold_decimal_digits),
+                       map_filter(arabic_normalize),
+                       map_filter(persian_normalize),
+                       stop_filter(stops)))

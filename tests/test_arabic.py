@@ -56,3 +56,19 @@ def test_chain_normalizes_before_stemming():
     # alef-hamza surface: normalizer folds hamza, then stemmer strips ال
     got = an.tokens("الأحمد")
     assert got == ["احمد"]
+
+
+def test_persian_normalize_pins():
+    from lucene_solr_spark.analysis.ar import (persian_char_normalize,
+                                               persian_normalize)
+    assert persian_normalize("می") == "مي"          # farsi yeh
+    assert persian_normalize("کتاب") == "كتاب"      # keheh → kaf
+    assert persian_char_normalize("می‌خواهم") == "می خواهم"
+
+
+def test_persian_analyzer_chain():
+    from lucene_solr_spark.analysis.ar import persian_analyzer
+    an = persian_analyzer(stop_words=["از"])
+    # ZWNJ splits the affixed form into two tokens; keheh folds to kaf
+    toks = an.tokens("کتاب می‌خواهم از")
+    assert toks[0] == "كتاب" and len(toks) == 3
