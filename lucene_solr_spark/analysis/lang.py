@@ -320,3 +320,48 @@ def portuguese_light_analyzer(stop_words=(), stem_exclusions=()):
     """PortugueseAnalyzer-shaped chain (`pt/PortugueseAnalyzer.java`)."""
     return _light_analyzer(portuguese_light_stem, stop_words,
                            stem_exclusions)
+
+
+# ---------------------------------------------------------------------------
+# Russian light stemmer (Savoy, UniNE CLEF)
+# ---------------------------------------------------------------------------
+
+_RU_CASE4 = ("иями", "оями")
+_RU_CASE3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+             "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_CASE2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию",
+             "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей",
+             "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов", "ые",
+             "ый", "ым", "ми")
+_RU_CASE1 = frozenset("аеиоуйыяь")
+
+
+def russian_light_stem(token: str) -> str:
+    """RussianLightStemmer (`ru/RussianLightStemmer.java:47`, Savoy
+    CLEF): case-ending removal (4/3/2/1-char tiers with length
+    guards), then normalize (-ь/-и strip, -нн collapse)."""
+    s = token
+    n = len(s)
+    # removeCase
+    if n > 6 and s[n - 4:n] in _RU_CASE4:
+        n -= 4
+    elif n > 5 and s[n - 3:n] in _RU_CASE3:
+        n -= 3
+    elif n > 4 and s[n - 2:n] in _RU_CASE2:
+        n -= 2
+    elif n > 3 and s[n - 1] in _RU_CASE1:
+        n -= 1
+    # normalize
+    if n > 3:
+        c = s[n - 1]
+        if c in "ьи":
+            n -= 1
+        elif c == "н" and s[n - 2] == "н":
+            n -= 1
+    return s[:n]
+
+
+def russian_light_analyzer(stop_words=(), stem_exclusions=()):
+    """RussianAnalyzer-shaped chain (`ru/RussianAnalyzer.java:107`)."""
+    return _light_analyzer(russian_light_stem, stop_words,
+                           stem_exclusions)

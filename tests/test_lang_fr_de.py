@@ -160,3 +160,21 @@ def test_light_analyzer_chains_meet_at_stem():
     an = italian_light_analyzer(stem_exclusions=["ragazzi"])
     tp = an.term_positions("ragazzo ragazzi")
     assert set(tp.keys()) == {"ragazz", "ragazzi"}
+
+
+RU_PINS = [("книгами", "книг"), ("книги", "книг"), ("книга", "книг"),
+           ("красного", "красн"), ("большая", "больш"),
+           ("странный", "стран"), ("дом", "дом"), ("историями", "истор")]
+
+
+def test_russian_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import russian_light_stem
+    for raw, want in RU_PINS:
+        assert russian_light_stem(raw) == want, raw
+
+
+def test_russian_chain():
+    from lucene_solr_spark.analysis.lang import russian_light_analyzer
+    an = russian_light_analyzer(stop_words=["и"])
+    tp = an.term_positions("Книга и книги")
+    assert set(tp.keys()) == {"книг"} and tp["книг"] == [0, 2]
