@@ -365,3 +365,38 @@ def russian_light_analyzer(stop_words=(), stem_exclusions=()):
     """RussianAnalyzer-shaped chain (`ru/RussianAnalyzer.java:107`)."""
     return _light_analyzer(russian_light_stem, stop_words,
                            stem_exclusions)
+
+
+# ---------------------------------------------------------------------------
+# Greek lowercase fold
+# ---------------------------------------------------------------------------
+
+_EL_MAP = str.maketrans({
+    "ς": "σ",                                 # final sigma → sigma
+    "Ά": "α", "ά": "α",                  # alpha + tonos
+    "Έ": "ε", "έ": "ε",                  # epsilon + tonos
+    "Ή": "η", "ή": "η",                  # eta + tonos
+    "Ί": "ι", "Ϊ": "ι", "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "Ύ": "υ", "Ϋ": "υ", "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+    "Ό": "ο", "ό": "ο",                  # omicron + tonos
+    "Ώ": "ω", "ώ": "ω",                  # omega + tonos
+    "Ϛ": "ς",                                 # reserved U+03A2 analog
+})
+
+
+def greek_lowercase(token: str) -> str:
+    """GreekLowerCaseFilter (`el/GreekLowerCaseFilter.java:31`): final
+    sigma → sigma, tonos/dialytika vowels folded to base, then plain
+    lowercase — so "ΚΑΛΌΣ", "καλός" and "καλοσ" meet."""
+    return token.lower().translate(_EL_MAP)
+
+
+def greek_analyzer(stop_words=()):
+    """GreekAnalyzer-shaped chain (`el/GreekAnalyzer.java:84`:
+    GreekLowerCase → Stop; the reference's GreekStemmer is a larger
+    automaton left out of envelope — normalization is what dedups the
+    web-corpus surface forms)."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    return CustomAnalyzer(token_filters=(
+        map_filter(greek_lowercase),
+        stop_filter(frozenset(greek_lowercase(w) for w in stop_words))))

@@ -178,3 +178,18 @@ def test_russian_chain():
     an = russian_light_analyzer(stop_words=["и"])
     tp = an.term_positions("Книга и книги")
     assert set(tp.keys()) == {"книг"} and tp["книг"] == [0, 2]
+
+
+def test_greek_lowercase_pins():
+    from lucene_solr_spark.analysis.lang import greek_lowercase
+    assert greek_lowercase("ΚΑΛΌΣ") == greek_lowercase("καλός") \
+        == greek_lowercase("καλοσ") == "καλοσ"
+    assert greek_lowercase("ΐ") == "ι" and greek_lowercase("ΰ") == "υ"
+    assert greek_lowercase("Ωμέγα") == "ωμεγα"
+
+
+def test_greek_chain():
+    from lucene_solr_spark.analysis.lang import greek_analyzer
+    an = greek_analyzer(stop_words=["ΚΑΙ"])
+    tp = an.term_positions("καλός και ΚΑΛΟΣ")
+    assert set(tp.keys()) == {"καλοσ"} and tp["καλοσ"] == [0, 2]
