@@ -400,3 +400,45 @@ def greek_analyzer(stop_words=()):
     return CustomAnalyzer(token_filters=(
         map_filter(greek_lowercase),
         stop_filter(frozenset(greek_lowercase(w) for w in stop_words))))
+
+
+# ---------------------------------------------------------------------------
+# Turkish lowercase (dotted / dotless i)
+# ---------------------------------------------------------------------------
+
+def turkish_lowercase(token: str) -> str:
+    """TurkishLowerCaseFilter (`tr/TurkishLowerCaseFilter.java:34`):
+    Turkish has two i's — İ (dotted capital) lowers to i, I (dotless
+    capital) lowers to ı. Plain str.lower() gets BOTH wrong (İ → i +
+    combining dot U+0307, I → i), so the special cases run first; a
+    combining-above-dot following an i is consumed (the filter's
+    delete of COMBINING_DOT_ABOVE after I)."""
+    out = []
+    i, n = 0, len(token)
+    while i < n:
+        ch = token[i]
+        if ch == "İ":
+            out.append("i")
+        elif ch == "I":
+            # I + combining-dot-above is İ's decomposition → i (dot
+            # consumed); bare I → dotless ı (TurkishLowerCaseFilter
+            # isBeforeDot lookahead)
+            if i + 1 < n and token[i + 1] == "̇":
+                out.append("i")
+                i += 1
+            else:
+                out.append("ı")
+        else:
+            out.append(ch.lower())
+        i += 1
+    return "".join(out)
+
+
+def turkish_analyzer(stop_words=(), stem_exclusions=()):
+    """TurkishAnalyzer-shaped chain (`tr/TurkishAnalyzer.java:93` minus
+    the Snowball TurkishStemmer — out of envelope, documented; the
+    lowercase fold is the part plain Spark `lower()` gets wrong)."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    stops = frozenset(turkish_lowercase(w) for w in stop_words)
+    return CustomAnalyzer(token_filters=(
+        map_filter(turkish_lowercase), stop_filter(stops)))

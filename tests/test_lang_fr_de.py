@@ -193,3 +193,21 @@ def test_greek_chain():
     an = greek_analyzer(stop_words=["ΚΑΙ"])
     tp = an.term_positions("καλός και ΚΑΛΟΣ")
     assert set(tp.keys()) == {"καλοσ"} and tp["καλοσ"] == [0, 2]
+
+
+def test_turkish_lowercase_pins():
+    from lucene_solr_spark.analysis.lang import turkish_lowercase
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("ISPARTA") == "ısparta"
+    assert turkish_lowercase("DİYARBAKIR") == "diyarbakır"
+    # I + combining-dot-above == İ decomposition → i
+    assert turkish_lowercase("İstanbul") == "istanbul"
+    # plain lower() would produce i+U+0307 — ours must not
+    assert "̇" not in turkish_lowercase("İİİ")
+
+
+def test_turkish_chain():
+    from lucene_solr_spark.analysis.lang import turkish_analyzer
+    an = turkish_analyzer(stop_words=["VE"])
+    tp = an.term_positions("İstanbul VE ISPARTA")
+    assert set(tp.keys()) == {"istanbul", "ısparta"}
