@@ -1068,6 +1068,18 @@ def q_embed_neardup(spark, sf_dir):
             .orderBy("vec_a", "vec_b"))
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script histogram + dominant script per doc — ONE codegen
+    projection (multilingual corpus routing; pipeline/textstats.py
+    script_profile)."""
+    res = tstat.script_profile(_raw_docs(spark, sf_dir))
+    return (res.filter(F.col("doc_id") < 200)
+            .select(F.col("doc_id").cast("long"), "latin", "cyrillic",
+                    "arabic", "devanagari", "han", "hangul", "greek",
+                    "letters", "dominant")
+            .orderBy("doc_id"))
+
+
 def q_lang_id(spark, sf_dir):
     res = tstat.lang_id(_raw_docs(spark, sf_dir))
     return (res.filter(F.col("doc_id") < 100)
@@ -6288,6 +6300,37 @@ WHERE list_dot_product(a.v, b.v) /
 ORDER BY vec_a, vec_b"""
 
     en, de = _sql_list(ENGLISH_STOP_WORDS), _sql_list(DE_STOP_WORDS)
+    sql["q_script_profile"] = """
+WITH sp AS (
+  SELECT doc_id,
+    (length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')))::BIGINT AS latin,
+    (length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')))::BIGINT AS cyrillic,
+    (length(text) - length(regexp_replace(text, '\\p{Arabic}', '', 'g')))::BIGINT AS arabic,
+    (length(text) - length(regexp_replace(text, '\\p{Devanagari}', '', 'g')))::BIGINT AS devanagari,
+    (length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')))::BIGINT AS han,
+    (length(text) - length(regexp_replace(text, '\\p{Hangul}', '', 'g')))::BIGINT AS hangul,
+    (length(text) - length(regexp_replace(text, '\\p{Greek}', '', 'g')))::BIGINT AS greek,
+    (length(text) - length(regexp_replace(text, '\\p{L}', '', 'g')))::BIGINT AS letters
+  FROM documents WHERE doc_id < 200
+), mx AS (
+  SELECT *, greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek) AS m,
+    (latin = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT
+    + (cyrillic = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT
+    + (arabic = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT
+    + (devanagari = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT
+    + (han = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT
+    + (hangul = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT
+    + (greek = greatest(latin, cyrillic, arabic, devanagari, han, hangul, greek))::INT AS ties
+  FROM sp
+)
+SELECT doc_id, latin, cyrillic, arabic, devanagari, han, hangul, greek, letters,
+  CASE WHEN m = 0 OR ties > 1 THEN 'und'
+       WHEN latin = m THEN 'latin' WHEN cyrillic = m THEN 'cyrillic'
+       WHEN arabic = m THEN 'arabic' WHEN devanagari = m THEN 'devanagari'
+       WHEN han = m THEN 'han' WHEN hangul = m THEN 'hangul'
+       ELSE 'greek' END AS dominant
+FROM mx ORDER BY doc_id"""
+
     sql["q_lang_id"] = f"""
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents
@@ -7167,6 +7210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blended_topk": q_blended_topk,
         "q_localparams_topk": q_localparams_topk,
         "q_sql_group_topk": q_sql_group_topk,
+        "q_script_profile": q_script_profile,
         # ---- (3) driver-verified green in r1-r4 (window backfill; all
         # re-gated every round by scripts/check_oracles.py + pytest).
         # q_passage_highlight's weaker rows-only driver check has a row

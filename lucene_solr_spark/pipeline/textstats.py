@@ -362,3 +362,54 @@ def c4_rules(docs: DataFrame, id_col: str = "doc_id",
             & ~F.col("has_bad_word")
             & (F.col("n_sentences") >= min_sentences))
     return out.withColumn("keep", keep)
+
+
+_SCRIPTS = [
+    # (column, Java regex class, codepoint range note)
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+    ("han", r"\p{IsHan}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("greek", r"\p{IsGreek}"),
+]
+
+
+def script_profile(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script histogram — the multilingual-corpus
+    profiling step that routes documents to the right analysis chain
+    (the script-range heuristic CJKBigramFilter / the reference's
+    language analyzers assume upstream).
+
+    → (doc_id, latin, cyrillic, arabic, devanagari, han, hangul,
+    greek, letters, dominant) where each script column counts its
+    letters, ``letters`` counts ALL letter codepoints, and
+    ``dominant`` is the argmax script ('und' when no letters or the
+    max is not unique — deterministic, first-listed wins ties is NOT
+    used; und keeps the oracle exact).
+
+    Plan: ONE codegen projection — each count is
+    length(s) − length(regexp_replace(s, class, '')) on the raw text,
+    no tokenization, no Python, fused with the scan.
+    """
+    t = F.col(text_col)
+
+    def count(cls: str):
+        return (F.length(t) - F.length(F.regexp_replace(t, cls, ""))) \
+            .cast("long")
+
+    cols = [count(cls).alias(name) for name, cls in _SCRIPTS]
+    letters = (F.length(t)
+               - F.length(F.regexp_replace(t, r"\p{L}", ""))).cast("long")
+    out = docs.select(F.col(id_col).alias("doc_id"), *cols,
+                      letters.alias("letters"))
+    names = [n for n, _ in _SCRIPTS]
+    mx = F.greatest(*[F.col(n) for n in names])
+    ties = sum((F.col(n) == mx).cast("int") for n in names)
+    dom = F.lit("und")
+    for n in names:
+        dom = F.when((F.col(n) == mx) & (mx > 0) & (ties == 1),
+                     F.lit(n)).otherwise(dom)
+    return out.withColumn("dominant", dom)
