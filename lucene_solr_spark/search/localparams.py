@@ -132,7 +132,6 @@ def solr_query(searcher, q: str, analyzer=None, docs: DataFrame | None = None,
     """
     from . import dismax as dm
     from . import function as fn
-    from .executor import Searcher  # noqa: F401  (type only)
     from .parser import parse_query
     analyzer = analyzer or searcher.index.analyzer
     qtype, local, body = parse_local_params(q, params)
