@@ -442,3 +442,82 @@ def turkish_analyzer(stop_words=(), stem_exclusions=()):
     stops = frozenset(turkish_lowercase(w) for w in stop_words)
     return CustomAnalyzer(token_filters=(
         map_filter(turkish_lowercase), stop_filter(stops)))
+
+
+# ---------------------------------------------------------------------------
+# Norwegian / Swedish light stemmers (Savoy, UniNE CLEF)
+# ---------------------------------------------------------------------------
+
+def norwegian_light_stem(token: str, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer (`no/NorwegianLightStemmer.java:70`):
+    genitive -s, then suffix tiers; Bokmål and Nynorsk endings
+    selectable exactly as the reference's flags."""
+    if not (bokmaal or nynorsk):
+        raise ValueError("at least one of bokmaal/nynorsk")
+    s = token
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    w = s[:n]
+    if n > 7 and ((bokmaal and w.endswith(("heter", "heten")))
+                  or (nynorsk and w.endswith("heita"))):
+        return w[:n - 5]
+    if n > 8 and nynorsk and w.endswith(("heiter", "leiken", "leikar")):
+        return w[:n - 6]
+    if n > 5 and (w.endswith("dom") or (bokmaal and w.endswith("het"))):
+        return w[:n - 3]
+    if n > 6 and nynorsk and w.endswith(("heit", "semd", "leik")):
+        return w[:n - 4]
+    if n > 7 and w.endswith(("elser", "elsen")):
+        return w[:n - 5]
+    if n > 6 and ((bokmaal and w.endswith(("ende", "este", "eren")))
+                  or (nynorsk and w.endswith(("ande", "aste", "aren")))
+                  or w.endswith("else")):
+        return w[:n - 4]
+    if n > 5 and ((bokmaal and w.endswith(("ere", "est")))
+                  or (nynorsk and w.endswith(("are", "ast", "ane")))
+                  or w.endswith("ene")):
+        return w[:n - 3]
+    if n > 4 and (w.endswith(("er", "en", "et", "te"))
+                  or (nynorsk and w.endswith("ar"))
+                  or (bokmaal and w.endswith("st"))):
+        return w[:n - 2]
+    if n > 3 and w[n - 1] in "aen":
+        return w[:n - 1]
+    return w
+
+
+def swedish_light_stem(token: str) -> str:
+    """SwedishLightStemmer (`sv/SwedishLightStemmer.java:47`)."""
+    s = token
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    w = s[:n]
+    if n > 7 and w.endswith(("elser", "heten")):
+        return w[:n - 5]
+    if n > 6 and w.endswith(("arne", "erna", "ande", "else", "aste",
+                             "orna", "aren")):
+        return w[:n - 4]
+    if n > 5 and w.endswith(("are", "ast", "het")):
+        return w[:n - 3]
+    if n > 4 and w.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return w[:n - 2]
+    if n > 3 and w[n - 1] in "taen":
+        return w[:n - 1]
+    return w
+
+
+def norwegian_light_analyzer(stop_words=(), stem_exclusions=(),
+                             bokmaal: bool = True, nynorsk: bool = False):
+    """NorwegianAnalyzer-shaped chain."""
+    def stem(t):
+        return norwegian_light_stem(t, bokmaal, nynorsk)
+    return _light_analyzer(stem, stop_words, stem_exclusions)
+
+
+def swedish_light_analyzer(stop_words=(), stem_exclusions=()):
+    """SwedishAnalyzer-shaped chain."""
+    return _light_analyzer(swedish_light_stem, stop_words,
+                           stem_exclusions)

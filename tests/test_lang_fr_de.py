@@ -211,3 +211,46 @@ def test_turkish_chain():
     an = turkish_analyzer(stop_words=["VE"])
     tp = an.term_positions("İstanbul VE ISPARTA")
     assert set(tp.keys()) == {"istanbul", "ısparta"}
+
+
+NO_PINS = [("hemmeligheter", "hemmelig"), ("hemmeligheten", "hemmelig"),
+           ("kristendom", "kristen"), ("følelser", "føl"),
+           ("sovende", "sov"), ("fineste", "fin"), ("husene", "hus"),
+           ("huset", "hus"), ("kaker", "kak"), ("kake", "kak"),
+           ("billigst", "billig")]
+
+NN_PINS = [("hemmelegheita", "hemmeleg"), ("tryggleiken", "trygg"),
+           ("sovande", "sov"), ("gutane", "gut")]
+
+
+def test_norwegian_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import norwegian_light_stem
+    for raw, want in NO_PINS:
+        assert norwegian_light_stem(raw) == want, raw
+    for raw, want in NN_PINS:
+        assert norwegian_light_stem(raw, bokmaal=False,
+                                    nynorsk=True) == want, raw
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        norwegian_light_stem("x", bokmaal=False, nynorsk=False)
+
+
+SV_PINS = [("känslor", "känsl"), ("flickorna", "flick"),
+           ("utbildningarne", "utbildning"), ("roligaste", "rolig"),
+           ("starkare", "stark"), ("starkast", "stark"),
+           ("huset", "hus"), ("flickor", "flick"), ("flickan", "flicka")]
+
+
+def test_swedish_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import swedish_light_stem
+    for raw, want in SV_PINS:
+        assert swedish_light_stem(raw) == want, raw
+
+
+def test_nordic_chains():
+    from lucene_solr_spark.analysis.lang import (norwegian_light_analyzer,
+                                                 swedish_light_analyzer)
+    an = norwegian_light_analyzer()
+    assert set(an.term_positions("huset husene").keys()) == {"hus"}
+    an = swedish_light_analyzer()
+    assert set(an.term_positions("flickor flickorna").keys()) == {"flick"}
