@@ -521,3 +521,63 @@ def swedish_light_analyzer(stop_words=(), stem_exclusions=()):
     """SwedishAnalyzer-shaped chain."""
     return _light_analyzer(swedish_light_stem, stop_words,
                            stem_exclusions)
+
+
+# ---------------------------------------------------------------------------
+# Czech light stemmer (Dolamic & Savoy)
+# ---------------------------------------------------------------------------
+
+_CZ_CASE3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte",
+             "ete", "ěti", "eti", "ího", "iho", "ími", "ímu", "imu",
+             "ách", "ata", "aty", "ých", "ama", "ami", "ové", "ovi",
+             "ými")
+_CZ_CASE2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us",
+             "ým", "mi", "ou")
+_CZ_VOWELS = frozenset("aeiouůyáéíýě")
+
+
+def czech_stem(token: str) -> str:
+    """CzechStemmer (`cz/CzechStemmer.java:37`, Dolamic & Savoy light
+    Czech): case endings (5/4/3/2/1 tiers) → possessive -ov/-in/-ův →
+    palatalization normalize (čt→ck, št→sk, c/č→k, z/ž→h, e-insertion
+    collapse, ů→o)."""
+    s = token
+    n = len(s)
+    # removeCase
+    if n > 7 and s.endswith("atech"):
+        n -= 5
+    elif n > 6 and s.endswith(("ětem", "etem", "atům")):
+        n -= 4
+    elif n > 5 and s[n - 3:n] in _CZ_CASE3:
+        n -= 3
+    elif n > 4 and s[n - 2:n] in _CZ_CASE2:
+        n -= 2
+    elif n > 3 and s[n - 1] in _CZ_VOWELS:
+        n -= 1
+    s = s[:n]
+    # removePossessives
+    if n > 5 and s.endswith(("ov", "in", "ův")):
+        n -= 2
+        s = s[:n]
+    if n == 0:
+        return s
+    # normalize
+    if s.endswith("čt"):
+        return s[:n - 2] + "ck"
+    if s.endswith("št"):
+        return s[:n - 2] + "sk"
+    c = s[n - 1]
+    if c in "cč":
+        return s[:n - 1] + "k"
+    if c in "zž":
+        return s[:n - 1] + "h"
+    if n > 1 and s[n - 2] == "e":
+        return s[:n - 2] + s[n - 1]      # e-insertion collapse
+    if n > 2 and s[n - 2] == "ů":
+        return s[:n - 2] + "o" + s[n - 1]
+    return s
+
+
+def czech_analyzer(stop_words=(), stem_exclusions=()):
+    """CzechAnalyzer-shaped chain (`cz/CzechAnalyzer.java:101`)."""
+    return _light_analyzer(czech_stem, stop_words, stem_exclusions)

@@ -254,3 +254,23 @@ def test_nordic_chains():
     assert set(an.term_positions("huset husene").keys()) == {"hus"}
     an = swedish_light_analyzer()
     assert set(an.term_positions("flickor flickorna").keys()) == {"flick"}
+
+
+CZ_PINS = [("kostech", "kost"), ("matkami", "matk"), ("matkám", "matk"),
+           ("matko", "matk"), ("matka", "matk"),
+           ("karel", "karl"), ("karlův", "karl"),
+           ("vztek", "vztk"), ("vzteku", "vztk"),
+           ("hezcí", "hezk"), ("hezkého", "hezk"),
+           ("hradů", "hrad"), ("hradem", "hrad")]
+
+
+def test_czech_stem_pins():
+    from lucene_solr_spark.analysis.lang import czech_stem
+    for raw, want in CZ_PINS:
+        assert czech_stem(raw) == want, raw
+
+
+def test_czech_chain():
+    from lucene_solr_spark.analysis.lang import czech_analyzer
+    an = czech_analyzer()
+    assert set(an.term_positions("matka matkami").keys()) == {"matk"}
