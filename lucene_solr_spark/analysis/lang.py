@@ -581,3 +581,77 @@ def czech_stem(token: str) -> str:
 def czech_analyzer(stop_words=(), stem_exclusions=()):
     """CzechAnalyzer-shaped chain (`cz/CzechAnalyzer.java:101`)."""
     return _light_analyzer(czech_stem, stop_words, stem_exclusions)
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian light stemmer (Nakov 2003 / BulStem)
+# ---------------------------------------------------------------------------
+
+def _bg_remove_article(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("ият"):
+        return s[:n - 3]
+    if n > 5 and s.endswith(("ът", "то", "те", "та", "ия")):
+        return s[:n - 2]
+    if n > 4 and s.endswith("ят"):
+        return s[:n - 2]
+    return s
+
+
+def _bg_remove_plural(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s.endswith("овци"):
+            return s[:n - 3]
+        if s.endswith("ове"):
+            return s[:n - 3]
+        if s.endswith("еве"):
+            return s[:n - 3] + "й"
+    if n > 5:
+        if s.endswith("ища"):
+            return s[:n - 3]
+        if s.endswith("та"):
+            return s[:n - 2]
+        if s.endswith("ци"):
+            return s[:n - 2] + "к"
+        if s.endswith("зи"):
+            return s[:n - 2] + "г"
+        if s[n - 3] == "е" and s[n - 1] == "и":
+            return s[:n - 3] + "я" + s[n - 2]
+    if n > 4:
+        if s.endswith("си"):
+            return s[:n - 2] + "х"
+        if s.endswith("и"):
+            return s[:n - 1]
+    return s
+
+
+def bulgarian_stem(token: str) -> str:
+    """BulgarianStemmer (`bg/BulgarianStemmer.java:30`, the light
+    stemmer of Nakov's BulStem): -ища, definite articles, plural forms
+    with palatalization reversals (ци→к, зи→г, си→х, еве→й, еXи→яX),
+    final я/а/о/е, -ен → -н, ъN → N."""
+    s = token
+    if len(s) < 4:
+        return s
+    if len(s) > 5 and s.endswith("ища"):
+        return s[:-3]
+    s = _bg_remove_article(s)
+    s = _bg_remove_plural(s)
+    if len(s) > 3:
+        if s.endswith("я"):
+            s = s[:-1]
+        if s.endswith(("а", "о", "е")):
+            s = s[:-1]
+    n = len(s)
+    if n > 4 and s.endswith("ен"):
+        s = s[:n - 2] + "н"
+        n -= 1
+    if n > 5 and s[n - 2] == "ъ":
+        s = s[:n - 2] + s[n - 1]
+    return s
+
+
+def bulgarian_analyzer(stop_words=(), stem_exclusions=()):
+    """BulgarianAnalyzer-shaped chain (`bg/BulgarianAnalyzer.java:104`)."""
+    return _light_analyzer(bulgarian_stem, stop_words, stem_exclusions)

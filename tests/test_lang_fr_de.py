@@ -274,3 +274,22 @@ def test_czech_chain():
     from lucene_solr_spark.analysis.lang import czech_analyzer
     an = czech_analyzer()
     assert set(an.term_positions("matka matkami").keys()) == {"matk"}
+
+
+BG_PINS = [("градът", "град"), ("градовете", "град"), ("град", "град"),
+           ("краищата", "кра"), ("дни", "дни"),
+           ("страните", "стран"), ("фирмата", "фирм"), ("фирми", "фирм"),
+           ("краеве", "краев"),   # len 6: under the >6 еве guard
+           ("крайове", "край")]
+
+
+def test_bulgarian_stem_pins():
+    from lucene_solr_spark.analysis.lang import bulgarian_stem
+    for raw, want in BG_PINS:
+        assert bulgarian_stem(raw) == want, raw
+
+
+def test_bulgarian_chain():
+    from lucene_solr_spark.analysis.lang import bulgarian_analyzer
+    an = bulgarian_analyzer()
+    assert set(an.term_positions("градът градовете").keys()) == {"град"}
