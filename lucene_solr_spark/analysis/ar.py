@@ -124,3 +124,125 @@ def persian_analyzer(stop_words=()):
                        map_filter(arabic_normalize),
                        map_filter(persian_normalize),
                        stop_filter(stops)))
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb) — SoraniNormalizer / SoraniStemmer
+# ---------------------------------------------------------------------------
+
+import unicodedata as _ud
+
+
+def sorani_normalize(token: str) -> str:
+    """SoraniNormalizer (`ckb/SoraniNormalizer.java:43`): yeh variants
+    → farsi yeh, kaf → keheh, heh+ZWNJ → ae, final heh → ae, teh
+    marbuta → ae, heh-doachashmee → heh, initial reh → rreh,
+    reh-above → rreh, tatweel/harakat and FORMAT codepoints deleted —
+    the order-sensitive cases (ZWNJ lookbehind, final-heh) follow the
+    reference's in-place scan."""
+    # faithful port of the in-place scan: deletions shift the tail
+    # left and i re-examines the shifted char; the final-heh rule
+    # compares against the CURRENT length mid-scan, exactly like the
+    # reference (so heh before a later-deleted diacritic stays heh)
+    s = list(token)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "يى":
+            s[i] = "ی"
+        elif ch == "ك":
+            s[i] = "ک"
+        elif ch == "‌":                    # ZWNJ
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"
+            del s[i]
+            continue
+        elif ch == "ه":
+            if i == len(s) - 1:
+                s[i] = "ە"
+        elif ch == "ة":
+            s[i] = "ە"
+        elif ch == "ھ":
+            s[i] = "ه"
+        elif ch == "ڒ":
+            s[i] = "ڕ"
+        elif ch == "ر":
+            if i == 0:
+                s[i] = "ڕ"
+        elif ch in "ـًٌٍَُِّْ" or _ud.category(ch) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(token: str) -> str:
+    """SoraniStemmer (`ckb/SoraniStemmer.java:30`): postposition
+    (-دا/-نا/-ەوە) and possessive (-مان/-یان/-تان) strips, then ONE
+    definite/indefinite/plural/demonstrative suffix via the
+    reference's exact else-if ladder."""
+    s = token
+    n = len(s)
+    if n > 5 and s.endswith("دا"):
+        s = s[:n - 2]
+    elif n > 4 and s.endswith("نا"):
+        s = s[:n - 1]
+    elif n > 6 and s.endswith("ەوە"):
+        s = s[:n - 3]
+    n = len(s)
+    if n > 6 and s.endswith(("مان", "یان", "تان")):
+        s = s[:n - 3]
+        n -= 3
+    if n > 6 and s.endswith("ێکی"):
+        return s[:n - 3]
+    if n > 7 and s.endswith("یەکی"):
+        return s[:n - 4]
+    if n > 5 and s.endswith("ێک"):
+        return s[:n - 2]
+    if n > 6 and s.endswith("یەک"):
+        return s[:n - 3]
+    if n > 6 and s.endswith("ەکە"):
+        return s[:n - 3]
+    if n > 5 and s.endswith("کە"):
+        return s[:n - 2]
+    if n > 7 and s.endswith("ەکان"):
+        return s[:n - 4]
+    if n > 6 and s.endswith("کان"):
+        return s[:n - 3]
+    if n > 7 and s.endswith("یانی"):
+        return s[:n - 4]
+    if n > 6 and s.endswith("انی"):
+        return s[:n - 3]
+    if n > 6 and s.endswith("یان"):
+        return s[:n - 3]
+    if n > 5 and s.endswith("ان"):
+        return s[:n - 2]
+    if n > 7 and s.endswith("یانە"):
+        return s[:n - 4]
+    if n > 6 and s.endswith("انە"):
+        return s[:n - 3]
+    if n > 5 and s.endswith(("ایە", "ەیە")):
+        return s[:n - 2]
+    if n > 4 and s.endswith("ە"):
+        return s[:n - 1]
+    if n > 4 and s.endswith("ی"):
+        return s[:n - 1]
+    return s
+
+
+def sorani_analyzer(stop_words=(), stem_exclusions=()):
+    """SoraniAnalyzer-shaped chain (`ckb/SoraniAnalyzer.java:101`:
+    LowerCase → DecimalDigit → Normalizer → Stop → Stemmer)."""
+    from .custom import CustomAnalyzer, map_filter, stop_filter
+    from .misc_filters import fold_decimal_digits
+    stops = frozenset(sorani_normalize(w.lower()) for w in stop_words)
+    excl = frozenset(stem_exclusions)
+
+    def stem(t):
+        return t if t in excl else sorani_stem(t)
+    return CustomAnalyzer(token_filters=(
+        map_filter(str.lower),
+        map_filter(fold_decimal_digits),
+        map_filter(sorani_normalize),
+        stop_filter(stops),
+        map_filter(stem)))

@@ -32,7 +32,7 @@ def analyzer_for(lang: str, **kwargs):
     """text_<lang> fieldType registry → an analyzer instance.
 
     Supported: en, fr, de, es, it, pt, ru, el, ar, fa, hi, id, tr,
-    no, sv, cs, bg, cjk. Extra kwargs (stop_words, stem_exclusions) pass through."""
+    no, sv, cs, bg, ckb, cjk. Extra kwargs (stop_words, stem_exclusions) pass through."""
     lang = lang.lower()
     if lang == "en":
         # the full EnglishAnalyzer chain (possessive + Porter), the
@@ -51,6 +51,9 @@ def analyzer_for(lang: str, **kwargs):
         from .ar import persian_analyzer
         kwargs.pop("stem_exclusions", None)
         return persian_analyzer(**kwargs)
+    if lang == "ckb":
+        from .ar import sorani_analyzer
+        return sorani_analyzer(**kwargs)
     if lang == "hi":
         from .hi import hindi_analyzer
         return hindi_analyzer(**kwargs)

@@ -72,3 +72,36 @@ def test_persian_analyzer_chain():
     # ZWNJ splits the affixed form into two tokens; keheh folds to kaf
     toks = an.tokens("کتاب می‌خواهم از")
     assert toks[0] == "كتاب" and len(toks) == 3
+
+
+def test_sorani_normalize_pins():
+    from lucene_solr_spark.analysis.ar import sorani_normalize as n
+    # TestSoraniNormalizationFilter behaviors
+    assert n("يی") == "یی" and n("ى") == "ی"     # yeh variants
+    assert n("ك") == "ک"                          # kaf → keheh
+    assert n("ه‌") == "ە"                     # heh+ZWNJ → ae
+    assert n("ره") == "ڕە"                        # initial reh + final heh
+    assert n("ماله") == "مالە"                    # final heh → ae
+    assert n("ماليك") == "مالیک"                  # mid-word unchanged rules
+    assert n("کـتاب") == "کتاب"                   # tatweel deleted
+    assert n("ڒوو") == "ڕوو"                      # reh-above → rreh
+
+
+def test_sorani_stem_pins():
+    from lucene_solr_spark.analysis.ar import sorani_stem as s
+    assert s("پیاوەکان") == "پیاو"                # definite plural
+    assert s("پیاوان") == "پیاو"                  # indefinite plural
+    assert s("پیاوەکە") == "پیاو"                 # definite singular
+    assert s("کتاویەکی") == "کتاو"                # indef + izafe
+    assert s("پیاوێک") == "پیاو"                  # indefinite singular
+    assert s("مالەکەدا") == "مالە"               # دا then کە (ەکە needs >6)
+    assert s("مالمان") == "مالم"                 # مان needs >6; ان fires
+    assert s("کتابمان") == "کتاب"                # possessive at length >6
+    assert s("مال") == "مال"                      # short: untouched
+
+
+def test_sorani_chain():
+    from lucene_solr_spark.analysis.ar import sorani_analyzer
+    an = sorani_analyzer()
+    tp = an.term_positions("پیاوەکان پیاوێک")
+    assert set(tp.keys()) == {"پیاو"} and tp["پیاو"] == [0, 1]
