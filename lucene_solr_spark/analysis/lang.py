@@ -655,3 +655,70 @@ def bulgarian_stem(token: str) -> str:
 def bulgarian_analyzer(stop_words=(), stem_exclusions=()):
     """BulgarianAnalyzer-shaped chain (`bg/BulgarianAnalyzer.java:104`)."""
     return _light_analyzer(bulgarian_stem, stop_words, stem_exclusions)
+
+
+# ---------------------------------------------------------------------------
+# Latvian stemmer (Samson 2008 light)
+# ---------------------------------------------------------------------------
+
+# (affix, vowel-count threshold, palatalizes) — order matters
+_LV_AFFIXES = [
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+]
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(stem: str, removed_first: str) -> str:
+    """The reference's unpalatalize over the truncated stem, peeking
+    at the first removed character (s[len]) exactly as the in-place
+    buffer allows (`lv/LatvianStemmer.java:73`)."""
+    if removed_first == "u":
+        if stem.endswith("kš"):
+            return stem[:-1] + "st"      # kš+u → kst
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem.endswith(("pj", "bj", "mj", "vj")):
+        return stem[:-1]
+    for src, dst in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if stem.endswith(src):
+            return stem[:-2] + dst
+    if stem.endswith("č"):
+        return stem[:-1] + "c"
+    if stem.endswith("ļ"):
+        return stem[:-1] + "l"
+    if stem.endswith("ņ"):
+        return stem[:-1] + "n"
+    return stem
+
+
+def latvian_stem(token: str) -> str:
+    """LatvianStemmer (`lv/LatvianStemmer.java:36`, the light stemmer
+    of Samson's thesis): ONE affix from the ordered table, gated by
+    whole-word vowel count > affix-vc and stem length >= 3, with
+    un-palatalization on the marked affixes."""
+    nv = sum(1 for c in token if c in _LV_VOWELS)
+    n = len(token)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and n >= len(affix) + 3 and token.endswith(affix):
+            stem = token[:n - len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if pal else stem
+    return token
+
+
+def latvian_analyzer(stop_words=(), stem_exclusions=()):
+    """LatvianAnalyzer-shaped chain (`lv/LatvianAnalyzer.java:101`)."""
+    return _light_analyzer(latvian_stem, stop_words, stem_exclusions)

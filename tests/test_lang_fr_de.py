@@ -293,3 +293,25 @@ def test_bulgarian_chain():
     from lucene_solr_spark.analysis.lang import bulgarian_analyzer
     an = bulgarian_analyzer()
     assert set(an.term_positions("градът градовете").keys()) == {"град"}
+
+
+LV_PINS = [("tirgiem", "tirg"), ("tirgus", "tirg"), ("tirgu", "tirg"),
+           ("tirgi", "tirg"), ("blāķis", "blāķ"), ("blāķi", "blāķ"),
+           ("čūskas", "čūsk"), ("čūsku", "čūsk"),
+           ("zvaigznes", "zvaigzn"), ("zvaigzne", "zvaigzn"),
+           ("zvaigžņu", "zvaigzn"),     # žņ un-palatalizes to zn
+           ("kauliem", "kaul"), ("kauli", "kaul"), ("kaulu", "kaul"),
+           ("les", "les")]              # stem-length guard
+
+
+def test_latvian_stem_pins():
+    from lucene_solr_spark.analysis.lang import latvian_stem
+    for raw, want in LV_PINS:
+        assert latvian_stem(raw) == want, raw
+
+
+def test_latvian_chain():
+    from lucene_solr_spark.analysis.lang import latvian_analyzer
+    an = latvian_analyzer()
+    assert set(an.term_positions("zvaigznes zvaigžņu").keys()) == \
+        {"zvaigzn"}
