@@ -722,3 +722,127 @@ def latvian_stem(token: str) -> str:
 def latvian_analyzer(stop_words=(), stem_exclusions=()):
     """LatvianAnalyzer-shaped chain (`lv/LatvianAnalyzer.java:101`)."""
     return _light_analyzer(latvian_stem, stop_words, stem_exclusions)
+
+
+# ---------------------------------------------------------------------------
+# Finnish light stemmer (Savoy, UniNE CLEF)
+# ---------------------------------------------------------------------------
+
+_FI_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:n - 3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:n - 2])
+    if n > 11:
+        if s.endswith("dellinen"):
+            return s[:n - 8]
+        if s.endswith("dellisuus"):
+            return s[:n - 9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    n = len(s)
+    if n > 5:
+        if s.endswith(("lla", "tse", "sti")):
+            return s[:n - 3]
+        if s.endswith("ni"):
+            return s[:n - 2]
+        if s.endswith("aa"):
+            return s[:n - 1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:n - 4] + "s"
+        if s.endswith("ntena"):
+            return s[:n - 5] + "s"
+        if s.endswith("tten"):
+            return s[:n - 4]
+        if s.endswith("eiden"):
+            return s[:n - 5]
+    if n > 6:
+        if s.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return s[:n - 4]
+        if s[n - 3] == "h" and s[n - 2] in _FI_VOWELS and s[n - 1] == "n":
+            return s[:n - 3]
+        if s.endswith("den"):
+            return s[:n - 3] + "s"
+        if s.endswith("ksen"):
+            return s[:n - 4] + "s"
+        if s.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return s[:n - 3]
+    if n > 5:
+        if s.endswith(("na", "ne")):
+            return s[:n - 2]
+        if s.endswith("nei"):
+            return s[:n - 3]
+    if n > 4:
+        if s.endswith(("ja", "ta")):
+            return s[:n - 2]
+        if s[n - 1] == "a":
+            return s[:n - 1]
+        if s[n - 1] == "n" and s[n - 2] in _FI_VOWELS:
+            return s[:n - 2]
+        if s[n - 1] == "n":
+            return s[:n - 1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    n = len(s)
+    if n > 5 and s.endswith("hde"):
+        s = s[:n - 3] + "ksi"             # falls through, like the loop
+    n = len(s)
+    if n > 4 and s.endswith(("ei", "at")):
+        return s[:n - 2]
+    if n > 3 and s[n - 1] in "tsjeai":
+        return s[:n - 1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    n = len(s)
+    if n > 8 and s[n - 1] in "eou":
+        s = s[:n - 1]
+        n -= 1
+    if n > 4:
+        if s[n - 1] == "i":
+            s = s[:n - 1]
+            n -= 1
+        if n > 4:
+            # de-double k/p/t against the previous RETAINED char
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            s = "".join(out)
+    return s
+
+
+def finnish_light_stem(token: str) -> str:
+    """FinnishLightStemmer (`fi/FinnishLightStemmer.java:47`, Savoy
+    UniNE): ä/å/ö fold, particle recursion (-kin/-ko), derivational
+    -dellinen/-dellisuus, case endings with s-substitutions
+    (nnen/ntena/den/ksen → …s), hde→ksi, final-vowel trims, and k/p/t
+    consonant de-doubling; < 4 chars pass."""
+    if len(token) < 4:
+        return token
+    s = token.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+def finnish_light_analyzer(stop_words=(), stem_exclusions=()):
+    """FinnishAnalyzer-shaped chain."""
+    return _light_analyzer(finnish_light_stem, stop_words,
+                           stem_exclusions)

@@ -32,7 +32,7 @@ def analyzer_for(lang: str, **kwargs):
     """text_<lang> fieldType registry → an analyzer instance.
 
     Supported: en, fr, de, es, it, pt, ru, el, ar, fa, hi, id, tr,
-    no, sv, cs, bg, lv, ckb, cjk. Extra kwargs (stop_words, stem_exclusions) pass through."""
+    no, sv, fi, cs, bg, lv, ckb, cjk. Extra kwargs (stop_words, stem_exclusions) pass through."""
     lang = lang.lower()
     if lang == "en":
         # the full EnglishAnalyzer chain (possessive + Porter), the
@@ -67,7 +67,8 @@ def analyzer_for(lang: str, **kwargs):
              "ru": L.russian_light_analyzer, "el": L.greek_analyzer,
              "tr": L.turkish_analyzer, "no": L.norwegian_light_analyzer,
              "sv": L.swedish_light_analyzer, "cs": L.czech_analyzer,
-             "bg": L.bulgarian_analyzer, "lv": L.latvian_analyzer}
+             "bg": L.bulgarian_analyzer, "lv": L.latvian_analyzer,
+             "fi": L.finnish_light_analyzer}
     if lang in table:
         if lang in ("el", "tr"):
             kwargs.pop("stem_exclusions", None)

@@ -315,3 +315,24 @@ def test_latvian_chain():
     an = latvian_analyzer()
     assert set(an.term_positions("zvaigznes zvaigžņu").keys()) == \
         {"zvaigzn"}
+
+
+FI_PINS = [("autoja", "auto"), ("autot", "auto"), ("autoon", "auto"),
+           ("auto", "auto"), ("auton", "aut"),
+           ("talossa", "talo"), ("talolla", "talo"), ("talot", "talo"),
+           ("kirjassa", "kirj"), ("kirjakin", "kirjak"),
+           ("kahde", "kahd"),            # hde needs len > 5
+           ("olutta", "olu"), ("kukka", "kukk"),   # dedouble gated at >4
+           ("kirkkoja", "kirko")]               # k de-doubling fires
+
+
+def test_finnish_light_stem_pins():
+    from lucene_solr_spark.analysis.lang import finnish_light_stem
+    for raw, want in FI_PINS:
+        assert finnish_light_stem(raw) == want, raw
+
+
+def test_finnish_chain():
+    from lucene_solr_spark.analysis.lang import finnish_light_analyzer
+    an = finnish_light_analyzer()
+    assert set(an.term_positions("autot autoja").keys()) == {"auto"}

@@ -11,7 +11,7 @@ from lucene_solr_spark.analysis.multilang import (ScriptRoutingAnalyzer,
 
 def test_registry_covers_languages():
     for lang in ("en", "fr", "de", "es", "it", "pt", "ru", "el", "ar",
-                 "fa", "hi", "id", "tr", "no", "sv", "cs", "bg", "lv", "ckb", "cjk"):
+                 "fa", "hi", "id", "tr", "no", "sv", "fi", "cs", "bg", "lv", "ckb", "cjk"):
         an = analyzer_for(lang)
         assert hasattr(an, "term_positions"), lang
     with pytest.raises(ValueError):
